@@ -1,0 +1,105 @@
+"""Price-domain column expressions (SURVEY.md §2.8 F13/F14/F18).
+
+Every function returns a Column built from pyspark.sql.functions only,
+so the logic stays inside whole-stage codegen — these are the rebuild's
+equivalents of the reference's row-at-a-time Scala closures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def descretize(cont: Column) -> Column:
+    """|Δ| → level 1..6 ladder.
+
+    Reference: `analytics/CalcIndices.scala:46-54` (``descretize``).
+    """
+    a = F.abs(cont)
+    return (
+        F.when(a <= 0.2, 1)
+        .when(a <= 0.4, 2)
+        .when(a <= 0.6, 3)
+        .when(a <= 0.8, 4)
+        .when(a <= 1.0, 5)
+        .otherwise(6)
+    )
+
+
+def cv_rank(cv: Column) -> Column:
+    """Coefficient-of-variation → rank 1..5.
+
+    Reference: `analytics/CalcIndices.scala:163-169`,
+    `analytics/UrlPositionAndVar.scala:82-88`.
+    """
+    return (
+        F.when(cv <= 0.2, 1)
+        .when(cv <= 0.4, 2)
+        .when(cv <= 0.6, 3)
+        .when(cv <= 0.85, 4)
+        .otherwise(5)
+    )
+
+
+def rel_place_rank(rel_place: Column) -> Column:
+    """Relative market place → rank ladder {5,10,20,...,95,100}.
+
+    Reference: `analytics/CalcIndices.scala:171-185`.
+    """
+    return (
+        F.when(rel_place <= 0.05, 5)
+        .when(rel_place <= 0.1, 10)
+        .when(rel_place <= 0.2, 20)
+        .when(rel_place <= 0.3, 30)
+        .when(rel_place <= 0.4, 40)
+        .when(rel_place <= 0.5, 50)
+        .when(rel_place <= 0.6, 60)
+        .when(rel_place <= 0.7, 70)
+        .when(rel_place <= 0.8, 80)
+        .when(rel_place <= 0.9, 90)
+        .when(rel_place <= 0.95, 95)
+        .otherwise(100)
+    )
+
+
+def price_status(model_price: Column, updated_price: Column) -> Column:
+    """Model-vs-pattern reconciliation status.
+
+    Truth table from `streaming/Htmls2Cassandra.scala:183-227`:
+    sentinels: model_price == -1 → allFalseCandids, -2 → missingModel;
+    int(updated_price) == 0 → patternFailed; |Δ| < 0.009 → equals;
+    relative |Δ| ≤ 0.1 → minor conflict, else major; combinations of
+    failure flags → bothFailed / patternFailed / missingModel /
+    allFalseCandids.
+    """
+    all_false = model_price == -1.0
+    missing = model_price == -2.0
+    pattern_failed = updated_price.cast("int") == 0
+    model_ok = ~all_false & ~missing & ~pattern_failed
+    equals = model_ok & (F.abs(model_price - updated_price) < 0.009)
+    rel = F.abs(updated_price - model_price) / F.greatest(updated_price, model_price)
+    return (
+        F.when(equals, "modeledPatternEquals")
+        .when(model_ok & (rel <= 0.1), "minorModelPatternConflict")
+        .when(model_ok, "majorModelPatternConflict")
+        .when((all_false | missing) & pattern_failed, "bothFailed")
+        .when(pattern_failed, "patternFailed")
+        .when(missing, "missingModel")
+        .otherwise("allFalseCandids")
+    )
+
+
+def selected_price(status: Column, model_price: Column, updated_price: Column) -> Column:
+    """Status → chosen price CASE.
+
+    Reference: `utils/Utils.scala:408-432` (``getPriceFromMsgMap``):
+    model price wins on equals/minor-conflict/patternFailed, pattern
+    price on major-conflict/missingModel/allFalseCandids, 0.0 on
+    bothFailed.
+    """
+    return (
+        F.when(status.isin("modeledPatternEquals", "minorModelPatternConflict", "patternFailed"), model_price)
+        .when(status.isin("majorModelPatternConflict", "missingModel", "allFalseCandids"), updated_price)
+        .otherwise(F.lit(0.0))
+    )

@@ -1,0 +1,74 @@
+"""Text-normalization column expressions (SURVEY.md §2.8 F4-F8, F7).
+
+All pure ``pyspark.sql.functions`` — regex work runs JVM-side inside
+codegen; no Python UDFs in the hot path. Char n-grams, the one place
+the reference loops in Scala (`utils/Utils.scala:40-52`), is expressed
+as sequence+transform array SQL so it stays vectorized too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def shrink_string(s: Column) -> Column:
+    """Collapse 3+ blanks, strip thousands-commas between digits, drop
+    tabs/newlines/commas.
+
+    Reference: `utils/Utils.scala:208-210` (``shrinkString``).
+    """
+    s = F.regexp_replace(s, r"[ \t]{3,}", " ")
+    s = F.regexp_replace(s, r"(?<=\d),(?=\d)", "")
+    return F.regexp_replace(s, r"[\t\n\r,]", "")
+
+
+def text_only(s: Column) -> Column:
+    """Letters only, single-spaced. Reference: `utils/Utils.scala:64-66`."""
+    return F.regexp_replace(F.regexp_replace(s, "[^A-Za-z]+", " "), " +", " ")
+
+
+def text_num(s: Column) -> Column:
+    """Alnum only, single-spaced. Reference: `utils/Utils.scala:72-74`."""
+    return F.regexp_replace(F.regexp_replace(s, "[^0-9A-Za-z]+", " "), " +", " ")
+
+
+def three_plus_trim(s: Column) -> Column:
+    """Squeeze runs of 3+ blanks. Reference: `utils/Utils.scala:266-268`."""
+    return F.regexp_replace(s, r"[ \t]{3,}", " ")
+
+
+def tokenize(s: Column) -> Column:
+    """textOnly → split on space. Reference: `utils/Utils.scala:57-59`."""
+    return F.split(F.trim(text_only(s)), " ")
+
+
+def get_domain(url: Column) -> Column:
+    """URL → host, strip leading ``www.``, fall back to
+    ``www.failed.com`` when no host parses (observable quirk kept for
+    parity). Reference: `utils/Utils.scala:359-375` (``getDomain``).
+    """
+    fixed = F.when(url.rlike("^https?://"), url).otherwise(F.concat(F.lit("http://"), url))
+    host = F.parse_url(fixed, F.lit("HOST"))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host.isNull() | (host == ""), "www.failed.com").otherwise(host)
+
+
+def char_ngrams(s: Column, n: int) -> Column:
+    """All char n-grams of ``s`` — preserving the reference's
+    observable off-by-one: the scala loop ``for (i <- 1 until length)
+    if (i + n < length) substring(i, i+n)`` skips the gram at offset 0
+    and drops tail grams. 0-based ``substring(i, i+n)`` == SQL
+    ``substring(s, i+1, n)``, so 1-based starts run over
+    ``[2, length-n]``.
+
+    Reference: `utils/Utils.scala:40-52` (``gramsByN``). Built as
+    sequence→transform→substr so it runs JVM-side (no UDF). The
+    reference prepends to a list (reverse order); consumers treat the
+    result as a bag, so natural order is kept here.
+    """
+    length = F.length(s)
+    idx = F.sequence(F.lit(2), length - F.lit(n))
+    return F.when(length - n >= 2, F.transform(idx, lambda i: s.substr(i, F.lit(n)))).otherwise(
+        F.array().cast("array<string>")
+    )

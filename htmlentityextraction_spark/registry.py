@@ -1,0 +1,51 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each implemented operator from SURVEY.md §2 registers
+(name → (spark, sf_dir) -> DataFrame) and, when SQL-expressible, a
+DuckDB oracle string. Column names/types are aligned between both
+sides (driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (import-for-effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from htmlentityextraction_spark import queries as _q  # noqa: F401
+
+    _LOADED = True

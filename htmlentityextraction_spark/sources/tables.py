@@ -1,0 +1,53 @@
+"""Table loaders over the driver's parquet fixtures.
+
+The reference reads Elasticsearch / S3 object files / Cassandra / Kafka
+(SURVEY.md §2.1 S1-S10). In the rebuild every batch source is a
+DataFrame scan with Catalyst predicate pushdown + column pruning doing
+the work the reference hand-coded (`es.query` strings, `.where()` on
+the Cassandra connector — `utils/UConf.scala:37-40`,
+`analytics/CalcIndices.scala:68`). Parquet stands in for all of them in
+the test rig; swapping in a real connector is a one-line format change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Filters/projections applied by callers
+    are pushed into the parquet reader by Catalyst (verify with
+    ``df.explain()`` → ``PushedFilters`` / ``ReadSchema``)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views for ``spark.sql`` entry points
+    (the reference's CassandraSQLContext path, SURVEY.md §2.1 S10)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
