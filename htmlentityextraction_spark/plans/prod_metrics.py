@@ -93,7 +93,7 @@ def price_delta_market_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("relative_position", F.col("abs_position") / F.col("num_stores"))
         .withColumn(
             "var_val",
-            F.round(F.stddev_pop("price").over(w_all) / F.avg("price").over(w_all), 6),
+            F.round(F.stddev_pop("price").over(w_all) / F.avg("price").over(w_all) + 1e-9, 6),
         )
     )
 
@@ -103,15 +103,15 @@ def price_delta_market_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "abs_position",
         "num_stores",
-        F.round("relative_position", 6).alias("relative_position"),
+        F.round(F.col("relative_position") + 1e-9, 6).alias("relative_position"),
         rel_place_rank(F.col("relative_position")).alias("position_level"),
         "var_val",
         cv_rank(F.col("var_val")).alias("var_level"),
-        F.round("max_abs_delta_val", 6).alias("max_abs_delta_val"),
-        F.round("max_rel_delta_val", 6).alias("max_rel_delta_val"),
+        F.round(F.col("max_abs_delta_val") + 1e-9, 6).alias("max_abs_delta_val"),
+        F.round(F.col("max_rel_delta_val") + 1e-9, 6).alias("max_rel_delta_val"),
         descretize(F.col("max_rel_delta_val")).alias("max_rel_delta_level"),
-        F.round("min_abs_delta_val", 6).alias("min_abs_delta_val"),
-        F.round("min_rel_delta_val", 6).alias("min_rel_delta_val"),
+        F.round(F.col("min_abs_delta_val") + 1e-9, 6).alias("min_abs_delta_val"),
+        F.round(F.col("min_rel_delta_val") + 1e-9, 6).alias("min_rel_delta_val"),
         descretize(F.col("min_rel_delta_val")).alias("min_rel_delta_level"),
     )
     return out
@@ -153,7 +153,7 @@ SELECT p.sys_prod_id,
        p.price,
        p.abs_position,
        p.num_stores,
-       round(p.abs_position / CAST(p.num_stores AS DOUBLE), 6) AS relative_position,
+       round(p.abs_position / CAST(p.num_stores AS DOUBLE) + 1e-9, 6) AS relative_position,
        CASE WHEN p.abs_position / CAST(p.num_stores AS DOUBLE) <= 0.05 THEN 5
             WHEN p.abs_position / CAST(p.num_stores AS DOUBLE) <= 0.1 THEN 10
             WHEN p.abs_position / CAST(p.num_stores AS DOUBLE) <= 0.2 THEN 20
@@ -166,22 +166,22 @@ SELECT p.sys_prod_id,
             WHEN p.abs_position / CAST(p.num_stores AS DOUBLE) <= 0.9 THEN 90
             WHEN p.abs_position / CAST(p.num_stores AS DOUBLE) <= 0.95 THEN 95
             ELSE 100 END AS position_level,
-       round(p.std_price / p.mean_price, 6) AS var_val,
-       CASE WHEN round(p.std_price / p.mean_price, 6) <= 0.2 THEN 1
-            WHEN round(p.std_price / p.mean_price, 6) <= 0.4 THEN 2
-            WHEN round(p.std_price / p.mean_price, 6) <= 0.6 THEN 3
-            WHEN round(p.std_price / p.mean_price, 6) <= 0.85 THEN 4
+       round(p.std_price / p.mean_price + 1e-9, 6) AS var_val,
+       CASE WHEN round(p.std_price / p.mean_price + 1e-9, 6) <= 0.2 THEN 1
+            WHEN round(p.std_price / p.mean_price + 1e-9, 6) <= 0.4 THEN 2
+            WHEN round(p.std_price / p.mean_price + 1e-9, 6) <= 0.6 THEN 3
+            WHEN round(p.std_price / p.mean_price + 1e-9, 6) <= 0.85 THEN 4
             ELSE 5 END AS var_level,
-       round(d.max_abs_delta_val, 6) AS max_abs_delta_val,
-       round(d.max_rel_delta_val, 6) AS max_rel_delta_val,
+       round(d.max_abs_delta_val + 1e-9, 6) AS max_abs_delta_val,
+       round(d.max_rel_delta_val + 1e-9, 6) AS max_rel_delta_val,
        CASE WHEN abs(d.max_rel_delta_val) <= 0.2 THEN 1
             WHEN abs(d.max_rel_delta_val) <= 0.4 THEN 2
             WHEN abs(d.max_rel_delta_val) <= 0.6 THEN 3
             WHEN abs(d.max_rel_delta_val) <= 0.8 THEN 4
             WHEN abs(d.max_rel_delta_val) <= 1.0 THEN 5
             ELSE 6 END AS max_rel_delta_level,
-       round(d.min_abs_delta_val, 6) AS min_abs_delta_val,
-       round(d.min_rel_delta_val, 6) AS min_rel_delta_val,
+       round(d.min_abs_delta_val + 1e-9, 6) AS min_abs_delta_val,
+       round(d.min_rel_delta_val + 1e-9, 6) AS min_rel_delta_val,
        CASE WHEN abs(d.min_rel_delta_val) <= 0.2 THEN 1
             WHEN abs(d.min_rel_delta_val) <= 0.4 THEN 2
             WHEN abs(d.min_rel_delta_val) <= 0.6 THEN 3
