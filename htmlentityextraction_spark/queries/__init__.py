@@ -1,3 +1,3 @@
 """Import-for-effect: each module registers its queries + oracles."""
 
-from htmlentityextraction_spark.queries import analytics, relational  # noqa: F401
+from htmlentityextraction_spark.queries import analytics, relational, scalar, windows  # noqa: F401

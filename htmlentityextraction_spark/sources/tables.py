@@ -36,8 +36,26 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied by callers
     are pushed into the parquet reader by Catalyst (verify with
-    ``df.explain()`` → ``PushedFilters`` / ``ReadSchema``)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ``df.explain()`` → ``PushedFilters`` / ``ReadSchema``).
+
+    ``events`` is written with TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (legacy conf, set dynamically so
+    it also works on a driver-owned session) and truncate to
+    microsecond timestamps — the same value DuckDB returns after its
+    ns→us cast.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
