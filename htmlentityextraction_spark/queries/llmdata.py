@@ -1,0 +1,241 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings fixtures (BASELINE.json north
+star). Sketch-based tiers (MinHash-LSH, SimHash, ANN) are rows-only
+(not SQL-expressible in DuckDB at reasonable cost) and are instead
+property-tested in tests/; everything else carries a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import dedup as dd
+from htmlentityextraction_spark.operators import similarity as sim
+from htmlentityextraction_spark.operators import textanalysis as ta
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+# Shared SQL fragments for the oracles (keep in lockstep with
+# functions.text.text_only / tokenize).
+_TOKS = (
+    "string_split_regex(trim(regexp_replace(regexp_replace({col},"
+    "'[^A-Za-z]+',' ','g'),' +',' ','g')), ' ')"
+)
+_NORM = "lower(trim(regexp_replace(regexp_replace({col},'[^A-Za-z]+',' ','g'),' +',' ','g')))"
+
+
+# --- exact dedup ---
+@register(
+    "dedup_exact_documents",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5({_NORM.format(col='text')}) AS fingerprint,
+               row_number() OVER (PARTITION BY md5({_NORM.format(col='text')})
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, source, fingerprint FROM fp WHERE rn = 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5, keep min id.
+    One shuffle on the fingerprint; at 100 TB this is the cheap first
+    pass before any sketch tier."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return dd.exact_dedup(docs).select("doc_id", "lang", "source", "fingerprint")
+
+
+# --- exact token-set Jaccard pairs (ground truth for sketches) ---
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct({_TOKS.format(col='text')}) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))) + 1e-9, 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# --- MinHash-LSH near-dup (rows-only: sketch not DuckDB-expressible) ---
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs verified with true shingle
+    Jaccard; recall/precision property-tested in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+# --- SimHash near-dup (rows-only) ---
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+# --- embedding cosine near-dup within label blocks ---
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.35
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (at 100 TB the
+    block key is the LSH bucket from similarity.ann_lsh_topk; label
+    stands in on the fixture). Threshold 0.35 is fixture-calibrated —
+    the synthetic embeddings have no true near-dups (max cosine ~0.47)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("v_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("v_b"),
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(sim.cosine(F.col("v_a"), F.col("v_b")) + 1e-9, 6)
+    return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= 0.35).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+# --- brute-force cosine top-k (exact ANN baseline) ---
+@register(
+    "similarity_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(qv, cv) + 1e-9, 6) AS cosine
+            FROM q, c WHERE neighbor_id <> query_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id<5.
+    Broadcast queries × corpus scan; ranking on the rounded score so
+    Spark and DuckDB order identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+# --- LSH-bucketed ANN (rows-only; recall tested vs brute force) ---
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_lsh_topk(emb, queries, k=10, bits=6, tables=4)
+
+
+# --- text analysis: language id + quality + token counts ---
+@register(
+    "text_quality_profile",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, lang AS label_lang,
+               list_distinct({_TOKS.format(col='lower(text)')}) AS ltoks,
+               list_distinct({_TOKS.format(col='text')}) AS dtoks,
+               {_TOKS.format(col='text')} AS toks,
+               length(text)::DOUBLE AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+               length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))::DOUBLE AS n_punct
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, text, label_lang, n_chars,
+               len(toks)::DOUBLE AS n_tokens,
+               n_alpha, n_punct,
+               len(list_intersect(ltoks, ['the','and','of','to','a'])) AS s_en,
+               len(list_intersect(ltoks, ['der','die','und','das','ist'])) AS s_de,
+               len(list_intersect(ltoks, ['le','la','et','les','des'])) AS s_fr,
+               len(list_intersect(ltoks, ['el','la','de','que','los'])) AS s_es,
+               len(list_intersect(ltoks, ['de','shi','le','zai','he'])) AS s_zh,
+               len(list_intersect(dtoks, ['the','and','of','to','a']))::DOUBLE AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, label_lang,
+           CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS predicted_lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens_ws,
+           len(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)) AS n_tokens_bpe,
+           round((least(n_tokens / 20.0, 1.0) * 0.3
+                  + greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10.0, 0.0) * 0.2
+                  + least(stop_hits / 3.0, 1.0) * 0.3
+                  + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0
+                          AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2)
+                 + 1e-9, 6) AS quality
+    FROM scored
+    """,
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-profile argmax), quality score, whitespace
+    + BPE-ish token counts — the gating signals of an LLM data
+    pipeline, all columnar."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        ta.language_id(F.col("text")).alias("predicted_lang"),
+        ta.token_count_whitespace(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "[^A-Za-z]+", " "), " +", " "
+                )
+            )
+        ).alias("n_tokens_ws"),
+        ta.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        ta.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# --- rolling fingerprint ---
+@register(
+    "doc_rolling_fingerprint",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM.format(col='text')} AS norm FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(norm) >= 8 THEN
+               list_aggregate(list_transform(generate_series(1, length(norm) - 7),
+                                             i -> md5(substring(norm, i, 8))), 'min')
+           ELSE md5(norm) END AS rolling_fp
+    FROM n
+    """,
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint over char 8-gram windows —
+    robust to local edits (vs whole-doc md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ta.rolling_fingerprint(F.col("text"), 8).alias("rolling_fp")
+    )

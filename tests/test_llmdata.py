@@ -1,0 +1,190 @@
+"""Property tests for the training-data-pipeline operators (dedup,
+similarity, text analysis) — the tiers whose sketches are rows-only in
+the driver gate get their recall/precision contracts checked here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import dedup as dd
+from htmlentityextraction_spark.operators import similarity as sim
+from htmlentityextraction_spark.operators import textanalysis as ta
+from htmlentityextraction_spark.functions.text import char_ngrams
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup ---
+def test_exact_dedup_keeps_min_id_per_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "Hello,  World!"),
+            (1, "hello world"),  # same normalized text -> same fingerprint
+            (2, "a different document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.exact_dedup(df).select("doc_id").orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+
+def test_exact_dedup_count_matches_distinct_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    deduped = dd.exact_dedup(docs)
+    n_fp = docs.select(
+        dd.normalized_fingerprint(F.col("text")).alias("fp")
+    ).distinct().count()
+    assert deduped.count() == n_fp
+
+
+# --- minhash LSH: precision by construction, recall vs true jaccard ---
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    threshold = 0.5
+    found = dd.minhash_lsh_pairs(docs, jaccard_threshold=threshold)
+    found_pairs = {(r.id_a, r.id_b) for r in found.collect()}
+
+    # exact ground truth: all-pairs char-shingle jaccard (500 docs -> fine)
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), dd.char_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= threshold)
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+
+    # precision is exact: every emitted pair is verified with true jaccard
+    assert found_pairs <= true_pairs
+    # recall: banded LSH (16 bands x 4 rows) at j >= 0.5 should catch
+    # nearly everything; require >= 80% and at least one real pair found
+    assert true_pairs, "fixture should contain near-duplicate documents"
+    recall = len(found_pairs) / len(true_pairs)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8"
+
+
+# --- simhash ---
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.simhash_pairs(df, max_hamming=3).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in rows} == {(1, 2, 0)}
+
+
+def test_simhash_pairs_respect_max_hamming(spark, sf_dir):
+    rows = dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).collect()
+    assert rows, "fixture should contain simhash near-dups"
+    assert all(0 <= r.hamming <= 3 for r in rows)
+
+
+# --- ANN recall vs brute force ---
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=10)
+    approx = sim.ann_lsh_topk(emb, queries, k=10, bits=6, tables=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 tables x 6 bits + hamming-1 multiprobe on 64-dim synthetic
+    # vectors (near-random, worst case for LSH): contract is "well
+    # above random" (random 10-of-499 ~= 0.02) at a bounded candidate
+    # fraction (~4*7/64 of corpus per query)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} < 0.5"
+
+
+def test_cosine_topk_is_exact_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = sim.cosine_topk(emb, queries, k=5).orderBy("rank").collect()
+    assert len(got) == 5
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+    # scores non-increasing
+    scores = [r.cosine for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.neighbor_id != 0 for r in got)
+
+
+# --- text analysis ---
+def test_language_id_on_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the hat of a dog", "en"),
+            ("der hund und die katze das ist gut", "de"),
+            ("le chat et la maison les arbres des fleurs", "fr"),
+            ("xyzzy qwerty plugh", "und"),
+        ],
+        "text string, expected string",
+    )
+    rows = df.select("expected", ta.language_id(F.col("text")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.expected, f"expected {r.expected}, got {r.got}"
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog went to a market of wonders "
+                "and saw many things of great interest to all of them"),
+            (2, "!!! ??? ,,, ;;; :::"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.q for r in df.select(
+        "doc_id", ta.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= rows[2] < rows[1] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! It's nice.",)], "text string")
+    r = df.select(
+        ta.token_count_whitespace(F.col("text")).alias("ws"),
+        ta.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).first()
+    assert r.ws == 4
+    # Hello , world ! It ' s nice . -> 9
+    assert r.bpe == 9
+
+
+def test_rolling_fingerprint_deterministic_and_shift_invariant(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij klmnop qrstuv"),
+            (2, "abcdefghij klmnop qrstuv"),
+            (3, "PREFIX abcdefghij klmnop qrstuv"),  # shifted content
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fp for r in df.select(
+        "doc_id", ta.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    # min-over-windows: adding a prefix keeps all original windows, so
+    # the min can only stay equal or get smaller -> still a valid fp
+    assert rows[3] <= rows[1]
+
+
+def test_char_ngrams_reference_off_by_one(spark):
+    # scala loop (utils/Utils.scala:40-52): i in 1 until len, keep when
+    # i+n < len -> for "abcdef", n=2: bc, cd, de
+    df = spark.createDataFrame([("abcdef",)], "s string")
+    r = df.select(char_ngrams(F.col("s"), 2).alias("g")).first()
+    assert r.g == ["bc", "cd", "de"]
