@@ -1,0 +1,164 @@
+"""Minimal deterministic gradient-boosted trees (numpy only).
+
+The reference trains one GradientBoostedTreesModel per web domain
+(`domain/models/GBTDomainSuperPar.scala:60-63`: 30 iterations, depth
+5, logistic loss). The scalable rebuild shape is one model per group
+inside ``applyInPandas`` (SURVEY.md §7 M4) — Spark ML can't fit
+per-group, and sklearn isn't in this container, so this is a small
+self-contained implementation:
+
+- binary classification, logistic loss, Friedman-style Newton leaf
+  values;
+- regression trees on the negative gradient, exact split among
+  per-feature quantile thresholds (vectorized numpy, no Python row
+  loops);
+- fully deterministic for a given (X, y) order — required for the
+  driver's repeated-run row-count checks.
+
+Sizing: per-domain candidate sets are ~10^3-10^5 rows x ~101 dense
+features after top-k TF-IDF selection; exact-quantile splits are
+O(nodes * features * thresholds * n) vectorized — comfortably inside
+one executor task. The cluster-level parallelism comes from Spark
+running many domains concurrently, not from the fit itself.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+
+import numpy as np
+
+_EPS = 1e-12
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -35.0, 35.0)))
+
+
+class _Node:
+    __slots__ = ("feature", "threshold", "left", "right", "value")
+
+    def __init__(self, value: float = 0.0):
+        self.feature = -1
+        self.threshold = 0.0
+        self.left = None
+        self.right = None
+        self.value = value
+
+
+def _fit_tree(
+    X: np.ndarray,
+    grad: np.ndarray,
+    hess: np.ndarray,
+    depth: int,
+    min_leaf: int,
+    n_thresholds: int,
+) -> _Node:
+    """Regression tree on -grad with Newton leaf values
+    (sum grad / sum hess)."""
+    node = _Node()
+    n = X.shape[0]
+    g_sum, h_sum = grad.sum(), hess.sum()
+    node.value = g_sum / (h_sum + _EPS)
+    if depth == 0 or n < 2 * min_leaf:
+        return node
+
+    parent_gain = g_sum * g_sum / (h_sum + _EPS)
+    best_gain, best_f, best_t = 0.0, -1, 0.0
+    for f in range(X.shape[1]):
+        x = X[:, f]
+        lo, hi = x.min(), x.max()
+        if lo == hi:
+            continue
+        qs = np.quantile(x, np.linspace(0.1, 0.9, n_thresholds))
+        for t in np.unique(qs):
+            mask = x <= t
+            nl = int(mask.sum())
+            if nl < min_leaf or n - nl < min_leaf:
+                continue
+            gl, hl = grad[mask].sum(), hess[mask].sum()
+            gr, hr = g_sum - gl, h_sum - hl
+            gain = gl * gl / (hl + _EPS) + gr * gr / (hr + _EPS) - parent_gain
+            if gain > best_gain + 1e-9:
+                best_gain, best_f, best_t = gain, f, float(t)
+
+    if best_f < 0:
+        return node
+    mask = X[:, best_f] <= best_t
+    node.feature, node.threshold = best_f, best_t
+    node.left = _fit_tree(X[mask], grad[mask], hess[mask], depth - 1, min_leaf, n_thresholds)
+    node.right = _fit_tree(X[~mask], grad[~mask], hess[~mask], depth - 1, min_leaf, n_thresholds)
+    return node
+
+
+def _predict_tree(node: _Node, X: np.ndarray) -> np.ndarray:
+    if node.feature < 0:
+        return np.full(X.shape[0], node.value)
+    out = np.empty(X.shape[0])
+    mask = X[:, node.feature] <= node.threshold
+    out[mask] = _predict_tree(node.left, X[mask])
+    out[~mask] = _predict_tree(node.right, X[~mask])
+    return out
+
+
+class GBTClassifier:
+    """Binary GBT with logistic loss. ``margin`` is the additive score
+    (the reference's confidenceGBT, `transform/Transformer.scala:
+    290-293`, is the same weighted-vote margin); ``predict`` thresholds
+    it at 0."""
+
+    def __init__(
+        self,
+        n_estimators: int = 30,
+        max_depth: int = 5,
+        learning_rate: float = 0.3,
+        min_leaf: int = 5,
+        n_thresholds: int = 16,
+    ):
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.learning_rate = learning_rate
+        self.min_leaf = min_leaf
+        self.n_thresholds = n_thresholds
+        self.base_: float = 0.0
+        self.trees_: list[_Node] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GBTClassifier":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        p = min(max(y.mean(), 1e-6), 1 - 1e-6)
+        self.base_ = float(np.log(p / (1 - p)))
+        margin = np.full(X.shape[0], self.base_)
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            prob = _sigmoid(margin)
+            grad = y - prob           # negative gradient of logloss
+            hess = prob * (1 - prob)
+            tree = _fit_tree(X, grad, hess, self.max_depth, self.min_leaf, self.n_thresholds)
+            margin = margin + self.learning_rate * _predict_tree(tree, X)
+            self.trees_.append(tree)
+        return self
+
+    def margin(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        m = np.full(X.shape[0], self.base_)
+        for tree in self.trees_:
+            m = m + self.learning_rate * _predict_tree(tree, X)
+        return m
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return _sigmoid(self.margin(X))
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.margin(X) > 0).astype(np.int64)
+
+    # --- registry (de)serialization ---
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        pickle.dump(self, buf, protocol=4)
+        return buf.getvalue()
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "GBTClassifier":
+        return pickle.loads(b)

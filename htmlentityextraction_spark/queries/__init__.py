@@ -4,6 +4,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     analytics,
     extraction,
     llmdata,
+    ml,
     relational,
     scalar,
     windows,

@@ -1,0 +1,137 @@
+"""Per-domain model queries (SURVEY.md §2.9, §3.2 — M1-M15).
+
+Oracle strategy: the pages are constructed so that a planted token
+('sale') PERFECTLY separates positive from negative candidates within
+every domain. A correct featurize→train→score pipeline must recover
+that separation exactly (first tree split), which makes the model's
+end-to-end output — picked price per url, url-level accuracy per
+domain, registry stats — expressible in closed-form SQL. The GBT
+internals are additionally unit-tested in tests/test_models.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.text import get_domain
+from htmlentityextraction_spark.operators import extraction as ex
+from htmlentityextraction_spark.operators import models as md
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+_N_DOMAINS = 8
+_FIT = dict(n_estimators=10, max_depth=3, min_doc_freq=5, top_k=100)
+
+
+def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructed corpus: url carries a domain (k % 8); price marker
+    alternates cost-$ / Price:; pages with flip==0 carry the 'sale'
+    token AND a matching truth price (positive), flip==1 pages carry
+    neither (negative). k % 3 == 1 pages have no currency/price marker
+    at all → zero candidates (the allFalseCandids path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    p2 = F.concat(F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".99"))
+    # domain/flip/bucket must be INDEPENDENT modulo fields of k —
+    # k%8 and k%2 would make flip constant per domain (single-class)
+    bucket = F.pmod(F.floor(k / F.lit(16)).cast("bigint"), F.lit(3))
+    flip = F.pmod(F.floor(k / F.lit(8)).cast("bigint"), F.lit(2))
+    url = F.concat(
+        F.lit("http://d"), F.pmod(k, F.lit(_N_DOMAINS)).cast("string"),
+        F.lit(".example.com/p/"), ks,
+    )
+    marker = F.when(bucket == 0, F.lit(" cost $")).otherwise(F.lit(" Price: "))
+    tail = F.when(flip == 0, F.lit(" sale today")).otherwise(F.lit(" today"))
+    html = F.when(bucket == 1, F.concat(F.lit("id "), ks, F.lit(" value "), p2, tail)).otherwise(
+        F.concat(F.lit("id "), ks, marker, p2, tail)
+    )
+    pages = orders.select(url.alias("url"), html.alias("html"))
+    truth_price = p2.try_cast("double")
+    truth = orders.select(
+        url.alias("url"),
+        F.when(flip == 0, truth_price).otherwise(truth_price + 1.0).alias("price"),
+        F.when(flip == 0, truth_price).otherwise(truth_price + 1.0).alias("updated_price"),
+    )
+    cand = ex.extract_candidates(pages, snippet_size=150)
+    labeled = ex.label_candidates(cand, truth)
+    return labeled.withColumn("domain", get_domain(F.col("url")))
+
+
+_ORACLE_BASE = """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               'http://d' || (o_orderkey % 8) || '.example.com/p/' || o_orderkey AS url,
+               'd' || (o_orderkey % 8) || '.example.com' AS domain,
+               CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
+               (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
+        FROM orders
+    ), pages AS (SELECT * FROM o WHERE bucket <> 1)
+"""
+
+
+@register(
+    "model_registry_stats",
+    _ORACLE_BASE
+    + """
+    SELECT domain,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(1.0 AS DOUBLE) AS train_f1
+    FROM pages GROUP BY domain
+    """,
+)
+def model_registry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain registry after applyInPandas training. train_f1 must
+    be exactly 1.0: the planted token separates the classes, so any
+    correct GBT fit reaches a perfect training F1."""
+    labeled = _labeled_candidates(spark, sf_dir)
+    feats = md.featurize_candidates(labeled)
+    reg = md.train_per_domain(feats, **_FIT)
+    return reg.select("domain", "n_rows", "n_pos", "train_f1")
+
+
+@register(
+    "model_score_pick_price",
+    _ORACLE_BASE
+    + """
+    SELECT url, domain,
+           CASE WHEN flip = 0 THEN p2 ELSE -1.0 END AS model_price
+    FROM pages
+    """,
+)
+def model_score_pick_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end serve path: featurize → mapInPandas score with the
+    broadcast registry → per-url argmax-positive price with the
+    -1/-2 sentinels (`streaming/Htmls2PredsPipe.scala:104-159`)."""
+    labeled = _labeled_candidates(spark, sf_dir)
+    feats = md.featurize_candidates(labeled)
+    reg = md.train_per_domain(feats, **_FIT)
+    scored = md.score_candidates(feats, reg)
+    return md.pick_model_price(scored)
+
+
+@register(
+    "model_url_level_eval",
+    _ORACLE_BASE
+    + """
+    SELECT domain,
+           count(*) AS n_urls,
+           CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN flip = 0 THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS url_accuracy
+    FROM pages GROUP BY domain
+    """,
+)
+def model_url_level_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level selected-candidate eval (`transform/Transformer.scala:
+    322-337`): positives are recovered exactly, negatives yield the
+    -1 sentinel (counted incorrect)."""
+    labeled = _labeled_candidates(spark, sf_dir)
+    feats = md.featurize_candidates(labeled)
+    reg = md.train_per_domain(feats, **_FIT)
+    truth = labeled.select("url", "domain", "price")
+    scored = md.score_candidates(
+        feats.join(truth.dropDuplicates(["url", "domain"]), ["url", "domain"]), reg
+    )
+    return md.eval_url_level(scored)
