@@ -7,5 +7,6 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     ml,
     relational,
     scalar,
+    streaming_q,
     windows,
 )

@@ -1,0 +1,177 @@
+"""Structured-Streaming queries (SURVEY.md §2.10). Each runs a real
+streaming query (file source → availableNow trigger → memory or
+foreachBatch sink) to completion and returns the sink contents; since
+availableNow over a static dir processes exactly the batch data, every
+entry carries a full DuckDB oracle — the streaming plans are held to
+the same hash-match bar as the batch ones.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+from htmlentityextraction_spark.streaming import pipeline as sp
+
+# Shared status CASE for the oracles (mirror of functions.pricing).
+_STATUS_SQL = """
+    CASE WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0)
+              AND abs(model_price - pattern_price) < 0.009 THEN 'modeledPatternEquals'
+         WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0)
+              AND abs(pattern_price - model_price) / greatest(pattern_price, model_price) <= 0.1
+              THEN 'minorModelPatternConflict'
+         WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0) THEN 'majorModelPatternConflict'
+         WHEN (model_price = -1.0 OR model_price = -2.0)
+              AND CAST(floor(pattern_price) AS INTEGER) = 0 THEN 'bothFailed'
+         WHEN CAST(floor(pattern_price) AS INTEGER) = 0 THEN 'patternFailed'
+         WHEN model_price = -2.0 THEN 'missingModel'
+         ELSE 'allFalseCandids' END
+"""
+
+_ENRICH_SQL = f"""
+    WITH base AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
+               CASE WHEN event_id % 7 = 0 THEN -1.0
+                    WHEN event_id % 11 = 0 THEN -2.0
+                    WHEN event_id % 3 = 0 THEN floor(value * 1.05 * 100) / 100
+                    ELSE value END AS model_price,
+               CASE WHEN event_id % 5 = 0 THEN 0.0 ELSE value END AS pattern_price
+        FROM events
+    ), st AS (
+        SELECT *, {_STATUS_SQL} AS status FROM base
+    )
+    SELECT event_id, ts, user_id, event_type, value, props_k,
+           model_price, pattern_price, status,
+           CASE WHEN status IN ('modeledPatternEquals','minorModelPatternConflict','patternFailed')
+                THEN model_price
+                WHEN status IN ('majorModelPatternConflict','missingModel','allFalseCandids')
+                THEN pattern_price
+                ELSE 0.0 END AS final_price
+    FROM st
+"""
+
+
+@register("stream_enrich_status", _ENRICH_SQL)
+def stream_enrich_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 stateless enrichment: streaming from_json + status/final-price
+    CASE chains, availableNow to memory sink."""
+    enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, enriched).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props_k",
+        "model_price", "pattern_price", "status", "final_price",
+    )
+
+
+@register(
+    "stream_multiplex_sinks",
+    f"""
+    WITH enr AS ({_ENRICH_SQL})
+    SELECT 'historical' AS sink, count(*) AS n FROM enr
+    UNION ALL
+    SELECT 'realtime', count(*) FROM enr
+    WHERE status IN ('modeledPatternEquals','minorModelPatternConflict','majorModelPatternConflict')
+    UNION ALL
+    SELECT 'logs', count(*) FROM enr
+    WHERE status NOT IN ('modeledPatternEquals','minorModelPatternConflict','majorModelPatternConflict')
+    """,
+)
+def stream_multiplex_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T6 multiplexed foreachBatch fan-out: historical (all),
+    realtime (passing), logs (errored) parquet sinks; returns per-sink
+    row counts read back from disk."""
+    enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="mux_")
+    sp.route_to_sinks(enriched, out_dir).await_done()
+    parts = []
+    for sink in ("historical", "realtime", "logs"):
+        parts.append(
+            spark.read.parquet(f"{out_dir}/{sink}").agg(
+                F.lit(sink).alias("sink"), F.count("*").alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 upgrade: tumbling 1h event-time windows + watermark
+    (complete-mode memory sink so every window is visible to the
+    oracle; append mode would hold back the watermark tail)."""
+    enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, sp.windowed_counts(enriched), complete=True)
+
+
+@register(
+    "stream_sliding_avg",
+    """
+    WITH expanded AS (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type,
+           round(avg(value) + 1e-9, 6) AS avg_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows: each event lands in two windows — the
+    oracle expands the assignment explicitly."""
+    enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
+    return sp.run_to_memory(spark, sp.sliding_avg(enriched), complete=True)
+
+
+@register(
+    "stream_dedup_events",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source is unioned with itself (every
+    event arrives twice) and dropDuplicates(event_id) within the
+    watermark horizon must restore exactly-once."""
+    s1 = sp.read_events_stream(spark, sf_dir)
+    s2 = sp.read_events_stream(spark, sf_dir)
+    deduped = sp.stream_dedup(s1.union(s2))
+    return sp.run_to_memory(spark, deduped).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "stream_static_enrichment",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/T-static: stream-static broadcast join against the customer
+    dim (the model-registry / dMap lookup shape)."""
+    stream = sp.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = sp.stream_static_enrich(stream, dim)
+    return sp.run_to_memory(spark, joined).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )

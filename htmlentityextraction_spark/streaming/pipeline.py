@@ -1,0 +1,212 @@
+"""Structured Streaming layer (SURVEY.md §2.10 T1-T10, §3.1).
+
+The reference's serving path is a Kafka DStream micro-batch pipeline:
+stateless per-record enrichment → status derivation → multiplexed
+sinks (`streaming/Htmls2PredsPipe.scala`, `Htmls2Cassandra.scala`).
+The rebuild uses Structured Streaming:
+
+- file source over the driver's events parquet as the Kafka stand-in
+  (swap `.format("parquet")` for `.format("kafka")` + `from_json` in
+  production — same downstream plan);
+- stateless transforms are plain select/withColumn (T4);
+- status routing = one `foreachBatch` writing N filtered sinks (T5/T6)
+  — the batch is cached once, filtered N ways, so the source is read
+  once per micro-batch, not N times;
+- `trigger(availableNow=True)` gives bounded runs (T9) — and makes
+  every streaming query here equal to its batch counterpart over the
+  same files, which is exactly how the DuckDB oracles check them;
+- watermark + tumbling/sliding windows and streaming dedup are the
+  idiomatic upgrades the reference lacked (T7 notes late data was
+  unhandled; here it's explicit).
+
+Scale: the file source parallelizes by file splits; Kafka by topic
+partition. Stateless stages keep no state store; the windowed aggs
+keep O(open windows × keys) state, bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
+# long; see sources/tables.load_table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_dir(sf_dir: str) -> str:
+    """The file streaming source requires a DIRECTORY; the fixture is a
+    single parquet file. Symlink it into a per-sf temp dir once
+    (testdata stays untouched)."""
+    d = _STREAM_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture (Kafka stand-in, T2: the
+    file source replays from the beginning — `startingOffsets =
+    smallest`). Nanos→micros conversion matches the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_dir(sf_dir))
+    # integer DIV (not floor of a double divide — nanos overflow the
+    # double mantissa and round 1 us high), matching the batch loader
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def enrich_events(stream: DataFrame) -> DataFrame:
+    """Stateless per-record enrichment (T4): parse the props JSON
+    payload (`from_json`, S4/F10), derive deterministic model/pattern
+    prices from the event fields (stand-ins for the scored price and
+    the legacy pattern price), then the F13/F14 status + final-price
+    reconciliation — the flagship CASE chains."""
+    parsed = stream.withColumn("props_k", F.from_json("props", PROPS_SCHEMA)["k"])
+    # deterministic stand-ins: model price fails (-1/-2 sentinels) on
+    # some events, pattern price "fails" (0) on others — exercising
+    # every branch of the status truth table
+    model_price = (
+        F.when(F.pmod("event_id", F.lit(7)) == 0, F.lit(-1.0))
+        .when(F.pmod("event_id", F.lit(11)) == 0, F.lit(-2.0))
+        # floor(x*100)/100, not round(x,2): Spark's round() works on the
+        # decimal string repr (HALF_UP) while DuckDB rounds the binary
+        # double — floor is exact on both
+        .when(F.pmod("event_id", F.lit(3)) == 0, F.floor(F.col("value") * 1.05 * 100) / 100.0)
+        .otherwise(F.col("value"))
+    )
+    pattern_price = F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(0.0)).otherwise(
+        F.col("value")
+    )
+    out = (
+        parsed.withColumn("model_price", model_price)
+        .withColumn("pattern_price", pattern_price)
+        .withColumn("status", price_status(F.col("model_price"), F.col("pattern_price")))
+    )
+    return out.withColumn(
+        "final_price", selected_price(F.col("status"), F.col("model_price"), F.col("pattern_price"))
+    )
+
+
+PASSING = ("modeledPatternEquals", "minorModelPatternConflict", "majorModelPatternConflict")
+
+
+def route_to_sinks(enriched: DataFrame, out_dir: str) -> "StreamingQueryHolder":
+    """Multiplexed sinks (T5/T6): one foreachBatch writes
+    historical/ (all rows), realtime/ (passing statuses), logs/
+    (errored) — the Htmls2Cassandra three-table fan-out. The micro-
+    batch is persisted once so the three filters share one source
+    read."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(os.path.join(out_dir, "historical"))
+            batch.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
+                os.path.join(out_dir, "realtime")
+            )
+            batch.filter(~F.col("status").isin(*PASSING)).write.mode("append").parquet(
+                os.path.join(out_dir, "logs")
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return StreamingQueryHolder(q, out_dir)
+
+
+class StreamingQueryHolder:
+    def __init__(self, query, out_dir: str):
+        self.query = query
+        self.out_dir = out_dir
+
+    def await_done(self, timeout_sec: int = 300) -> None:
+        self.query.awaitTermination(timeout_sec)
+
+
+def windowed_counts(enriched: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts with watermark (the T7
+    upgrade: late data beyond the watermark is dropped explicitly
+    instead of silently mis-binned)."""
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(enriched: DataFrame, size: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window average value per event type."""
+    return (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value") + 1e-9, 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def stream_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (dropDuplicates keeps state per key; the watermark bounds it)."""
+    return stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static broadcast join (J8/T-static): the static side is
+    re-read per micro-batch; broadcast keeps it off the shuffle path —
+    the model-registry / dMap lookup shape."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, complete: bool = False) -> DataFrame:
+    """Execute a (bounded) streaming DataFrame with availableNow into
+    an in-memory table and return its contents as a batch DataFrame —
+    the test/oracle harness for every query above (T9)."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), "ckpt_" + name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)

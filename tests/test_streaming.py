@@ -1,0 +1,120 @@
+"""Behavioral tests for the streaming layer: status truth table,
+multiplexed sink routing, streaming dedup, and watermark late-data
+semantics across restarts (checkpoint recovery)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+from htmlentityextraction_spark.streaming import pipeline as sp
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_price_status_truth_table(spark):
+    rows = [
+        # (model, pattern, expected_status, expected_price)
+        (100.0, 100.0, "modeledPatternEquals", 100.0),
+        (100.0, 105.0, "minorModelPatternConflict", 100.0),
+        (100.0, 200.0, "majorModelPatternConflict", 200.0),
+        (-1.0, 100.0, "allFalseCandids", 100.0),
+        (-2.0, 100.0, "missingModel", 100.0),
+        (100.0, 0.0, "patternFailed", 100.0),
+        (-1.0, 0.0, "bothFailed", 0.0),
+        (-2.0, 0.0, "bothFailed", 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(m, p, s, fp) for m, p, s, fp in rows],
+        "model double, pattern double, exp_status string, exp_price double",
+    )
+    status = price_status(F.col("model"), F.col("pattern"))
+    got = df.select(
+        "exp_status", "exp_price",
+        status.alias("status"),
+        selected_price(status, F.col("model"), F.col("pattern")).alias("price"),
+    ).collect()
+    for r in got:
+        assert r.status == r.exp_status, r
+        assert r.price == r.exp_price, r
+
+
+def test_route_to_sinks_partitions_rows(spark):
+    enriched = sp.enrich_events(sp.read_events_stream(spark, SF))
+    out = tempfile.mkdtemp(prefix="routes_")
+    sp.route_to_sinks(enriched, out).await_done()
+    hist = spark.read.parquet(f"{out}/historical")
+    rt = spark.read.parquet(f"{out}/realtime")
+    logs = spark.read.parquet(f"{out}/logs")
+    assert hist.count() == rt.count() + logs.count() == 1000
+    assert rt.filter(~F.col("status").isin(*sp.PASSING)).count() == 0
+    assert logs.filter(F.col("status").isin(*sp.PASSING)).count() == 0
+    shutil.rmtree(out)
+
+
+def test_stream_dedup_restores_exactly_once(spark):
+    s = sp.read_events_stream(spark, SF)
+    doubled = s.union(sp.read_events_stream(spark, SF))
+    deduped = sp.run_to_memory(spark, sp.stream_dedup(doubled))
+    assert deduped.count() == 1000
+    assert deduped.select("event_id").distinct().count() == 1000
+
+
+def test_watermark_drops_late_data_across_restart(spark):
+    """Two availableNow runs over one checkpoint: run 1 advances the
+    watermark to (max ts - 10 min); run 2 delivers an event 2 hours
+    older, which must be dropped from the windowed aggregation."""
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    sink = tempfile.mkdtemp(prefix="late_sink_")
+
+    def write_batchfile(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(os.path.join(src, name))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    write_batchfile("b1", [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=5), 2.0)])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.sum("value").alias("s"))
+        )
+        q = (
+            agg.select(F.col("w.start").alias("ws"), "s")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    # late event: 2 hours before t0, far behind the watermark
+    write_batchfile("b2", [(3, t0 - dt.timedelta(hours=2), 100.0)])
+    # in-horizon event that closes the 12:00 window
+    write_batchfile("b3", [(4, t0 + dt.timedelta(hours=1, minutes=30), 4.0)])
+    run_once()
+
+    emitted = spark.read.parquet(sink).collect()
+    sums = {r.ws.hour: r.s for r in emitted}
+    # the 12:00 window emitted with only the on-time rows; the late
+    # 10:00 event contributed nothing anywhere
+    assert sums.get(12) == 3.0
+    assert 10 not in sums
+    shutil.rmtree(src); shutil.rmtree(ckpt); shutil.rmtree(sink)
