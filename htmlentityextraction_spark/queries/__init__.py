@@ -2,6 +2,7 @@
 
 from htmlentityextraction_spark.queries import (  # noqa: F401
     analytics,
+    analytics2,
     extraction,
     llmdata,
     ml,

@@ -1,0 +1,263 @@
+"""Batch analytics suite (SURVEY.md §7 M5): the reference's
+Cassandra/MySQL analytics jobs re-expressed over the TPC-H surrogates.
+
+Surrogate mapping (consistent across the suite): supplier = store /
+web domain, part = product, lineitem = price observation
+(l_extendedprice = pattern price, discounted price = model price),
+l_shipdate = observation time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "bad_domain_analysis",
+    """
+    WITH obs AS (
+        SELECT l_suppkey AS domain, l_partkey AS prodid,
+               l_extendedprice AS pattern_price,
+               l_extendedprice * (1 - l_discount) AS model_price,
+               l_shipdate
+        FROM lineitem
+    ), seeds AS (
+        SELECT domain, count(*) AS num_seeds FROM obs GROUP BY domain
+    ), avg_prices AS (
+        SELECT domain, prodid,
+               avg(model_price) AS avg_model, avg(pattern_price) AS avg_pattern
+        FROM obs GROUP BY domain, prodid
+    ), rt AS (
+        SELECT domain, prodid, pattern_price AS rt_price FROM (
+            SELECT domain, prodid, pattern_price,
+                   row_number() OVER (PARTITION BY domain, prodid
+                       ORDER BY l_shipdate DESC, pattern_price DESC) AS rn
+            FROM obs) WHERE rn = 1
+    ), bad AS (
+        SELECT a.domain FROM avg_prices a JOIN rt r
+          ON a.domain = r.domain AND a.prodid = r.prodid
+        WHERE a.avg_model < r.rt_price * 0.93 OR a.avg_model > r.rt_price * 1.07
+    )
+    SELECT b.domain AS domain, count(*) AS num_bad_seeds, s.num_seeds AS num_seeds
+    FROM bad b JOIN seeds s ON b.domain = s.domain
+    GROUP BY b.domain, s.num_seeds
+    """,
+)
+def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BadDomAnal (`analysis/BadDomAnal.scala:47-93`): per-(domain,
+    product) average model vs latest pattern price, threshold band
+    filter (the reference's 0.7/1.3 band widened to 0.93/1.07 so the
+    discount distribution yields both bad and good rows), bad-seed
+    counts joined with seed totals. Aggregate-of-aggregate join (J4) —
+    both sides share the (domain, prodid) shuffle key so AQE reuses
+    the exchange."""
+    obs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("domain"),
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_extendedprice").alias("pattern_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("model_price"),
+        "l_shipdate",
+    )
+    seeds = obs.groupBy("domain").agg(F.count("*").alias("num_seeds"))
+    avg_prices = obs.groupBy("domain", "prodid").agg(
+        F.avg("model_price").alias("avg_model"),
+        F.avg("pattern_price").alias("avg_pattern"),
+    )
+    rt = obs.groupBy("domain", "prodid").agg(
+        F.max_by("pattern_price", F.struct("l_shipdate", "pattern_price")).alias("rt_price")
+    )
+    bad = avg_prices.join(rt, ["domain", "prodid"]).filter(
+        (F.col("avg_model") < F.col("rt_price") * 0.93)
+        | (F.col("avg_model") > F.col("rt_price") * 1.07)
+    )
+    return (
+        bad.groupBy("domain")
+        .agg(F.count("*").alias("num_bad_seeds"))
+        .join(seeds, "domain")
+        .select("domain", "num_bad_seeds", "num_seeds")
+    )
+
+
+@register(
+    "hotspots_hot_level",
+    """
+    WITH ordered AS (
+        SELECT l_partkey AS prodid,
+               l_extendedprice AS price,
+               lag(l_extendedprice) OVER (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+        FROM lineitem
+    ), changes AS (
+        SELECT prodid,
+               sum(CASE WHEN prev_price IS NOT NULL AND price <> prev_price
+                        THEN 1 ELSE 0 END) AS n_changes
+        FROM ordered GROUP BY prodid
+    )
+    SELECT prodid, n_changes,
+           CASE WHEN n_changes >= 6 THEN 3
+                WHEN n_changes >= 3 THEN 2
+                WHEN n_changes >= 1 THEN 1
+                ELSE 0 END AS hot_level
+    FROM changes
+    """,
+)
+def hotspots_hot_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspots (`analytics/Hotspots.scala:50-54,110-123`): count real
+    price changes per product along its observation history, bucket
+    into hot levels (≥6 / 3-5 / 1-2 / 0). One window + one agg — the
+    reference materialized four filtered RDD sets; a single bucket
+    column prunes to any of them."""
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    ordered = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_extendedprice").alias("price"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+    )
+    changes = ordered.groupBy("prodid").agg(
+        F.sum(
+            (F.col("prev_price").isNotNull() & (F.col("price") != F.col("prev_price"))).cast("long")
+        ).alias("n_changes")
+    )
+    hot = (
+        F.when(F.col("n_changes") >= 6, 3)
+        .when(F.col("n_changes") >= 3, 2)
+        .when(F.col("n_changes") >= 1, 1)
+        .otherwise(0)
+    )
+    return changes.withColumn("hot_level", hot)
+
+
+@register(
+    "automatcher_composite_join",
+    """
+    WITH keyed AS (
+        SELECT p_partkey, p_brand || '||' || p_size AS match_key, p_retailprice
+        FROM part
+    )
+    SELECT a.match_key AS match_key,
+           a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           round(abs(a.p_retailprice - b.p_retailprice) + 1e-9, 6) AS price_gap
+    FROM keyed a JOIN keyed b
+      ON a.match_key = b.match_key AND a.p_partkey < b.p_partkey
+    """,
+)
+def automatcher_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoMatcher (`emr/AutoMatcher.scala:57-86`): candidate product
+    matches via a composite natural key (store_id||title there,
+    brand||size here) — self-equi-join on the derived key. The
+    reference hand-partitioned both sides with HashPartitioner; here
+    one repartition by the key co-locates both sides and AQE handles
+    the skewed popular keys."""
+    keyed = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws("||", "p_brand", "p_size").alias("match_key"),
+        "p_retailprice",
+    ).repartition(F.col("match_key"))
+    a = keyed.select(
+        F.col("match_key"), F.col("p_partkey").alias("partkey_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = keyed.select(
+        F.col("match_key"), F.col("p_partkey").alias("partkey_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    return (
+        a.join(b, "match_key")
+        .filter(F.col("partkey_a") < F.col("partkey_b"))
+        .select(
+            "match_key",
+            "partkey_a",
+            "partkey_b",
+            F.round(F.abs(F.col("price_a") - F.col("price_b")) + 1e-9, 6).alias("price_gap"),
+        )
+    )
+
+
+@register(
+    "rt2report_competitor_summary",
+    """
+    SELECT l_partkey AS prodid,
+           count(DISTINCT l_suppkey) AS n_competitors,
+           round(min(l_extendedprice) + 1e-9, 6) AS min_price,
+           round(max(l_extendedprice) + 1e-9, 6) AS max_price,
+           round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
+           string_agg(DISTINCT 'S' || l_suppkey, ',' ORDER BY 'S' || l_suppkey) AS competitors
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RT2Report (`emr/RT2Report.scala:58-120`): per product, the
+    competitor set and price spread. The reference did row-by-row
+    point lookups against Cassandra inside mapPartitions (a
+    nested-loop join); here it's one shuffle agg with collect_set —
+    the J7 → broadcast/shuffle-join rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    return (
+        li.groupBy(F.col("l_partkey").alias("prodid"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_competitors"),
+            F.round(F.min("l_extendedprice") + 1e-9, 6).alias("min_price"),
+            F.round(F.max("l_extendedprice") + 1e-9, 6).alias("max_price"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 6).alias("avg_price"),
+            F.array_join(F.array_sort(F.collect_set(comp)), ",").alias("competitors"),
+        )
+    )
+
+
+@register(
+    "merge_upsert_with_deletes",
+    """
+    WITH updates AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 3 THEN NULL
+                    ELSE floor(o_totalprice * 1.1 * 100) / 100 END AS new_price,
+               o_orderkey % 10 = 3 AS is_delete
+        FROM orders WHERE o_orderkey % 5 IN (1, 3)
+    )
+    SELECT o.o_orderkey AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                ELSE o.o_totalprice END AS totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated' ELSE 'kept' END AS merge_action
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    WHERE u.is_delete IS NULL OR NOT u.is_delete
+    """,
+)
+def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K8 upsert + anti-upsert semantics (MySQL `INSERT … ON
+    DUPLICATE KEY UPDATE`, Cassandra per-partition DELETE) without a
+    transactional table format: MERGE modeled as left join + tombstone
+    filter — matched rows take the update, tombstoned keys drop,
+    unmatched keep. On Delta this is literally `MERGE INTO … WHEN
+    MATCHED THEN UPDATE/DELETE`; the plan shape (one shuffle join on
+    the key) is identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    updates = (
+        orders.filter(F.pmod(k, F.lit(5)).isin(1, 3))
+        .select(
+            k.alias("u_key"),
+            F.when(F.pmod(k, F.lit(10)) == 3, F.lit(None).cast("double"))
+            .otherwise(F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
+            .alias("new_price"),
+            (F.pmod(k, F.lit(10)) == 3).alias("is_delete"),
+        )
+    )
+    merged = orders.join(updates, orders.o_orderkey == updates.u_key, "left")
+    return (
+        merged.filter(F.col("is_delete").isNull() | ~F.col("is_delete"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("u_key").isNotNull(), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("totalprice"),
+            F.when(F.col("u_key").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("merge_action"),
+        )
+    )
