@@ -6,6 +6,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     extraction,
     llmdata,
     ml,
+    multimodal_q,
     relational,
     scalar,
     streaming_q,
