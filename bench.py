@@ -15,7 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the flagship plus the heaviest per-family representatives.
 HEADLINE = [
-    "price_delta_market_position",
+    "price_delta_market_position",   # windows + stats + rank + join (flagship)
+    "bad_domain_analysis",           # aggregate-of-aggregate join
+    "hotspots_hot_level",            # lag window + agg buckets
+    "rt2report_competitor_summary",  # collect_set shuffle agg
+    "dedup_minhash_lsh",             # sketch: shingle minhash + band join
+    "similarity_cosine_topk",        # vector scan + per-query topk
+    "text_quality_profile",          # columnar text analysis
+    "price_candidate_extraction",    # pandas-UDF extraction path
+    "model_score_pick_price",        # per-domain train + score + pick
+    "stream_enrich_status",          # structured streaming availableNow
 ]
 
 

@@ -62,6 +62,42 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
+def minhash_signatures_codegen(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    n: int = 5,
+) -> DataFrame:
+    """(doc, sig_0..sig_{num_hashes-1}) via explode + codegen, NOT
+    array lambdas: Spark's higher-order functions (transform/
+    aggregate) are interpreted per element — 64 transforms over
+    ~500-shingle arrays measured ~100 s for 5000 docs at sf0.1. The
+    explode shape runs every hash expression inside whole-stage
+    codegen and the min() aggregates combine map-side, so the shuffle
+    is num_hashes longs per doc regardless of document length.
+    MinHash over a multiset equals MinHash over the set, so no
+    distinct is needed before the min."""
+    norm = F.lower(F.trim(text_only(F.col(text_col))))
+    grams = df.select(F.col(id_col).alias("doc"), norm.alias("__norm")).select(
+        "doc",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(n - 1), F.lit(1)))
+        ).alias("__i"),
+        "__norm",
+    ).select(
+        "doc",
+        F.pmod(F.xxhash64(F.col("__norm").substr(F.col("__i"), F.lit(n))), F.lit(_P)).alias("__h"),
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _hash_family(i)
+        aggs.append(
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"sig_{i}")
+        )
+    return grams.groupBy("doc").agg(*aggs)
+
+
 def minhash_signature(base: Column, num_hashes: int = 64) -> list[Column]:
     """num_hashes MinHash values from a pre-hashed shingle array (one
     xxhash64 pass; see base_hashes) + a universal-hash family. `base`
@@ -94,31 +130,28 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b) via banded MinHash-LSH,
     verified with true shingle Jaccard.
 
-    Shape: docs → (doc, band_hash) explode (b rows/doc) → self-join on
-    (band, band_hash) → distinct candidate pairs → verify. The band
-    join is the only shuffle that grows with corpus size; its keys are
-    sketch hashes, so it spreads evenly (no skew from popular text).
+    Shape: docs → (doc, band, bucket) explode (b SLIM rows/doc — ids
+    and hashes only, never the shingle arrays: exploding payloads
+    multiplies the band-join shuffle by b×|payload|, measured 5× wall
+    time at sf0.1) → self-join on (band, bucket) → distinct candidate
+    pairs → join shingles back for just the candidates → verify. The
+    band join is the only shuffle that grows with corpus size; its
+    keys are sketch hashes, so it spreads evenly (no skew from
+    popular text).
     """
     rows_per_band = num_hashes // bands
-    # Stage shingles, then base hashes, then the 64 signature mins as
-    # three separate projections: each stage's output is referenced
-    # many times downstream and is expensive, so CollapseProject keeps
-    # the stages separate and the shingle/hash work runs exactly once.
-    staged = df.select(
-        F.col(id_col).alias("doc"), char_shingles(F.col(text_col)).alias("shingles")
-    ).withColumn("base", base_hashes(F.col("shingles")))
-    sig = minhash_signature(F.col("base"), num_hashes)
-    banded = staged.select(
+    sigs = minhash_signatures_codegen(df, text_col, id_col, num_hashes).cache()
+    banded = sigs.select(
         "doc",
-        "shingles",
         *[
-            F.xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]).alias(f"band_{b}")
+            F.xxhash64(
+                *[F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            ).alias(f"band_{b}")
             for b in range(bands)
         ],
     )
     bucketed = banded.select(
         "doc",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -127,24 +160,74 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = bucketed.select(
-        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
-    )
-    right = bucketed.select(
-        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
-    cand = (
+    left = bucketed.select(F.col("doc").alias("id_a"), "band", "bucket")
+    right = bucketed.select(F.col("doc").alias("id_b"), "band", "bucket")
+    raw_cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Sketch pre-filter: a dense corpus can emit far more band
+    # collisions than true near-dups (178k pairs for 5k docs at
+    # sf0.1). Estimate jaccard as the fraction of equal signature
+    # components (64 long equality checks — cheap) and only
+    # exact-verify pairs estimated within margin of the threshold.
+    sig_a = sigs.select(
+        F.col("doc").alias("id_a"), *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(num_hashes)]
+    )
+    sig_b = sigs.select(
+        F.col("doc").alias("id_b"), *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(num_hashes)]
+    )
+    est = sum(
+        F.when(F.col(f"sa_{i}") == F.col(f"sb_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / float(num_hashes)
+    cand = (
+        raw_cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= jaccard_threshold - 0.15)
+        .select("id_a", "id_b")
+        .cache()  # tiny; reused for the id semi-join and both verify joins
+    )
+    # Exact verify runs on HASHED shingle sets (array of longs), not
+    # string arrays: 64-bit hashes make collisions negligible and
+    # array_intersect over longs is ~10x cheaper than over strings.
+    # Sets are built with the same explode+codegen shape as the
+    # signatures, and ONLY for docs that appear in candidate pairs
+    # (broadcast semi-join) — O(candidates), not O(corpus).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc"))
+        .union(cand.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    small = df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["doc"], "left_semi")
+    norm = F.lower(F.trim(text_only(F.col(text_col))))
+    n = 5
+    shingle_tbl = (
+        small.select(F.col(id_col).alias("doc"), norm.alias("__norm"))
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(n - 1), F.lit(1)))
+            ).alias("__i"),
+            "__norm",
+        )
+        .select("doc", F.xxhash64(F.col("__norm").substr(F.col("__i"), F.lit(n))).alias("__h"))
+        .groupBy("doc")
+        .agg(F.collect_set("__h").alias("shingles"))
+    )
+    verified = cand.join(
+        shingle_tbl.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        shingle_tbl.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union + 1e-9, 6))
+        verified.withColumn("jaccard", F.round(inter / union + 1e-9, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -185,9 +268,29 @@ def simhash_pairs(
     pigeonhole), join per band, verify with bit_count(xor)."""
     from htmlentityextraction_spark.functions.text import tokenize
 
-    sh = df.select(
-        F.col(id_col).alias("doc"), simhash64(tokenize(F.col(text_col))).alias("simhash")
+    # explode + codegen, same rationale as minhash_signatures_codegen:
+    # 64 interpreted aggregate() lambdas per doc don't scale
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("__t")
+    ).select("doc", F.xxhash64("__t").alias("__h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(64)
+        ]
     )
+    bits = [
+        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    acc = bits[0]
+    for c in bits[1:]:
+        acc = acc + c
+    sh = votes.select("doc", acc.alias("simhash"))
     bands = [
         F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{b}")
         for b in range(4)

@@ -1,0 +1,109 @@
+"""Spark ML model operators beyond the per-domain GBT (SURVEY.md §2.9
+M16-M19): RandomForest, linear SVM, LDA topics, PCA — the reference's
+secondary model experiments (`models/ModelR.scala`, `models/SVM.scala`,
+`models/LDA.scala`, `models/PCA2GBT.scala`) re-expressed on
+``pyspark.ml`` pipelines.
+
+All fits are seeded and single-pass deterministic; outputs are
+DataFrames so they compose with the rest of the engine. At 100 TB
+these run as ordinary distributed ML jobs (tree ensembles and LDA
+scale with executors; PCA's covariance accumulates tree-aggregated).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LinearSVC, RandomForestClassifier
+from pyspark.ml.clustering import LDA
+from pyspark.ml.feature import PCA, CountVectorizer
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vectorized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def random_forest_eval(
+    emb: DataFrame, label_threshold: int = 5, n_trees: int = 20, max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """M16 (`models/ModelR.scala:75-88`): RF binary classifier on the
+    embedding vectors (label = label < threshold), returning per-class
+    train accuracy."""
+    data = _vectorized(emb).withColumn(
+        "y", (F.col("label") < label_threshold).cast("double")
+    )
+    rf = RandomForestClassifier(
+        labelCol="y", featuresCol="features", numTrees=n_trees, maxDepth=max_depth,
+        seed=seed, featureSubsetStrategy="auto",
+    )
+    model = rf.fit(data)
+    pred = model.transform(data)
+    return pred.groupBy(F.col("y").cast("int").alias("klass")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg((F.col("prediction") == F.col("y")).cast("double")) + 1e-9, 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+def linear_svc_eval(
+    emb: DataFrame, label_threshold: int = 5, max_iter: int = 50, seed: int = 42
+) -> DataFrame:
+    """M17 (`models/SVM.scala:55-56`): linear SVM (hinge loss) on the
+    embeddings; per-class train accuracy."""
+    data = _vectorized(emb).withColumn(
+        "y", (F.col("label") < label_threshold).cast("double")
+    )
+    svc = LinearSVC(labelCol="y", featuresCol="features", maxIter=max_iter)
+    model = svc.fit(data)
+    pred = model.transform(data)
+    return pred.groupBy(F.col("y").cast("int").alias("klass")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg((F.col("prediction") == F.col("y")).cast("double")) + 1e-9, 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+def lda_topics(docs: DataFrame, k: int = 3, vocab_size: int = 500, seed: int = 42) -> DataFrame:
+    """M18 (`models/LDA.scala:87-95`): LDA over document tokens;
+    returns (topic, top term indices array). Online-EM with fixed seed
+    → deterministic."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    toks = docs.select(
+        "doc_id", F.filter(tokenize(F.col("text")), lambda t: t != "").alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="features", vocabSize=vocab_size, minDF=2.0)
+    cvm = cv.fit(toks)
+    vecs = cvm.transform(toks)
+    lda = LDA(k=k, seed=seed, maxIter=20, optimizer="em")
+    model = lda.fit(vecs)
+    topics = model.describeTopics(5)
+    return topics.select(
+        "topic",
+        F.col("termIndices").alias("term_indices"),
+        F.transform(
+            F.col("termIndices"),
+            lambda i: F.element_at(F.lit(cvm.vocabulary), i.cast("int") + 1),
+        ).alias("terms"),
+    )
+
+
+def pca_project(emb: DataFrame, k: int = 8) -> DataFrame:
+    """M19 (`models/PCA2GBT.scala:126-136`): project embeddings onto
+    the top-k principal components. Returns the rotation-invariant
+    projection norm per vector (component signs are implementation-
+    defined; the norm is not)."""
+    data = _vectorized(emb)
+    pca = PCA(k=k, inputCol="features", outputCol="proj")
+    model = pca.fit(data)
+    out = model.transform(data).withColumn("proj_arr", vector_to_array("proj"))
+    norm = F.sqrt(F.aggregate(F.col("proj_arr"), F.lit(0.0), lambda a, v: a + v * v))
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(norm + 1e-9, 6).alias("proj_norm"),
+    )

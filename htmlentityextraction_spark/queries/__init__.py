@@ -6,9 +6,11 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     extraction,
     llmdata,
     ml,
+    mlx_q,
     multimodal_q,
     relational,
     scalar,
+    scalar2,
     streaming_q,
     windows,
 )

@@ -1,0 +1,59 @@
+"""Quality contracts for the Spark ML extra models (M16-M19)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import mlx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_random_forest_beats_baseline(spark):
+    rows = {r.klass: r for r in mlx.random_forest_eval(_emb(spark)).collect()}
+    assert set(rows) == {0, 1}
+    # train accuracy must beat majority-class guessing on both classes
+    assert rows[0].accuracy > 0.6 and rows[1].accuracy > 0.6
+
+
+def test_linear_svc_runs_and_scores(spark):
+    rows = {r.klass: r for r in mlx.linear_svc_eval(_emb(spark)).collect()}
+    assert set(rows) == {0, 1}
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows.values())
+    assert rows[0].n + rows[1].n == 500
+
+
+def test_lda_topics_shape_and_vocab(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    topics = mlx.lda_topics(docs, k=3).collect()
+    assert len(topics) == 3
+    for t in topics:
+        assert len(t.terms) == 5
+        assert all(isinstance(w, str) and w for w in t.terms)
+
+
+def test_pca_projection_norm_bounded_by_vector_norm(spark):
+    emb = _emb(spark)
+    proj = mlx.pca_project(emb, k=8)
+    full = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
+            )
+        ).alias("full_norm"),
+    )
+    rows = proj.join(full, "vec_id").collect()
+    assert len(rows) == 500
+    for r in rows:
+        # projection onto an orthonormal basis can't exceed the norm
+        assert r.proj_norm <= r.full_norm + 1e-6
+    # and the 8 components must capture a nontrivial share on average
+    avg_ratio = sum(r.proj_norm / r.full_norm for r in rows) / len(rows)
+    assert avg_ratio > 0.2
