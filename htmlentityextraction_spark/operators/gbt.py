@@ -153,6 +153,47 @@ class GBTClassifier:
     def predict(self, X: np.ndarray) -> np.ndarray:
         return (self.margin(X) > 0).astype(np.int64)
 
+    def margin_curve(self, X: np.ndarray) -> np.ndarray:
+        """(n_estimators+1, n) margins of every tree-prefix sub-model
+        (the reference's model-size curve, `transform/Transformer.
+        scala:295-304` / `emr/BuildModels.scala:45-55`): row k is the
+        margin using only the first k trees."""
+        X = np.asarray(X, dtype=np.float64)
+        out = np.empty((len(self.trees_) + 1, X.shape[0]))
+        m = np.full(X.shape[0], self.base_)
+        out[0] = m
+        for k, tree in enumerate(self.trees_, start=1):
+            m = m + self.learning_rate * _predict_tree(tree, X)
+            out[k] = m
+        return out
+
+    def best_prefix_by_f1(self, X: np.ndarray, y: np.ndarray) -> tuple[int, float]:
+        """Model-size selection (`emr/BuildModels.scala:48-54`):
+        argmax over prefixes of F = 2*sen*prec/(sen+prec); ties go to
+        the SMALLER model. Returns (k, f1)."""
+        y = np.asarray(y, dtype=np.float64)
+        curves = self.margin_curve(X)
+        best_k, best_f1 = 0, -1.0
+        for k in range(1, curves.shape[0]):
+            pred = curves[k] > 0
+            tp = float((pred & (y == 1)).sum())
+            prec = tp / max(float(pred.sum()), 1.0)
+            sen = tp / max(float((y == 1).sum()), 1.0)
+            f1 = 2 * sen * prec / max(sen + prec, 1e-12)
+            if f1 > best_f1 + 1e-12:
+                best_k, best_f1 = k, f1
+        return best_k, best_f1
+
+    def truncate(self, k: int) -> "GBTClassifier":
+        """Sub-model with only the first k trees (shares fitted trees)."""
+        sub = GBTClassifier(
+            n_estimators=k, max_depth=self.max_depth, learning_rate=self.learning_rate,
+            min_leaf=self.min_leaf, n_thresholds=self.n_thresholds,
+        )
+        sub.base_ = self.base_
+        sub.trees_ = self.trees_[:k]
+        return sub
+
     # --- registry (de)serialization ---
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()

@@ -115,3 +115,24 @@ def test_train_skips_single_class_and_tiny_domains(spark):
     feats = md.featurize_candidates(cand)
     reg = md.train_per_domain(feats, n_estimators=3, max_depth=2, min_rows=5)
     assert reg.count() == 0
+
+
+def test_margin_curve_and_prefix_selection():
+    X, y = _separable()
+    m = GBTClassifier(n_estimators=10, max_depth=2).fit(X, y)
+    curves = m.margin_curve(X)
+    assert curves.shape == (11, len(y))
+    # full-model margin equals the last curve row
+    assert np.allclose(curves[-1], m.margin(X))
+    k, f1 = m.best_prefix_by_f1(X, y)
+    assert 1 <= k <= 10 and 0.9 <= f1 <= 1.0
+    # truncation reproduces the prefix margin exactly
+    sub = m.truncate(k)
+    assert np.allclose(sub.margin(X), curves[k])
+
+
+def test_truncated_model_survives_pickle():
+    X, y = _separable()
+    m = GBTClassifier(n_estimators=6, max_depth=2).fit(X, y)
+    sub = GBTClassifier.from_bytes(m.truncate(3).to_bytes())
+    assert np.allclose(sub.margin(X), m.margin_curve(X)[3])
