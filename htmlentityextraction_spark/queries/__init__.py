@@ -11,6 +11,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     relational,
     scalar,
     scalar2,
+    sessions_q,
     streaming_q,
     windows,
 )

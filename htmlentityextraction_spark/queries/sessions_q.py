@@ -1,0 +1,95 @@
+"""Skew-mitigation + sessionization queries.
+
+The salted aggregation's oracle is the PLAIN group-by — proving the
+two-phase salted plan returns bit-identical results. Sessionization is
+gaps-and-islands in batch; the stateful-streaming twin's oracle is the
+batch result minus each user's final (still-open) session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import skew
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+from htmlentityextraction_spark.streaming import pipeline as sp
+
+_SESS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS seq
+        FROM ordered
+    )
+    SELECT user_id, seq AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           floor(epoch(max(ts))) - floor(epoch(min(ts))) AS duration_sec
+    FROM sess GROUP BY user_id, seq
+"""
+
+
+@register(
+    "salted_skew_group_stats",
+    """
+    SELECT l_returnflag,
+           count(l_extendedprice) AS n,
+           round(sum(l_extendedprice) + 1e-9, 6) AS total,
+           round(avg(l_extendedprice) + 1e-9, 6) AS mean,
+           min(l_extendedprice) AS vmin,
+           max(l_extendedprice) AS vmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_skew_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a 3-value hot key: the oracle is
+    the plain GROUP BY, proving algebraic-aggregate recombination is
+    exact. At 100 TB this turns a 3-reducer bottleneck into
+    3x16 partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew.salted_group_stats(
+        li, ["l_returnflag"], "l_extendedprice", salt_buckets=16,
+        salt_on=F.col("l_orderkey"),
+    )
+
+
+@register("sessionize_events", _SESS_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization over the events table
+    (30-min inactivity gap): one window shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew.sessionize(ev, gap_minutes=30)
+
+
+@register(
+    "stream_sessionize_stateful",
+    f"""
+    WITH full_sessions AS ({_SESS_SQL}),
+    last AS (SELECT user_id, max(session_seq) AS mseq FROM full_sessions GROUP BY user_id)
+    SELECT f.user_id AS user_id, f.session_seq AS session_seq, f.n_events AS n_events,
+           CAST(to_timestamp(floor(epoch(f.session_start))) AS TIMESTAMP) AS session_start,
+           CAST(to_timestamp(floor(epoch(f.session_end))) AS TIMESTAMP) AS session_end,
+           f.duration_sec AS duration_sec
+    FROM full_sessions f JOIN last l ON f.user_id = l.user_id
+    WHERE f.session_seq < l.mseq
+    """,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    emits each session as soon as the gap closes it; each user's final
+    session stays open in state, so the oracle is the batch result
+    minus the last session per user. Session numbering here is
+    0-based from the stream; the batch oracle's sum-of-breaks is
+    1-based — aligned by +1."""
+    stream = sp.read_events_stream(spark, sf_dir)
+    out = sp.run_to_memory(spark, sp.sessionize_stream(stream, gap_minutes=30))
+    return out.withColumn("session_seq", F.col("session_seq") + 1)

@@ -194,6 +194,70 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str = "user_id")
     return stream.join(F.broadcast(dim), on, "left")
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, "
+    "session_start timestamp, session_end timestamp, duration_sec long"
+)
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    reference has NO stateful streaming — this is the idiomatic
+    capability Spark adds): per-user session windows with a
+    gap_minutes inactivity break. State = the open session; closed
+    sessions emit as soon as a later event breaks the gap. The open
+    (final) session stays in state — at 100 TB a GroupStateTimeout
+    would flush idle users; with the bounded test source the batch
+    sessionizer minus each user's last session is the exact oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        rows = []
+        events = []
+        for pdf in pdfs:
+            events.append(pdf[["ts"]])
+        ev = pd.concat(events).sort_values("ts")
+        # second-truncated epochs match the batch sessionizer's
+        # cast("long") semantics
+        secs = (ev["ts"].astype("int64") // 1_000_000_000).to_list()
+        if state.exists:
+            seq, n, start, last = state.get
+        else:
+            seq, n, start, last = 0, 0, None, None
+        for s in secs:
+            if last is not None and s - last <= gap_sec:
+                n += 1
+                last = s
+                continue
+            if n > 0:
+                rows.append((user, seq, n, start, last))
+                seq += 1
+            n, start, last = 1, s, s
+        state.update((seq, n, start, last))
+        out = pd.DataFrame(
+            rows, columns=["user_id", "session_seq", "n_events", "start_s", "end_s"]
+        )
+        if not out.empty:
+            out["session_start"] = pd.to_datetime(out["start_s"], unit="s")
+            out["session_end"] = pd.to_datetime(out["end_s"], unit="s")
+            out["duration_sec"] = out["end_s"] - out["start_s"]
+            yield out[
+                ["user_id", "session_seq", "n_events", "session_start", "session_end", "duration_sec"]
+            ]
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        "seq long, n long, start long, last long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, complete: bool = False) -> DataFrame:
     """Execute a (bounded) streaming DataFrame with availableNow into
     an in-memory table and return its contents as a batch DataFrame —
