@@ -13,5 +13,6 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     scalar2,
     sessions_q,
     streaming_q,
+    temporal_q,
     windows,
 )

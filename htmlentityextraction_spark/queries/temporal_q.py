@@ -1,0 +1,133 @@
+"""Temporal-join + multi-dimensional-aggregate queries: as-of join
+(DuckDB ASOF JOIN as the oracle), broadcast range join, and
+rollup/cube/grouping-sets (SURVEY.md §2.5 notes the reference lacks
+them; the rebuild exposes Spark's built-ins with oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import temporal as tp
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "asof_price_lookup",
+    """
+    WITH hist AS (
+        SELECT l_partkey, l_shipdate, max(l_extendedprice) AS price
+        FROM lineitem GROUP BY l_partkey, l_shipdate
+    ), probes AS (
+        SELECT o_orderkey, o_orderdate, o_orderkey % 2000 AS probe_partkey
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT p.o_orderkey, p.probe_partkey, p.o_orderdate,
+           h.price AS asof_price
+    FROM probes p ASOF LEFT JOIN hist h
+      ON p.probe_partkey = h.l_partkey AND p.o_orderdate >= h.l_shipdate
+    """,
+)
+def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest known price per (part, order date). Spark
+    side is the union+window carry-forward (one shuffle, no pair
+    blow-up); DuckDB's native ASOF JOIN is the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_partkey", "l_shipdate").agg(
+        F.max("l_extendedprice").alias("price")
+    )
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.pmod("o_orderkey", F.lit(7)) == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.pmod("o_orderkey", F.lit(2000)).alias("probe_partkey"),
+        )
+    )
+    out = tp.asof_join(
+        probes.withColumnRenamed("probe_partkey", "l_partkey"),
+        hist, "l_partkey", "o_orderdate", "l_shipdate", ["price"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("l_partkey").alias("probe_partkey"),
+        "o_orderdate",
+        F.col("asof_price"),
+    )
+
+
+@register(
+    "range_join_value_bands",
+    """
+    WITH bands AS (
+        SELECT r_regionkey AS band_id,
+               r_regionkey * 40.0 AS lo,
+               r_regionkey * 40.0 + 59.99 AS hi
+        FROM region
+    )
+    SELECT e.event_id, e.value, b.band_id
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join: events matched to overlapping value bands
+    (a value can land in two bands — genuine interval semantics, not
+    bucketing)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 40.0).alias("lo"),
+        (F.col("r_regionkey") * 40.0 + 59.99).alias("hi"),
+    )
+    return tp.range_join(ev, bands, "value", "lo", "hi").select(
+        "event_id", "value", "band_id"
+    )
+
+
+@register(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity) + 1e-9, 6) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity") + 1e-9, 6).alias("qty")
+    )
+
+
+@register(
+    "cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(avg(l_discount) + 1e-9, 6) AS avg_disc
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_discount") + 1e-9, 6).alias("avg_disc")
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM __li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
