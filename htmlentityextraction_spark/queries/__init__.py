@@ -8,6 +8,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     ml,
     mlx_q,
     multimodal_q,
+    prodmetrics_q,
     relational,
     scalar,
     scalar2,

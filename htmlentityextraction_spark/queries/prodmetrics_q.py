@@ -1,0 +1,161 @@
+"""ProdMetrics V6/V7 family completion (SURVEY.md §2.5 A3/A14) +
+corrupt-record handling (P4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "prod_metrics_delta_extremes",
+    """
+    WITH deltas AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store_id,
+               l_extendedprice AS price,
+               l_extendedprice - lag(l_extendedprice) OVER (
+                   PARTITION BY l_partkey, l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS delta
+        FROM lineitem
+    ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+    ranked AS (
+        SELECT prodid, store_id, price, delta,
+               row_number() OVER (PARTITION BY prodid
+                                  ORDER BY delta DESC, store_id, price) AS rn_inc,
+               row_number() OVER (PARTITION BY prodid
+                                  ORDER BY delta ASC, store_id, price) AS rn_dec
+        FROM valid
+    )
+    SELECT prodid,
+           max(CASE WHEN rn_inc = 1 THEN store_id END) AS max_inc_store,
+           round(max(CASE WHEN rn_inc = 1 THEN delta END) + 1e-9, 6) AS max_inc_delta,
+           round(max(CASE WHEN rn_inc = 1 THEN price END) + 1e-9, 6) AS max_inc_price,
+           max(CASE WHEN rn_dec = 1 THEN store_id END) AS max_dec_store,
+           round(max(CASE WHEN rn_dec = 1 THEN delta END) + 1e-9, 6) AS max_dec_delta
+    FROM ranked GROUP BY prodid
+    """,
+)
+def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProdMetricsV7 extremes (`analytics/ProdMetricsV7.scala:116-151`):
+    per product, the store and endpoints of the largest price increase
+    AND the largest decrease — two deterministic rank-1 picks over the
+    same delta window, one pass."""
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    deltas = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    wi = Window.partitionBy("prodid").orderBy(F.desc("delta"), "store_id", "price")
+    wd = Window.partitionBy("prodid").orderBy(F.asc("delta"), "store_id", "price")
+    ranked = deltas.withColumn("rn_inc", F.row_number().over(wi)).withColumn(
+        "rn_dec", F.row_number().over(wd)
+    )
+    inc = F.when(F.col("rn_inc") == 1, F.col("store_id"))
+    return ranked.groupBy("prodid").agg(
+        F.max(inc).alias("max_inc_store"),
+        F.round(F.max(F.when(F.col("rn_inc") == 1, F.col("delta"))) + 1e-9, 6).alias(
+            "max_inc_delta"
+        ),
+        F.round(F.max(F.when(F.col("rn_inc") == 1, F.col("price"))) + 1e-9, 6).alias(
+            "max_inc_price"
+        ),
+        F.max(F.when(F.col("rn_dec") == 1, F.col("store_id"))).alias("max_dec_store"),
+        F.round(F.max(F.when(F.col("rn_dec") == 1, F.col("delta"))) + 1e-9, 6).alias(
+            "max_dec_delta"
+        ),
+    )
+
+
+@register(
+    "pivot_store_price_matrix",
+    """
+    WITH latest AS (
+        SELECT l_partkey AS prodid, l_suppkey % 4 AS store_grp, l_extendedprice AS price,
+               row_number() OVER (PARTITION BY l_partkey, l_suppkey % 4
+                   ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        FROM lineitem
+    )
+    SELECT prodid,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 0 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_0,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 1 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_1,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 2 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_2,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 3 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_3
+    FROM latest GROUP BY prodid
+    """,
+)
+def pivot_store_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka2ProdXStoreReport (`analytics/Kafka2ProdXStoreReport.scala:
+    103-122`): product x store price matrix with the reference's
+    getOrElse("NA") fill — pivot on a bounded store-group key with
+    explicit values so the plan is a single agg (no pivot-value
+    discovery pass)."""
+    w = Window.partitionBy("l_partkey", F.pmod("l_suppkey", F.lit(4))).orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    latest = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.pmod("l_suppkey", F.lit(4)).alias("store_grp"),
+        F.col("l_extendedprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    pivoted = (
+        latest.groupBy("prodid")
+        .pivot("store_grp", [0, 1, 2, 3])
+        .agg(F.round(F.max("price") + 1e-9, 6))
+    )
+    return pivoted.select(
+        "prodid",
+        *[
+            F.coalesce(F.col(str(g)).cast("string"), F.lit("NA")).alias(f"store_{g}")
+            for g in range(4)
+        ],
+    )
+
+
+@register(
+    "corrupt_json_handling",
+    """
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN '{bad json' || o_orderkey
+                    ELSE '{"qty": ' || (o_orderkey % 50) || '}' END AS payload
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE o_orderkey % 50 END AS qty,
+           o_orderkey % 11 = 0 AS is_corrupt
+    FROM raw
+    """,
+)
+def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 error-row handling (`emr/SeedsDistinctS3ToKafka.scala:50-59`
+    try/catch parse → filter): from_json yields NULL on corrupt
+    payloads; the corrupt flag routes rows to the error side output
+    instead of silently dropping them."""
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.when(
+        F.pmod("o_orderkey", F.lit(11)) == 0,
+        F.concat(F.lit("{bad json"), F.col("o_orderkey").cast("string")),
+    ).otherwise(
+        F.concat(F.lit('{"qty": '), F.pmod("o_orderkey", F.lit(50)).cast("string"), F.lit("}"))
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_json(payload, "qty long").alias("j"),
+        payload.alias("payload"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("j.qty").alias("qty"),
+        F.col("j.qty").isNull().alias("is_corrupt"),
+    )

@@ -1,0 +1,49 @@
+"""Physical-plan contracts for 100 TB strategies: bucketed co-located
+joins (no Exchange), and approximate-distinct accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Writing both join sides bucketed by the key lets Spark plan a
+    SortMergeJoin with NO Exchange on either side — the join strategy
+    for repeatedly-joined 100 TB fact tables (SURVEY.md §4
+    co-partitioning row). Verified against the physical plan."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("b_lineitem"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("b_orders"))
+    # disable auto-broadcast so the join would otherwise shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle either side"
+        # sanity: result matches the plain join
+        n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) — the sketch the reference's
+    driver-side countByKey becomes at scale. rsd=0.02 must land within
+    5% of exact on the fixture."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")).first().a
+    assert abs(approx - exact) / exact < 0.05
