@@ -94,6 +94,78 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: a KMeans coarse quantizer partitions the corpus
+    into n_cells inverted lists; each query exact-reranks only its
+    n_probe nearest cells — candidate fraction ≈ n_probe/n_cells of
+    the corpus. At 100 TB the cell id is the write-time partition key
+    (partition-pruned probes); the quantizer trains on a sample. This
+    is the clustered-data complement to ann_lsh_topk: LSH needs no
+    training but probes fixed hyperplane buckets; IVF adapts cells to
+    the data distribution."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("features", array_to_vector("cvec"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    c_assigned = model.transform(c).select("neighbor_id", "cvec", "cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)], "cell int, centroid array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    # rank cells per query by centroid distance, probe the top n_probe
+    qc = q.crossJoin(cent_df).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = qc.withColumn("cr", F.row_number().over(wq)).filter(
+        F.col("cr") <= n_probe
+    ).select("query_id", "qvec", "cell")
+
+    scored = (
+        c_assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

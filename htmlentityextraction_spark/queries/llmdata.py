@@ -148,6 +148,15 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed ANN (rows-only; recall tested vs brute force) ---
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (KMeans coarse quantizer, 4/16 cells probed);
+    recall contract in tests/test_llmdata.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
 @register("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

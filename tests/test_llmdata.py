@@ -188,3 +188,16 @@ def test_char_ngrams_reference_off_by_one(spark):
     df = spark.createDataFrame([("abcdef",)], "s string")
     r = df.select(char_ngrams(F.col("s"), 2).alias("g")).first()
     assert r.g == ["bc", "cd", "de"]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=10)
+    approx = sim.ann_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 4/16 KMeans cells on near-random 64-dim vectors; must be
+    # far above random (~0.02) at ~25% of the scan cost
+    assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
