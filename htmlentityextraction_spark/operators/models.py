@@ -91,11 +91,19 @@ def url_grouped_split(
 def _tfidf_matrix(
     pdf: pd.DataFrame, num_features: int, min_doc_freq: int, top_k: int,
     idf: np.ndarray | None = None, indices: np.ndarray | None = None,
+    vocab_mode: str = "mean",
 ):
     """Counts → tf-idf → top-k slice (+ norm_location column). When
     idf/indices are given (serving), reuse them; else fit (training):
     idf = log((n+1)/(df+1)), Spark ML's formula, zeroed under
-    min_doc_freq; top-k by mean tf-idf."""
+    min_doc_freq. Selection modes:
+
+    - "mean": top-k by overall mean tf-idf
+      (`transform/Transformer.scala:26-43`);
+    - "class_union": top-k/2 per class, pos ∪ (neg − pos) — the
+      ModelR variant (`models/ModelR.scala:51-68`) that keeps
+      class-discriminative terms a global mean would drown out.
+    """
     n = len(pdf)
     tf = np.zeros((n, num_features), dtype=np.float64)
     for i, ids in enumerate(pdf["term_ids"]):
@@ -106,7 +114,15 @@ def _tfidf_matrix(
         idf = np.log((n + 1.0) / (docfreq + 1.0))
         idf[docfreq < min_doc_freq] = 0.0
         tfidf = tf * idf
-        indices = np.argsort(-tfidf.mean(axis=0), kind="stable")[:top_k]
+        if vocab_mode == "class_union":
+            y = pdf["label"].to_numpy(dtype=np.float64)
+            half = max(top_k // 2, 1)
+            pos = np.argsort(-tfidf[y == 1].mean(axis=0), kind="stable")[:half]
+            neg = np.argsort(-tfidf[y == 0].mean(axis=0), kind="stable")[:half]
+            neg_minus_pos = np.setdiff1d(neg, pos, assume_unique=False)
+            indices = np.concatenate([pos, neg_minus_pos])
+        else:
+            indices = np.argsort(-tfidf.mean(axis=0), kind="stable")[:top_k]
     else:
         tfidf = tf * idf
     X = np.column_stack([tfidf[:, indices], pdf["norm_location"].to_numpy(dtype=np.float64)])
@@ -122,6 +138,7 @@ def train_per_domain(
     max_depth: int = 5,
     min_rows: int = 20,
     max_rows_per_domain: int = 100_000,
+    vocab_mode: str = "mean",
 ) -> DataFrame:
     """groupBy(domain).applyInPandas fit → registry DataFrame. Domains
     with < min_rows candidates or a single class are skipped (the
@@ -132,7 +149,9 @@ def train_per_domain(
         y = pdf["label"].to_numpy(dtype=np.float64)
         if len(pdf) < min_rows or y.sum() == 0 or y.sum() == len(y):
             return pd.DataFrame(columns=[f.name for f in REGISTRY_SCHEMA.fields])
-        X, idf, indices = _tfidf_matrix(pdf, num_features, min_doc_freq, top_k)
+        X, idf, indices = _tfidf_matrix(
+            pdf, num_features, min_doc_freq, top_k, vocab_mode=vocab_mode
+        )
         model = GBTClassifier(n_estimators=n_estimators, max_depth=max_depth).fit(X, y)
         pred = model.predict(X)
         tp = float(((pred == 1) & (y == 1)).sum())

@@ -136,3 +136,21 @@ def test_truncated_model_survives_pickle():
     m = GBTClassifier(n_estimators=6, max_depth=2).fit(X, y)
     sub = GBTClassifier.from_bytes(m.truncate(3).to_bytes())
     assert np.allclose(sub.margin(X), m.margin_curve(X)[3])
+
+
+def test_class_union_vocab_mode(spark):
+    # M4 (models/ModelR.scala:51-68): pos ∪ (neg − pos) selection must
+    # still fit the separable toy data perfectly and yield a registry
+    cand = _toy_candidates(spark)
+    feats = md.featurize_candidates(cand)
+    reg = md.train_per_domain(
+        feats, n_estimators=5, max_depth=2, min_doc_freq=2, min_rows=10,
+        vocab_mode="class_union",
+    )
+    rows = reg.collect()
+    assert {r.domain for r in rows} == {"d0.com", "d1.com"}
+    assert all(r.train_f1 == 1.0 for r in rows)
+    # scoring with class-union indices roundtrips
+    picked = {r.url: r.model_price for r in md.pick_model_price(
+        md.score_candidates(feats, reg)).collect()}
+    assert all(v >= 0 for v in picked.values())
