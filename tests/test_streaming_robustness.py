@@ -1,0 +1,77 @@
+"""Streaming robustness: genuine multi-micro-batch processing and
+exactly-once delivery across a mid-stream restart, plus small-file
+compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import maintenance as mt
+
+
+def _write_batches(spark, src, n_files=4, rows_per=250):
+    for b in range(n_files):
+        spark.createDataFrame(
+            [(b * rows_per + i, float(i)) for i in range(rows_per)],
+            "event_id long, value double",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(src, f"b{b}"))
+
+
+def test_multi_microbatch_and_restart_exactly_once(spark):
+    src = tempfile.mkdtemp(prefix="mb_src_")
+    ckpt = tempfile.mkdtemp(prefix="mb_ckpt_")
+    sink = tempfile.mkdtemp(prefix="mb_sink_")
+    _write_batches(spark, src, n_files=2)
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)   # force one file per micro-batch
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.withColumn("doubled", F.col("value") * 2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    run()                       # processes the first 2 files, then stops
+    n_mid = spark.read.parquet(sink).count()
+    assert n_mid == 500
+    _write_batches(spark, src, n_files=4)  # b0/b1 rewritten? no - append to b0..b3
+    # only the NEW files (b2, b3) are processed on restart; b0/b1
+    # offsets are committed in the checkpoint -> no duplicates
+    run()
+    out = spark.read.parquet(sink)
+    total = out.count()
+    dup = out.groupBy("event_id", "value").count().filter(F.col("count") > 2).count()
+    # b0/b1 dirs got a second part file appended (same event_ids) - those
+    # ARE new files and legitimately processed; exactly-once applies to
+    # FILES, so assert no file processed twice rather than id uniqueness
+    assert total == 500 + 1000
+    assert dup == 0
+    shutil.rmtree(src); shutil.rmtree(ckpt); shutil.rmtree(sink)
+
+
+def test_compact_reduces_file_count(spark):
+    d = tempfile.mkdtemp(prefix="compact_")
+    # 32 tiny files
+    spark.range(10_000).withColumn("v", F.rand(7)).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(d)
+    before, after = mt.compact_parquet_dir(spark, d, target_file_mb=128)
+    assert before == 32
+    assert after < before
+    # data preserved
+    assert spark.read.parquet(d + ".compact").count() == 10_000
+    shutil.rmtree(d); shutil.rmtree(d + ".compact")
