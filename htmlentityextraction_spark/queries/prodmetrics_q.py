@@ -159,3 +159,86 @@ def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.qty").alias("qty"),
         F.col("j.qty").isNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "delta_day_windows",
+    """
+    WITH obs AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store_id,
+               l_extendedprice AS price,
+               floor(epoch(l_shipdate)) AS ts,
+               row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        FROM lineitem
+    ), latest AS (SELECT * FROM obs WHERE rn = 1),
+    back AS (
+        SELECT l.prodid, l.store_id, l.price, l.ts,
+               max(CASE WHEN o.ts <= l.ts - 86400 THEN o.ts END) AS ts_1d,
+               max(CASE WHEN o.ts <= l.ts - 172800 THEN o.ts END) AS ts_2d,
+               max(CASE WHEN o.ts <= l.ts - 518400 THEN o.ts END) AS ts_6d
+        FROM latest l JOIN obs o
+          ON l.prodid = o.prodid AND l.store_id = o.store_id
+        GROUP BY l.prodid, l.store_id, l.price, l.ts
+    )
+    SELECT b.prodid, b.store_id, b.price,
+           round(b.price - max(CASE WHEN o1.ts = b.ts_1d THEN o1.price END) + 1e-9, 6) AS delta_1d,
+           round(b.price - max(CASE WHEN o2.ts = b.ts_2d THEN o2.price END) + 1e-9, 6) AS delta_2d,
+           round(b.price - max(CASE WHEN o6.ts = b.ts_6d THEN o6.price END) + 1e-9, 6) AS delta_6d
+    FROM back b
+    LEFT JOIN obs o1 ON o1.prodid = b.prodid AND o1.store_id = b.store_id AND o1.ts = b.ts_1d
+    LEFT JOIN obs o2 ON o2.prodid = b.prodid AND o2.store_id = b.store_id AND o2.ts = b.ts_2d
+    LEFT JOIN obs o6 ON o6.prodid = b.prodid AND o6.store_id = b.store_id AND o6.ts = b.ts_6d
+    GROUP BY b.prodid, b.store_id, b.price
+    """,
+)
+def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaCalc day-back windows (`analytics/DeltaCalc.scala:46`,
+    `analytics/CalcIndices.scala:58-64`): latest price vs the newest
+    observation at least 1/2/6 days older — range-frame windows over
+    epoch seconds, one shuffle, no self-joins (the oracle does it the
+    slow SQL way with joins; Spark uses rangeBetween)."""
+    from pyspark.sql import Window
+
+    obs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.unix_timestamp("l_shipdate")).cast("long").alias("ts"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    # one row per (prod, store, ts): last() over a range frame with ts
+    # ties would pick an arbitrary row — pre-aggregating makes the
+    # back-reference deterministic (max price at that ts, matching the
+    # oracle's pick)
+    agg_ts = obs.groupBy("prodid", "store_id", "ts").agg(F.max("price").alias("p_ts"))
+    day = 86400
+    back_cols = []
+    for n, name in ((1, "delta_1d"), (2, "delta_2d"), (6, "delta_6d")):
+        w = (
+            Window.partitionBy("prodid", "store_id")
+            .orderBy("ts")
+            .rangeBetween(Window.unboundedPreceding, -n * day)
+        )
+        back_cols.append(F.last("p_ts").over(w).alias(f"__b_{name}"))
+    backs = agg_ts.select("prodid", "store_id", "ts", *back_cols)
+
+    wlatest = Window.partitionBy("prodid", "store_id").orderBy(
+        F.desc("ts"), F.desc("ok"), F.desc("ln")
+    )
+    latest = (
+        obs.withColumn("__rn", F.row_number().over(wlatest))
+        .filter(F.col("__rn") == 1)
+        .select("prodid", "store_id", "price", "ts")
+    )
+    joined = latest.join(backs, ["prodid", "store_id", "ts"])
+    return joined.select(
+        "prodid",
+        "store_id",
+        "price",
+        *[
+            F.round(F.col("price") - F.col(f"__b_{name}") + 1e-9, 6).alias(name)
+            for name in ("delta_1d", "delta_2d", "delta_6d")
+        ],
+    )

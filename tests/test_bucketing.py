@@ -47,3 +47,26 @@ def test_approx_count_distinct_within_tolerance(spark):
     exact = li.select("l_partkey").distinct().count()
     approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")).first().a
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_partition_pruning_on_partitioned_write(spark):
+    """Date-partitioned writes + a partition-key filter must prune at
+    the source (PartitionFilters, not post-scan Filter) — the layout
+    strategy for time-series tables at 100 TB."""
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    d = tempfile.mkdtemp(prefix="part_pq_")
+    (li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+       .write.partitionBy("ship_month").mode("overwrite").parquet(d))
+    back = spark.read.parquet(d)
+    months = [r.ship_month for r in back.select("ship_month").distinct().collect()]
+    target = sorted(months)[0]
+    q = back.filter(F.col("ship_month") == target)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ship_month" in plan.split("PartitionFilters: [")[1][:120]
+    # pruned scan reads only the one partition
+    assert q.count() == li.filter(F.date_format("l_shipdate", "yyyy-MM") == target).count()
+    shutil.rmtree(d)
