@@ -70,3 +70,36 @@ def test_partition_pruning_on_partitioned_write(spark):
     # pruned scan reads only the one partition
     assert q.count() == li.filter(F.date_format("l_shipdate", "yyyy-MM") == target).count()
     shutil.rmtree(d)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: one hot key holding ~90% of the left side must be
+    split into multiple tasks instead of serializing into one reducer.
+    Asserted via the executed plan's skew markers."""
+    from pyspark.sql import functions as F
+
+    # 200k rows, 90% on key 0; right side 100 distinct keys
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        j = left.join(right, "k")
+        # collect() executes THIS dataset's QueryExecution (count()
+        # would plan a separate query and leave this plan un-finalized)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skewed" in plan.lower(), (
+            "AQE must mark the hot partition as skewed and split it"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
