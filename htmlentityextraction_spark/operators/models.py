@@ -181,6 +181,20 @@ def train_per_domain(
     return capped.groupBy("domain").applyInPandas(fit, REGISTRY_SCHEMA)
 
 
+def save_registry(registry: DataFrame, path: str) -> None:
+    """Persist the per-domain model registry (M15 — the reference's
+    single HashMap object file, `emr/Models2Object.scala:27-36`,
+    becomes a queryable parquet table: model bytes + idf + indices +
+    metrics per domain)."""
+    registry.write.mode("overwrite").parquet(path)
+
+
+def load_registry(spark: SparkSession, path: str) -> DataFrame:
+    """Reload a persisted registry for serving (broadcast happens in
+    score_candidates)."""
+    return spark.read.parquet(path)
+
+
 def score_candidates(
     cand: DataFrame,
     registry: DataFrame | list,
