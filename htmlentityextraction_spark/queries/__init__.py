@@ -12,6 +12,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     relational,
     scalar,
     scalar2,
+    serve_q,
     sessions_q,
     streaming_q,
     temporal_q,

@@ -1,0 +1,87 @@
+"""End-to-end streaming serve query (SURVEY.md §3.1): train the
+per-domain registry in batch, then run the FULL streaming path —
+json parse → extraction UDTF → broadcast-registry scoring → argmax
+price → status → multiplexed sinks — and return the historical sink.
+The planted-token construction keeps the output closed-form SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import models as md
+from htmlentityextraction_spark.queries.ml import _FIT, _labeled_candidates
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+from htmlentityextraction_spark.streaming import serve
+
+
+def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw JSON page messages (the Kafka payload shape) from the same
+    construction as the ML corpus — including the zero-candidate
+    bucket==1 pages the batch ML queries exclude."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    p2 = F.concat(F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".99"))
+    bucket = F.pmod(F.floor(k / F.lit(16)).cast("bigint"), F.lit(3))
+    flip = F.pmod(F.floor(k / F.lit(8)).cast("bigint"), F.lit(2))
+    url = F.concat(
+        F.lit("http://d"), F.pmod(k, F.lit(8)).cast("string"), F.lit(".example.com/p/"), ks
+    )
+    marker = F.when(bucket == 0, F.lit(" cost $")).otherwise(F.lit(" Price: "))
+    tail = F.when(flip == 0, F.lit(" sale today")).otherwise(F.lit(" today"))
+    html = F.when(bucket == 1, F.concat(F.lit("id "), ks, F.lit(" value "), p2, tail)).otherwise(
+        F.concat(F.lit("id "), ks, marker, p2, tail)
+    )
+    truth = p2.try_cast("double")
+    price = F.when(flip == 0, truth).otherwise(truth + 1.0)
+    msg = F.to_json(
+        F.struct(
+            url.alias("url"),
+            html.alias("html"),
+            price.alias("price"),
+            price.alias("updatedPrice"),
+        )
+    )
+    return orders.select(msg.alias("value"))
+
+
+@register(
+    "stream_serve_pipeline",
+    """
+    WITH o AS (
+        SELECT 'http://d' || (o_orderkey % 8) || '.example.com/p/' || o_orderkey AS url,
+               'd' || (o_orderkey % 8) || '.example.com' AS domain,
+               CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
+               (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
+        FROM orders
+    )
+    SELECT url, domain,
+           CASE WHEN bucket <> 1 AND flip = 0 THEN p2 ELSE -1.0 END AS model_price,
+           CASE WHEN flip = 0 THEN p2 ELSE p2 + 1.0 END AS pattern_price,
+           CASE WHEN bucket <> 1 AND flip = 0 THEN 'modeledPatternEquals'
+                ELSE 'allFalseCandids' END AS status,
+           CASE WHEN bucket <> 1 AND flip = 0 THEN p2
+                WHEN flip = 0 THEN p2 ELSE p2 + 1.0 END AS final_price
+    FROM o
+    """,
+)
+def stream_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive pages recover their planted price through the whole
+    streaming path (modeledPatternEquals); negative and zero-candidate
+    pages fall to the -1 sentinel → allFalseCandids → pattern price."""
+    labeled = _labeled_candidates(spark, sf_dir)
+    feats = md.featurize_candidates(labeled)
+    registry = md.train_per_domain(feats, **_FIT)
+
+    src = tempfile.mkdtemp(prefix="serve_src_")
+    out = tempfile.mkdtemp(prefix="serve_out_")
+    _page_messages(spark, sf_dir).write.mode("overwrite").parquet(src)
+    raw = spark.readStream.schema("value string").parquet(src)
+    serve.serve_stream(spark, raw, registry, out).await_done()
+    return spark.read.parquet(os.path.join(out, "historical"))

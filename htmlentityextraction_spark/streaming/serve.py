@@ -1,0 +1,98 @@
+"""The full streaming serve path (SURVEY.md §3.1 — Htmls2PredsPipe):
+
+    kafka(json pages) → typed parse → candidate-extraction UDTF →
+    broadcast-registry scoring → per-url argmax price → status
+    reconciliation → multiplexed sinks
+
+as ONE Structured Streaming job. Every stage is the already-tested
+batch operator — foreachBatch composes them per micro-batch, which is
+exactly the reference's transform(rdd => …) shape (T3) with typed
+DataFrames instead of string maps.
+
+Scale: the registry is collected once at job start and broadcast
+(matching `streaming/Htmls2PredsPipe.scala:89-90`); each micro-batch
+is a narrow pipeline (parse/extract/score) plus one shuffle for the
+per-url argmax — state-free, so throughput scales with executors and
+Kafka partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark import schemas
+from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+from htmlentityextraction_spark.functions.text import get_domain
+from htmlentityextraction_spark.operators import extraction as ex
+from htmlentityextraction_spark.operators import models as md
+from htmlentityextraction_spark.streaming.pipeline import PASSING, StreamingQueryHolder
+
+
+def score_pages_batch(pages: DataFrame, registry_rows: list) -> DataFrame:
+    """One micro-batch (or batch) of parsed page messages → per-page
+    model price, status, final price. Pages without any surviving
+    candidate get the -1 sentinel (allFalseCandids path)."""
+    pages = pages.withColumn("domain", get_domain(F.col("url")))
+    cand = ex.extract_candidates(pages, html_col="html", url_col="url", snippet_size=150)
+    cand = cand.join(
+        F.broadcast(pages.select("url", "domain")), "url"
+    ).withColumn(
+        "norm_location",
+        F.col("location").cast("double")
+        / F.greatest(F.col("page_length"), F.lit(1)).cast("double"),
+    ).withColumn("label", F.lit(0))
+    feats = md.featurize_candidates(cand)
+    scored = md.score_candidates(feats, registry_rows)
+    picked = md.pick_model_price(scored)
+    out = pages.join(picked.select("url", "model_price"), "url", "left")
+    out = out.withColumn("model_price", F.coalesce(F.col("model_price"), F.lit(-1.0)))
+    status = price_status(F.col("model_price"), F.col("updatedPrice"))
+    return (
+        out.withColumn("status", status)
+        .withColumn(
+            "final_price",
+            selected_price(F.col("status"), F.col("model_price"), F.col("updatedPrice")),
+        )
+        .select(
+            "url", "domain", "model_price",
+            F.col("updatedPrice").alias("pattern_price"), "status", "final_price",
+        )
+    )
+
+
+def serve_stream(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    registry: DataFrame,
+    out_dir: str,
+) -> StreamingQueryHolder:
+    """Run the serve path over a stream of raw JSON page messages,
+    fanning out to historical/ (all), realtime/ (passing), logs/
+    (errored) parquet sinks."""
+    registry_rows = registry.collect()
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        pages = schemas.parse_page_messages(batch).filter(~F.col("is_corrupt"))
+        result = score_pages_batch(pages, registry_rows)
+        result.persist()
+        try:
+            result.write.mode("append").parquet(os.path.join(out_dir, "historical"))
+            result.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
+                os.path.join(out_dir, "realtime")
+            )
+            result.filter(~F.col("status").isin(*PASSING)).write.mode("append").parquet(
+                os.path.join(out_dir, "logs")
+            )
+        finally:
+            result.unpersist()
+
+    q = (
+        raw_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return StreamingQueryHolder(q, out_dir)
