@@ -25,6 +25,7 @@ HEADLINE = [
     "price_candidate_extraction",    # pandas-UDF extraction path
     "model_score_pick_price",        # per-domain train + score + pick
     "stream_enrich_status",          # structured streaming availableNow
+    "stream_serve_pipeline",         # full serve path: parse->extract->score->route
 ]
 
 
