@@ -118,11 +118,26 @@ def route_to_sinks(enriched: DataFrame, out_dir: str) -> "StreamingQueryHolder":
     historical/ (all rows), realtime/ (passing statuses), logs/
     (errored) — the Htmls2Cassandra three-table fan-out. The micro-
     batch is persisted once so the three filters share one source
-    read."""
+    read. Per-batch counters (A11 — the reference's accumulators,
+    `streaming/Htmls2PredsPipe.scala:74-84`) accumulate on the holder
+    via one cheap agg over the cached batch."""
+    holder_metrics: list[dict] = []
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
+            counts = batch.agg(
+                F.count("*").alias("n_total"),
+                F.sum(F.col("status").isin(*PASSING).cast("long")).alias("n_passing"),
+            ).first()
+            holder_metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_total": counts["n_total"],
+                    "n_passing": counts["n_passing"] or 0,
+                    "n_errored": counts["n_total"] - (counts["n_passing"] or 0),
+                }
+            )
             batch.write.mode("append").parquet(os.path.join(out_dir, "historical"))
             batch.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
                 os.path.join(out_dir, "realtime")
@@ -139,7 +154,9 @@ def route_to_sinks(enriched: DataFrame, out_dir: str) -> "StreamingQueryHolder":
         .trigger(availableNow=True)
         .start()
     )
-    return StreamingQueryHolder(q, out_dir)
+    holder = StreamingQueryHolder(q, out_dir)
+    holder.metrics = holder_metrics
+    return holder
 
 
 class StreamingQueryHolder:

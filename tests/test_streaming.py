@@ -56,6 +56,21 @@ def test_route_to_sinks_partitions_rows(spark):
     shutil.rmtree(out)
 
 
+def test_route_to_sinks_metrics_counters(spark):
+    # A11: per-batch counters accumulate on the holder
+    enriched = sp.enrich_events(sp.read_events_stream(spark, SF))
+    out = tempfile.mkdtemp(prefix="metrics_")
+    holder = sp.route_to_sinks(enriched, out)
+    holder.await_done()
+    assert holder.metrics, "at least one micro-batch recorded"
+    total = sum(m["n_total"] for m in holder.metrics)
+    passing = sum(m["n_passing"] for m in holder.metrics)
+    errored = sum(m["n_errored"] for m in holder.metrics)
+    assert total == 1000 and passing + errored == 1000
+    assert spark.read.parquet(f"{out}/realtime").count() == passing
+    shutil.rmtree(out)
+
+
 def test_stream_dedup_restores_exactly_once(spark):
     s = sp.read_events_stream(spark, SF)
     doubled = s.union(sp.read_events_stream(spark, SF))
