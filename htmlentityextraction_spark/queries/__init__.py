@@ -5,6 +5,7 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     analytics2,
     extraction,
     llmdata,
+    llmprep_q,
     ml,
     mlx_q,
     multimodal_q,
