@@ -17,5 +17,6 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     sessions_q,
     streaming_q,
     temporal_q,
+    textclean_q,
     windows,
 )
