@@ -3,6 +3,7 @@
 from htmlentityextraction_spark.queries import (  # noqa: F401
     analytics,
     analytics2,
+    corpus_q,
     extraction,
     llmdata,
     llmprep_q,
