@@ -19,5 +19,6 @@ from htmlentityextraction_spark.queries import (  # noqa: F401
     streaming_q,
     temporal_q,
     textclean_q,
+    vocab_q,
     windows,
 )

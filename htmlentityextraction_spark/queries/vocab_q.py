@@ -1,0 +1,114 @@
+"""Vocabulary building + token-id encoding — the final corpus step
+before training tensors:
+
+- vocab: global token frequencies → ids assigned by (count desc,
+  token) rank, capped at a max size; one shuffle (the count), one
+  tiny sort.
+- encoding: chunks joined against the broadcast vocab, tokens mapped
+  to ids with OOV → 0. At 100 TB the vocab is a few MB — broadcast,
+  no shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.text import tokenize
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(text,"
+    "'[^A-Za-z]+',' ','g'),' +',' ','g')), ' '), t -> t <> '')"
+)
+
+VOCAB_SIZE = 64
+
+
+def build_vocab(docs: DataFrame, size: int = VOCAB_SIZE) -> DataFrame:
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != "")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= size)
+    )
+
+
+@register(
+    "vocab_by_frequency",
+    f"""
+    WITH counts AS (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    )
+    SELECT token, n, token_id FROM (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS token_id
+        FROM counts
+    ) WHERE token_id <= {VOCAB_SIZE}
+    """,
+)
+def vocab_by_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_SIZE} tokens by global frequency with rank-assigned
+    ids (deterministic tie-break on the token)."""
+    return build_vocab(load_table(spark, sf_dir, "documents")).select(
+        "token", "n", "token_id"
+    )
+
+
+@register(
+    "encode_documents_token_ids",
+    f"""
+    WITH counts AS (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ), vocab AS (
+        SELECT token, token_id FROM (
+            SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+            FROM counts
+        ) WHERE token_id <= {VOCAB_SIZE}
+    ), toked AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), exploded AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks))) AS pos,
+               toks
+        FROM toked
+    ), positioned AS (
+        SELECT doc_id, pos, toks[pos] AS token FROM exploded
+    )
+    SELECT e.doc_id,
+           list(coalesce(v.token_id, 0) ORDER BY e.pos) AS token_ids,
+           CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM positioned e LEFT JOIN vocab v ON e.token = v.token
+    GROUP BY e.doc_id
+    """,
+)
+def encode_documents_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded as vocab ids (OOV → 0), order-preserving.
+    The corpus side never shuffles: tokens explode with their
+    position, the vocab broadcasts, and the id arrays reassemble
+    grouped by (doc, position order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs).select("token", "token_id")
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != "")
+    exploded = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+    joined = exploded.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+    )
