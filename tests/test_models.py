@@ -174,3 +174,24 @@ def test_registry_parquet_roundtrip_serves_identically(spark):
         md.score_candidates(feats, reloaded)).collect()}
     assert p1 == p2
     shutil.rmtree(d)
+
+
+def test_spark_ml_pipeline_single_model(spark):
+    # the pure pyspark.ml path must also learn the separable toy data
+    from htmlentityextraction_spark.operators import mlpipeline as mp
+
+    cand = _toy_candidates(spark)
+    model = mp.fit_single_model(
+        cand, min_doc_freq=2, top_k=50, max_iter=5, max_depth=2
+    )
+    scored = mp.score_with_pipeline(model, cand)
+    acc = scored.select(
+        F.avg((F.col("prediction") == F.col("label").cast("double")).cast("double")).alias("a")
+    ).first().a
+    assert acc >= 0.95
+    # margin sign agrees with the prediction
+    bad = scored.filter(
+        ((F.col("confidence") > 0) & (F.col("prediction") == 0.0))
+        | ((F.col("confidence") < 0) & (F.col("prediction") == 1.0))
+    ).count()
+    assert bad == 0
