@@ -75,3 +75,37 @@ def test_compact_reduces_file_count(spark):
     # data preserved
     assert spark.read.parquet(d + ".compact").count() == 10_000
     shutil.rmtree(d); shutil.rmtree(d + ".compact")
+
+
+def test_processing_time_trigger_and_stop(spark):
+    """T1/T10: a processingTime-triggered continuous query runs
+    micro-batches until stopped on a condition (the reference's
+    stop-threshold draft, Htmls2Cassandra.scala:288-296)."""
+    import time
+
+    from htmlentityextraction_spark.streaming import pipeline as sp
+
+    stream = sp.read_events_stream(spark, "/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="pt_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pt_ckpt_")
+    q = (
+        stream.select("event_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] >= 0 and \
+               spark.read.schema("event_id long, value double").parquet(out).count() >= 1000:
+                break
+            time.sleep(0.5)
+        assert q.isActive
+    finally:
+        q.stop()
+    assert not q.isActive
+    assert spark.read.schema("event_id long, value double").parquet(out).count() == 1000
+    shutil.rmtree(out); shutil.rmtree(ckpt)
