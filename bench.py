@@ -51,17 +51,20 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # derived throughput: the serve path processes one page per orders row
+    if "stream_serve_pipeline" in timings and timings["stream_serve_pipeline"] > 0:
+        n_pages = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+        payload["throughput"] = {
+            "serve_pages_per_sec": round(n_pages / timings["stream_serve_pipeline"], 1)
+        }
+    print(json.dumps(payload))
     spark.stop()
 
 
