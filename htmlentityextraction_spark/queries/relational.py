@@ -496,3 +496,49 @@ def modulo_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.pmod(F.col("l_orderkey"), F.lit(8)).alias("grp"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity") + 1e-9, 2).alias("total_qty"))
     )
+
+
+# --- star join: the Q5-shaped five-table pattern ---
+@register(
+    "star_join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 6) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND o.o_orderstatus <> 'F'
+    GROUP BY n.n_name
+    """,
+)
+def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: two fact tables + three broadcast
+    dims with the local-supplier correlation predicate. Catalyst
+    broadcasts nation/region/supplier and AQE sizes the two fact
+    shuffles — the canonical shape for revenue rollups at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 6
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

@@ -112,3 +112,59 @@ def encode_documents_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_ids"),
         F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
     )
+
+
+_SEQ_LEN = 48
+
+
+@register(
+    "padded_training_sequences",
+    f"""
+    WITH counts AS (
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ), vocab AS (
+        SELECT token, token_id FROM (
+            SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+            FROM counts
+        ) WHERE token_id <= {VOCAB_SIZE}
+    ), toked AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), exploded AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        FROM toked
+    ), ids AS (
+        SELECT e.doc_id, e.pos, coalesce(v.token_id, 0) AS tid
+        FROM (SELECT doc_id, pos, toks[pos] AS token FROM exploded) e
+        LEFT JOIN vocab v ON e.token = v.token
+    ), assembled AS (
+        SELECT doc_id, list(tid ORDER BY pos) AS token_ids FROM ids GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN len(token_ids) >= {_SEQ_LEN}
+                THEN list_slice(token_ids, 1, {_SEQ_LEN})
+                ELSE list_concat(token_ids,
+                    list_transform(generate_series(1, {_SEQ_LEN} - len(token_ids)), x -> 0)) END
+               AS input_ids,
+           least(len(token_ids), {_SEQ_LEN}) AS attn_len
+    FROM assembled
+    """,
+)
+def padded_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length tensor prep: encoded docs truncated/padded to
+    seq_len with the true attention length — the last columnar step
+    before batching; pad tokens are id 0 (shared with OOV)."""
+    encoded = encode_documents_token_ids(spark, sf_dir)
+    n = F.size("token_ids")
+    padded = F.when(n >= _SEQ_LEN, F.slice("token_ids", 1, _SEQ_LEN)).otherwise(
+        F.concat(
+            F.col("token_ids"),
+            F.array_repeat(F.lit(0).cast("long"), _SEQ_LEN - n),
+        )
+    )
+    return encoded.select(
+        "doc_id",
+        padded.alias("input_ids"),
+        F.least(n, F.lit(_SEQ_LEN)).cast("long").alias("attn_len"),
+    )
