@@ -156,3 +156,24 @@ def scheduler_due_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tick = F.lit(4)
     return rates.filter(F.pmod(tick, F.col("update_window")) == 0)
+
+
+@register("hll_distinct_parts_per_supplier")
+def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch aggregation (Spark 3.5+ datasketches): per-supplier
+    distinct-part estimates from mergeable sketches — the shuffle-
+    friendly form of count(distinct) at 100 TB (partial sketches merge
+    map-side; the exact form must shuffle every key pair). Rows-only:
+    DuckDB has no compatible HLL; the ±5% accuracy contract vs exact
+    counts is pytest-enforced (tests/test_bucketing.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("supplier"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias(
+                "approx_parts"
+            ),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select("supplier", "approx_parts", "exact_parts")
+    )

@@ -103,3 +103,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_hll_sketch_estimates_within_tolerance(spark):
+    """hll_sketch_agg estimates must land within 5% of exact per
+    group, and sketches must merge across unions (the property that
+    makes them shuffle-friendly)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    per = li.groupBy("l_suppkey").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()
+    assert per
+    for r in per:
+        assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
+    # mergeability: union of per-group sketches == global sketch estimate
+    merged = li.groupBy("l_suppkey").agg(
+        F.expr("hll_sketch_agg(l_partkey, 14)").alias("sk")
+    ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e")).first().e
+    exact_global = li.select("l_partkey").distinct().count()
+    assert abs(merged - exact_global) / exact_global < 0.05
