@@ -49,7 +49,10 @@ def get_domain(url: Column) -> Column:
     parity). Reference: `utils/Utils.scala:359-375` (``getDomain``).
     """
     fixed = F.when(url.rlike("^https?://"), url).otherwise(F.concat(F.lit("http://"), url))
-    host = F.parse_url(fixed, F.lit("HOST"))
+    # try_parse_url, not parse_url: Spark 4 parse_url THROWS on invalid
+    # urls, which would crash the whole job on one bad record instead
+    # of taking the reference's www.failed.com fallback path
+    host = F.try_parse_url(fixed, F.lit("HOST"))
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(host.isNull() | (host == ""), "www.failed.com").otherwise(host)
 
