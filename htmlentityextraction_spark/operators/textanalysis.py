@@ -77,7 +77,10 @@ def quality_score(text: Column) -> Column:
     shape_ok = F.when((f["avg_token_len"] >= 2.0) & (f["avg_token_len"] <= 12.0), 1.0).otherwise(
         0.3
     )
-    return F.round((len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3 + shape_ok * 0.2) + 1e-9, 6)
+    score = F.round((len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3 + shape_ok * 0.2) + 1e-9, 6)
+    # null text must NOT score as passable quality (some terms null out
+    # and the rest sum to ~0.86) — propagate the null
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def token_count_whitespace(text: Column) -> Column:

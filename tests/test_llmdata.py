@@ -201,3 +201,12 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 KMeans cells on near-random 64-dim vectors; must be
     # far above random (~0.02) at ~25% of the scan cost
     assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
+
+
+def test_quality_score_null_propagates(spark):
+    df = spark.createDataFrame([(1, None), (2, "the cat and a dog of it")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.q for r in df.select(
+        "doc_id", ta.quality_score(F.col("text")).alias("q")).collect()}
+    assert rows[1] is None, "null text must not get a quality score"
+    assert rows[2] is not None
