@@ -33,8 +33,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<double> columns. try_divide, not
+    `/`: under ANSI mode (Spark 4 default) a single all-zero vector —
+    a padding row, a dead image embedding — would throw
+    DIVIDE_BY_ZERO and kill the whole job; null drops out of top-k
+    rankings instead (desc ordering puts nulls last)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -66,6 +70,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -157,6 +162,7 @@ def ann_ivf_topk(
             F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -241,6 +247,7 @@ def ann_lsh_topk(
             F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

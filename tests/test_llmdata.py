@@ -210,3 +210,18 @@ def test_quality_score_null_propagates(spark):
         "doc_id", ta.quality_score(F.col("text")).alias("q")).collect()}
     assert rows[1] is None, "null text must not get a quality score"
     assert rows[2] is not None
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    # ANSI mode: plain division would throw DIVIDE_BY_ZERO on an
+    # all-zero embedding and kill the job
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.cosine_topk(df, df, k=2).collect()
+    # null-scored pairs are excluded: the zero-vec id appears in no
+    # ranking, as query or neighbor; non-zero pairs still rank
+    assert all(r.cosine is not None for r in out)
+    pairs = {(r.query_id, r.neighbor_id) for r in out}
+    assert pairs == {(2, 3), (3, 2)}
