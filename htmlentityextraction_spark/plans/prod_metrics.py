@@ -65,7 +65,7 @@ def price_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("price") - F.col("prev_price"))
             .alias("delta"),
             F.when(F.col("prev_price").isNull(), F.lit(0.0))
-            .otherwise((F.col("price") - F.col("prev_price")) / F.col("prev_price"))
+            .otherwise(F.try_divide(F.col("price") - F.col("prev_price"), F.col("prev_price")))
             .alias("relative_change"),
         )
     )
@@ -93,7 +93,7 @@ def price_delta_market_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("relative_position", F.col("abs_position") / F.col("num_stores"))
         .withColumn(
             "var_val",
-            F.round(F.stddev_pop("price").over(w_all) / F.avg("price").over(w_all) + 1e-9, 6),
+            F.round(F.try_divide(F.stddev_pop("price").over(w_all), F.avg("price").over(w_all)) + 1e-9, 6),
         )
     )
 

@@ -58,7 +58,7 @@ def lag_delta_per_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k2",
         "price",
         F.round(F.col("price") - prev + 1e-9, 2).alias("delta"),
-        F.round((F.col("price") - prev) / prev + 1e-9, 6).alias("rel_change"),
+        F.round(F.try_divide(F.col("price") - prev, prev) + 1e-9, 6).alias("rel_change"),
     )
 
 
