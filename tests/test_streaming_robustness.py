@@ -109,3 +109,48 @@ def test_processing_time_trigger_and_stop(spark):
     assert not q.isActive
     assert spark.read.schema("event_id long, value double").parquet(out).count() == 1000
     shutil.rmtree(out); shutil.rmtree(ckpt)
+
+
+def test_serve_path_survives_corrupt_and_null_messages(spark):
+    """The serve pipeline must route corrupt JSON out, sentinel
+    null-html pages, and still score the good ones — one poisoned
+    Kafka message must never kill the stream."""
+    import os
+    from pyspark.sql import functions as F
+    from htmlentityextraction_spark.operators import models as md
+    from htmlentityextraction_spark.streaming import serve
+
+    # registry from clean toy data
+    toy = spark.createDataFrame(
+        [("good.com", f"http://good.com/p/{i}", i % 2, 0.3,
+          f"{100+i}.50", "buy good price", "deal") for i in range(40)],
+        "domain string, url string, label int, norm_location double,"
+        "candidate string, text_before string, text_after string",
+    )
+    reg = md.train_per_domain(
+        md.featurize_candidates(toy), n_estimators=3, max_depth=2,
+        min_doc_freq=2, min_rows=10,
+    )
+
+    msgs = [
+        ('{"url":"http://good.com/p/1","html":"buy good price 100.50 deal",'
+         '"price":100.5,"updatedPrice":100.5}',),
+        ('{"url":"http://good.com/p/2","html":null,'
+         '"price":7.0,"updatedPrice":7.0}',),          # null html
+        ("{broken json!!",),                            # corrupt
+    ]
+    src = tempfile.mkdtemp(prefix="serve_rob_src_")
+    out = tempfile.mkdtemp(prefix="serve_rob_out_")
+    spark.createDataFrame(msgs, "value string").write.mode("overwrite").parquet(src)
+    raw = spark.readStream.schema("value string").parquet(src)
+    serve.serve_stream(spark, raw, reg, out).await_done()
+
+    hist = spark.read.parquet(os.path.join(out, "historical")).collect()
+    by_url = {r.url: r for r in hist}
+    # corrupt message filtered out entirely; both parseable pages present
+    assert set(by_url) == {"http://good.com/p/1", "http://good.com/p/2"}
+    # null-html page takes the sentinel path, pattern price wins
+    r2 = by_url["http://good.com/p/2"]
+    assert r2.model_price == -1.0 and r2.status == "allFalseCandids"
+    assert r2.final_price == 7.0
+    shutil.rmtree(src); shutil.rmtree(out)
