@@ -69,8 +69,10 @@ def linear_svc_eval(
 
 def lda_topics(docs: DataFrame, k: int = 3, vocab_size: int = 500, seed: int = 42) -> DataFrame:
     """M18 (`models/LDA.scala:87-95`): LDA over document tokens;
-    returns (topic, top term indices array). Online-EM with fixed seed
-    → deterministic."""
+    returns one scalar row per (topic, ranked term) — array columns
+    are unhashable for the driver's pandas canonicalizer, so the
+    top-term lists are exploded to (topic, term_rank, term_index,
+    term) rows. EM with fixed seed → deterministic."""
     from htmlentityextraction_spark.functions.text import tokenize
 
     toks = docs.select(
@@ -83,12 +85,12 @@ def lda_topics(docs: DataFrame, k: int = 3, vocab_size: int = 500, seed: int = 4
     model = lda.fit(vecs)
     topics = model.describeTopics(5)
     return topics.select(
+        "topic", F.posexplode(F.col("termIndices")).alias("pos", "term_index")
+    ).select(
         "topic",
-        F.col("termIndices").alias("term_indices"),
-        F.transform(
-            F.col("termIndices"),
-            lambda i: F.element_at(F.lit(cvm.vocabulary), i.cast("int") + 1),
-        ).alias("terms"),
+        (F.col("pos") + 1).alias("term_rank"),
+        F.col("term_index").cast("int").alias("term_index"),
+        F.element_at(F.lit(cvm.vocabulary), F.col("term_index").cast("int") + 1).alias("term"),
     )
 
 

@@ -53,7 +53,11 @@ def salted_group_stats(
     )
     return partial.groupBy(*keys).agg(
         F.sum("__n").alias("n"),
-        F.round(F.sum("__s") + 1e-9, 6).alias("total"),
+        # floor(x*100+0.5)/100, not round(): the total is ~1e9, where
+        # Spark's HALF_UP decimal round and DuckDB's binary round pick
+        # different nearest doubles; floor at cent precision is exact
+        # in both engines (sum*100 is integral and < 2^53)
+        (F.floor(F.sum("__s") * 100 + 0.5) / 100).alias("total"),
         F.round((F.sum("__s") / F.sum("__n")) + 1e-9, 6).alias("mean"),
         F.min("__mn").alias("vmin"),
         F.max("__mx").alias("vmax"),

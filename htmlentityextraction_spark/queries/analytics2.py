@@ -93,8 +93,10 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ), changes AS (
         SELECT prodid,
-               sum(CASE WHEN prev_price IS NOT NULL AND price <> prev_price
-                        THEN 1 ELSE 0 END) AS n_changes
+               -- CAST: DuckDB sum() over integers yields HUGEINT, which the
+               -- driver's pandas canonicalizer coerces to float64 (3 -> 3.0)
+               CAST(sum(CASE WHEN prev_price IS NOT NULL AND price <> prev_price
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
         FROM ordered GROUP BY prodid
     )
     SELECT prodid, n_changes,

@@ -30,8 +30,9 @@ _TOKS = (
         FROM embeddings
     )
     SELECT vec_id,
-           list_transform(v, x -> floor(x / nrm * 1000000 + 0.5) / 1000000) AS unit_vec,
-           list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INTEGER)) AS q8,
+           CAST(unnest(generate_series(1, len(v))) AS BIGINT) AS idx,
+           unnest(list_transform(v, x -> floor(x / nrm * 1000000 + 0.5) / 1000000)) AS unit_val,
+           unnest(list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INTEGER))) AS q8_val,
            floor(127.0 / amax * 1000000 + 0.5) / 1000000 AS scale
     FROM e
     """,
@@ -39,17 +40,31 @@ _TOKS = (
 def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization + symmetric int8 quantization of the embedding
     column — the storage/compute prep for ANN at scale (int8 corpus =
-    4x less shuffle and scan)."""
+    4x less shuffle and scan). Output is exploded to one row per
+    vector element (vec_id, idx, unit_val, q8_val, scale): array-typed
+    output columns are unhashable for the driver's pandas
+    canonicalizer, and scalar rows are hash-checkable."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     unit = lp.l2_normalize(F.col("v"))
     q, scale = lp.quantize_int8(F.col("v"))
-    return emb.select(
+    wide = emb.select(
         "vec_id",
         F.transform(unit, lambda x: F.floor(x * 1e6 + 0.5) / 1e6).alias("unit_vec"),
         q.alias("q8"),
         (F.floor(scale * 1e6 + 0.5) / 1e6).alias("scale"),
+    )
+    return wide.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.arrays_zip("unit_vec", "q8")).alias("pos", "z"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("idx"),
+        F.col("z.unit_vec").alias("unit_val"),
+        F.col("z.q8").cast("int").alias("q8_val"),
+        "scale",
     )
 
 

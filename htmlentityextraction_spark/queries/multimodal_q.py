@@ -37,9 +37,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH m AS ({_META_SQL})
     SELECT media_type, count(*) AS n_docs,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(width) + 1e-9, 6) AS avg_width,
-           sum(n_frames) AS total_frames
+           CAST(sum(n_frames) AS BIGINT) AS total_frames
     FROM m GROUP BY media_type
     """,
 )
@@ -98,7 +98,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST((width + 1) // 2 AS INTEGER) AS out_width,
            CAST((height + 1) // 2 AS INTEGER) AS out_height,
-           sum(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN byte ELSE 0 END) AS checksum
+           CAST(sum(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN byte ELSE 0 END) AS BIGINT) AS checksum
     FROM strided GROUP BY doc_id, width, height
     """,
 )
@@ -121,7 +121,7 @@ def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST((pos - 1) // fsize AS INTEGER) AS frame_idx,
            CAST(any_value(fsize) AS BIGINT) AS frame_bytes,
-           sum(ascii(substring((SELECT text FROM m WHERE m.doc_id = px.doc_id), pos, 1))) AS frame_checksum
+           CAST(sum(ascii(substring((SELECT text FROM m WHERE m.doc_id = px.doc_id), pos, 1))) AS BIGINT) AS frame_checksum
     FROM px GROUP BY doc_id, (pos - 1) // fsize
     """,
 )

@@ -17,21 +17,24 @@ from htmlentityextraction_spark.sources.tables import load_table
 @register(
     "date_trunc_daily_events",
     """
-    SELECT CAST(ts AS DATE) AS day, event_type,
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            count(*) AS n,
-           round(sum(value) + 1e-9, 2) AS total_value
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def date_trunc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: ISO date parse + truncate-to-day
-    `streaming/Htmls2Cassandra.scala:241`, `analytics/Hotspots.scala:30-33`."""
+    `streaming/Htmls2Cassandra.scala:241`, `analytics/Hotspots.scala:30-33`.
+    The day is emitted as a yyyy-MM-dd STRING: Spark DATE and DuckDB
+    date_trunc TIMESTAMP stringify differently in the driver's pandas
+    canon ('2024-01-18' vs '2024-01-18 00:00:00')."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.to_date("ts").alias("day"), F.col("event_type")
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value") + 1e-9, 2).alias("total_value"),
+        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("total_value"),
     )
 
 

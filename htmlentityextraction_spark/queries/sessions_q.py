@@ -30,10 +30,13 @@ _SESS_SQL = """
                               ROWS UNBOUNDED PRECEDING) AS seq
         FROM ordered
     )
-    SELECT user_id, seq AS session_seq,
+    SELECT user_id,
+           -- CASTs: windowed sum() is HUGEINT and floor() is DOUBLE in
+           -- DuckDB; the driver's pandas canon turns both into float64
+           CAST(seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
-           floor(epoch(max(ts))) - floor(epoch(min(ts))) AS duration_sec
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
     FROM sess GROUP BY user_id, seq
 """
 
@@ -43,7 +46,7 @@ _SESS_SQL = """
     """
     SELECT l_returnflag,
            count(l_extendedprice) AS n,
-           round(sum(l_extendedprice) + 1e-9, 6) AS total,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS total,
            round(avg(l_extendedprice) + 1e-9, 6) AS mean,
            min(l_extendedprice) AS vmin,
            max(l_extendedprice) AS vmax

@@ -86,7 +86,7 @@ def vocab_by_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, pos, toks[pos] AS token FROM exploded
     )
     SELECT e.doc_id,
-           list(coalesce(v.token_id, 0) ORDER BY e.pos) AS token_ids,
+           array_to_string(list(coalesce(v.token_id, 0) ORDER BY e.pos), ' ') AS token_ids,
            CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
     FROM positioned e LEFT JOIN vocab v ON e.token = v.token
     GROUP BY e.doc_id
@@ -96,7 +96,22 @@ def encode_documents_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents encoded as vocab ids (OOV → 0), order-preserving.
     The corpus side never shuffles: tokens explode with their
     position, the vocab broadcasts, and the id arrays reassemble
-    grouped by (doc, position order)."""
+    grouped by (doc, position order). The id sequence is emitted as a
+    space-joined STRING (integers stringify identically in every
+    engine; array columns are unhashable for the driver's canon)."""
+    encoded = _encode_id_arrays(spark, sf_dir)
+    return encoded.select(
+        "doc_id",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), " ").alias(
+            "token_ids"
+        ),
+        "n_oov",
+    )
+
+
+def _encode_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed encoding core shared by the encode + padding queries
+    (registered queries serialize the arrays before returning)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs).select("token", "token_id")
     toks = F.filter(tokenize(F.col("text")), lambda t: t != "")
@@ -142,20 +157,22 @@ _SEQ_LEN = 48
         SELECT doc_id, list(tid ORDER BY pos) AS token_ids FROM ids GROUP BY doc_id
     )
     SELECT doc_id,
-           CASE WHEN len(token_ids) >= {_SEQ_LEN}
-                THEN list_slice(token_ids, 1, {_SEQ_LEN})
-                ELSE list_concat(token_ids,
-                    list_transform(generate_series(1, {_SEQ_LEN} - len(token_ids)), x -> 0)) END
-               AS input_ids,
-           least(len(token_ids), {_SEQ_LEN}) AS attn_len
+           array_to_string(
+               CASE WHEN len(token_ids) >= {_SEQ_LEN}
+                    THEN list_slice(token_ids, 1, {_SEQ_LEN})
+                    ELSE list_concat(token_ids,
+                        list_transform(generate_series(1, {_SEQ_LEN} - len(token_ids)), x -> 0)) END,
+               ' ') AS input_ids,
+           CAST(least(len(token_ids), {_SEQ_LEN}) AS BIGINT) AS attn_len
     FROM assembled
     """,
 )
 def padded_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length tensor prep: encoded docs truncated/padded to
     seq_len with the true attention length — the last columnar step
-    before batching; pad tokens are id 0 (shared with OOV)."""
-    encoded = encode_documents_token_ids(spark, sf_dir)
+    before batching; pad tokens are id 0 (shared with OOV). input_ids
+    is a space-joined STRING for the driver's hashability."""
+    encoded = _encode_id_arrays(spark, sf_dir)
     n = F.size("token_ids")
     padded = F.when(n >= _SEQ_LEN, F.slice("token_ids", 1, _SEQ_LEN)).otherwise(
         F.concat(
@@ -165,6 +182,8 @@ def padded_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return encoded.select(
         "doc_id",
-        padded.alias("input_ids"),
+        F.array_join(F.transform(padded, lambda x: x.cast("string")), " ").alias(
+            "input_ids"
+        ),
         F.least(n, F.lit(_SEQ_LEN)).cast("long").alias("attn_len"),
     )

@@ -31,11 +31,13 @@ def test_linear_svc_runs_and_scores(spark):
 
 def test_lda_topics_shape_and_vocab(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    topics = mlx.lda_topics(docs, k=3).collect()
-    assert len(topics) == 3
-    for t in topics:
-        assert len(t.terms) == 5
-        assert all(isinstance(w, str) and w for w in t.terms)
+    rows = mlx.lda_topics(docs, k=3).collect()
+    # exploded shape: one row per (topic, ranked term), 3 topics x 5 terms
+    assert len(rows) == 15
+    assert {r.topic for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 1 <= r.term_rank <= 5
+        assert isinstance(r.term, str) and r.term
 
 
 def test_pca_projection_norm_bounded_by_vector_norm(spark):
