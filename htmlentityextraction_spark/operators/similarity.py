@@ -1,25 +1,44 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the exact baseline. Queries are broadcast;
-  the corpus scan is embarrassingly parallel; per-query top-k via
-  window rank. At 100 TB this is one full scan per query batch —
-  correct but O(corpus).
+- brute-force cosine top-k: the exact baseline. The query matrix
+  ships with the task closure; each corpus partition scores itself
+  against ALL queries with one BLAS matrix multiply inside
+  mapInPandas, emits its local top-k per query, and a tiny global
+  rank merges the per-partition winners. The corpus crosses the
+  Python boundary ONCE (Arrow-batched) — never materializing the
+  |corpus| x |queries| pair table that an expression-level cross
+  join would build. At 100 TB this is one embarrassingly-parallel
+  scan; the shuffle is only partitions x queries x k winner rows.
 - LSH-bucketed ANN: random-hyperplane signature buckets; queries only
   probe their own bucket (plus multiprobe neighbors at distance 1).
-  The scale path: corpus bucketed once (write-time partition key),
-  each query touches |corpus|/2^bits rows.
+  Bucketing is the same single-pass numpy shape: signatures for all
+  tables come from one (batch x dim) @ (dim x tables*bits) multiply.
+- IVF-flat ANN: KMeans coarse quantizer (fit on a BOUNDED sample),
+  cell-pruned exact rerank.
 
-Dot products run through F.aggregate/zip_with on double-cast arrays —
-JVM-side, no Python. The float→double cast keeps Spark and DuckDB
-bit-identical (both then sum left-to-right over the same values).
+Scalar-expression forms (`cosine`, `_dot`, `_norm`) stay for
+pair-column contexts (e.g. the blocked near-dup join) where the pair
+table is already small and a JVM expression avoids the Arrow hop.
+
+Reference parity: the reference has no vector search at all — this is
+the training-data-pipeline extension family (BASELINE.json north
+star); outputs are oracle-checked against DuckDB list_cosine_similarity
+and recall-contract-tested against the exact baseline.
 """
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+# Queries are collected to the driver and shipped in the task closure
+# (the broadcast-dim-join shape). A query batch beyond this cap means
+# the caller wants a pair join / ANN index, not a broadcast scan.
+MAX_QUERY_BATCH = 10_000
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -33,12 +52,59 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns. try_divide, not
-    `/`: under ANSI mode (Spark 4 default) a single all-zero vector —
-    a padding row, a dead image embedding — would throw
-    DIVIDE_BY_ZERO and kill the whole job; null drops out of top-k
-    rankings instead (desc ordering puts nulls last)."""
+    """Cosine similarity of two array<double> columns (JVM expression
+    form — for already-joined pair columns). try_divide, not `/`:
+    under ANSI mode (Spark 4 default) a single all-zero vector — a
+    padding row, a dead image embedding — would throw DIVIDE_BY_ZERO
+    and kill the whole job; null drops out of top-k rankings instead
+    (desc ordering puts nulls last)."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """floor((x+1e-9)*1e6+0.5)/1e6 — the cross-engine-stable 6dp
+    rounding used by every float oracle in this repo."""
+    return np.floor((x + 1e-9) * 1e6 + 0.5) / 1e6
+
+
+# DataType instance, not a DDL string: string return types parse via
+# the active SparkContext, which doesn't exist when the Python worker
+# re-imports this module.
+@pandas_udf(DoubleType())
+def _pair_cosine6(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Rounded cosine over pair rows (Arrow-batched numpy). Zero
+    vectors yield NULL, mirroring try_divide."""
+    if len(a) == 0:
+        return pd.Series([], dtype="Float64")
+    av = np.vstack(a.to_numpy()).astype(np.float64)
+    bv = np.vstack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", av, bv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = num / (np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1))
+    out = pd.Series(_round6(cos), dtype="Float64")
+    out[~np.isfinite(cos)] = pd.NA
+    return out
+
+
+def _collect_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch {len(rows)} exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "use an ANN index or a pair join for bulk all-pairs scoring"
+        )
+    q_ids = np.array([r["qid"] for r in rows], dtype=np.int64)
+    q_mat = (
+        np.array([list(r["qv"]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    return q_ids, q_mat
 
 
 def cosine_topk(
@@ -49,126 +115,109 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self), deterministic
-    tie-break on corpus id. Queries are broadcast → no shuffle of the
-    corpus; the only wide op is the per-query top-k, which Spark runs
-    as a windowed rank over query-partitioned rows."""
+    tie-break on corpus id.
+
+    Physical shape: per corpus partition, ONE (rows x dim) @
+    (dim x n_queries) BLAS multiply + per-query local top-k (sorted on
+    the already-rounded score with id tie-break, so the partition
+    winners are exactly the global contenders); the global stage ranks
+    only partitions x queries x k rows. No pair-table materialization,
+    no per-element expression evaluation."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    spark = corpus.sparkSession
+    out_ddl = "query_id long, neighbor_id long, cosine double"
+    q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return spark.createDataFrame([], out_ddl + ", rank long")
+    q_norms = np.linalg.norm(q_mat, axis=1)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            c_mat = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            c_norms = np.linalg.norm(c_mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (c_mat @ q_mat.T) / np.outer(c_norms, q_norms)
+            rounded = _round6(cos)
+            for j in range(q_ids.size):
+                valid = np.isfinite(cos[:, j]) & (ids != q_ids[j])
+                idx = np.nonzero(valid)[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -rounded[idx, j]))[:k]
+                sel = idx[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(sel.size, q_ids[j], dtype=np.int64),
+                        "neighbor_id": ids[sel],
+                        "cosine": rounded[sel, j],
+                    }
+                )
+
+    part_top = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
-    )
+    ).mapInPandas(local_topk, out_ddl)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        part_top.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no numpy dependency in
-    executors — plain python, broadcast as literals)."""
+    """Deterministic pseudo-random hyperplanes (plain python RNG —
+    reproducible across machines, shipped as task-closure constants)."""
     import random
 
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit j = sign(dot(v, plane_j))."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec, arr) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
-
-
-def ann_ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
+def _bucketize(
+    df: DataFrame,
+    planes: np.ndarray,
+    tables: int,
+    bits: int,
+    id_out: str,
+    vec_out: str,
+    multiprobe: bool,
 ) -> DataFrame:
-    """IVF-flat ANN: a KMeans coarse quantizer partitions the corpus
-    into n_cells inverted lists; each query exact-reranks only its
-    n_probe nearest cells — candidate fraction ≈ n_probe/n_cells of
-    the corpus. At 100 TB the cell id is the write-time partition key
-    (partition-pruned probes); the quantizer trains on a sample. This
-    is the clustered-data complement to ann_lsh_topk: LSH needs no
-    training but probes fixed hyperplane buckets; IVF adapts cells to
-    the data distribution."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
+    """(id, vec) → exploded (id, vec, tbl, bucket) rows. All
+    tables*bits signature bits come from one matrix multiply per
+    Arrow batch; multiprobe additionally emits the `bits` hamming-1
+    neighbor buckets per (row, table)."""
+    weights = (1 << np.arange(bits)).astype(np.int64)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("features", array_to_vector("cvec"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(c)
-    c_assigned = model.transform(c).select("neighbor_id", "cvec", "cell")
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.vstack(pdf[vec_out].to_numpy()).astype(np.float64)
+            signs = (v_mat @ planes.T) > 0  # (n, tables*bits)
+            for t in range(tables):
+                buckets = signs[:, t * bits : (t + 1) * bits] @ weights
+                base = pd.DataFrame(
+                    {
+                        id_out: pdf[id_out].to_numpy(),
+                        vec_out: pdf[vec_out],
+                        "tbl": np.int32(t),
+                        "bucket": buckets,
+                    }
+                )
+                yield base
+                if multiprobe:
+                    for j in range(bits):
+                        probe = base.copy()
+                        probe["bucket"] = buckets ^ (1 << j)
+                        yield probe
 
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    cent_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(i, v) for i, v in enumerate(centroids)], "cell int, centroid array<double>"
-        )
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
-    # rank cells per query by centroid distance, probe the top n_probe
-    qc = q.crossJoin(cent_df).withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
-    probes = qc.withColumn("cr", F.row_number().over(wq)).filter(
-        F.col("cr") <= n_probe
-    ).select("query_id", "qvec", "cell")
-
-    scored = (
-        c_assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return df.mapInPandas(
+        gen, f"{id_out} long, {vec_out} array<double>, tbl int, bucket long"
     )
 
 
@@ -194,59 +243,120 @@ def ann_lsh_topk(
     each query probe is a partition-pruned read, not a scan."""
     from pyspark.sql import Window
 
-    all_planes = [hyperplanes(dim, bits, seed=42 + t) for t in range(tables)]
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).select(
-        "neighbor_id",
-        "cvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), lsh_bucket(F.col("cvec"), all_planes[t]).alias("bucket")
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("neighbor_id", "cvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), lsh_bucket(F.col("qvec"), all_planes[t]).alias("bucket")
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("query_id", "qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("qbucket"))
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
-        )
-        q = q.select("query_id", "qvec", "tbl", F.explode(probes).alias("bucket"))
-    else:
-        q = q.select("query_id", "qvec", "tbl", F.col("qbucket").alias("bucket"))
-
+    planes = np.array(
+        [p for t in range(tables) for p in hyperplanes(dim, bits, seed=42 + t)],
+        dtype=np.float64,
+    )
+    c = _bucketize(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        ),
+        planes, tables, bits, "neighbor_id", "cvec", multiprobe=False,
+    )
+    q = _bucketize(
+        queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        ),
+        planes, tables, bits, "query_id", "qvec", multiprobe=multiprobe,
+    )
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")) + 1e-9, 6).alias("cosine"),
+            _pair_cosine6("qvec", "cvec").alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def quantizer_fit_frame(c: DataFrame, cap: int, seed: int) -> DataFrame:
+    """Bounded KMeans training input: a seeded Bernoulli sample sized
+    ≈ cap rows (or the whole frame when it's already below cap). The
+    boundedness is contract-tested — fitting the quantizer on the full
+    corpus is the 100 TB job-killer this guards against."""
+    n = c.count()
+    return c.sample(False, cap / n, seed=seed) if n > cap else c
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_cap: int = 20000,
+) -> DataFrame:
+    """IVF-flat ANN: a KMeans coarse quantizer partitions the corpus
+    into n_cells inverted lists; each query exact-reranks only its
+    n_probe nearest cells — candidate fraction ≈ n_probe/n_cells of
+    the corpus. At 100 TB the cell id is the write-time partition key
+    (partition-pruned probes); the quantizer trains on a BOUNDED
+    sample (≤ fit_sample_cap rows) — a full-corpus multi-pass KMeans
+    before any query runs would be the job-killer at scale, and
+    quantizer quality needs only thousands of points per cell. This
+    is the clustered-data complement to ann_lsh_topk: LSH needs no
+    training but probes fixed hyperplane buckets; IVF adapts cells to
+    the data distribution."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("features", array_to_vector("cvec"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(quantizer_fit_frame(c, fit_sample_cap, seed))
+    c_assigned = model.transform(c).select("neighbor_id", "cvec", "cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)], "cell int, centroid array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    # rank cells per query by centroid distance, probe the top n_probe
+    # (tiny frame: |queries| x n_cells rows — fold expression is fine)
+    qc = q.crossJoin(cent_df).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = qc.withColumn("cr", F.row_number().over(wq)).filter(
+        F.col("cr") <= n_probe
+    ).select("query_id", "qvec", "cell")
+
+    scored = (
+        c_assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cosine6("qvec", "cvec").alias("cosine"),
+        )
         .filter(F.col("cosine").isNotNull())  # zero-vector pairs drop out
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -203,6 +203,22 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
 
 
+def test_ann_ivf_quantizer_fit_is_bounded(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    n = emb.count()
+    cap = max(50, n // 4)
+    fit = sim.quantizer_fit_frame(emb, cap, seed=42)
+    n_fit = fit.count()
+    # Bernoulli sample targets `cap` in expectation; 1.5x headroom
+    assert n_fit <= cap * 1.5, f"quantizer fit {n_fit} rows > bound {cap * 1.5}"
+    assert n_fit >= cap * 0.5, "sample too small to train a usable quantizer"
+    # below the cap the whole frame is used untouched
+    assert sim.quantizer_fit_frame(emb, n + 1, seed=42).count() == n
+
+
 def test_quality_score_null_propagates(spark):
     df = spark.createDataFrame([(1, None), (2, "the cat and a dog of it")],
                                "doc_id long, text string")
