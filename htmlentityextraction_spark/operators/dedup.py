@@ -233,24 +233,36 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of a token array: per bit, sign of Σ(±1) over
+# SimHash geometry: 60 bits (15 md5 hex chars per token hash) banded
+# 4 x 15. The md5-prefix hash family is reproducible in ANY engine
+# (DuckDB: CAST('0x'||substring(md5(t),1,15) AS BIGINT) == Spark:
+# conv(substring(md5(t),1,15),16,10)), which is what lets the whole
+# sketch pipeline be hash-gated against the DuckDB oracle instead of
+# rows-only. xxhash64 would be ~faster per token but is Spark-private;
+# md5 still runs JVM-side inside codegen.
+SIMHASH_BITS = 60
+_SIMHASH_BAND_BITS = 15
+
+
+def _token_hash60(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(tokens: Column) -> Column:
+    """60-bit SimHash of a token array: per bit, sign of Σ(±1) over
     token hashes; assembled into one BIGINT via sum of set bits.
-    Stays columnar: one xxhash64 pass + 64 aggregate expressions."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    Columnar expression form (for small arrays); the pair operator
+    uses the explode+codegen shape instead."""
+    hashes = F.transform(tokens, _token_hash60)
     bit_cols = []
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         vote = F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        # set bit i when the vote is positive; bit 63 via negative long
-        if i < 63:
-            bit_cols.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
-        else:
-            bit_cols.append(F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0)))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out + c
@@ -263,36 +275,37 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
+    """Near-dup pairs by SimHash: band the 60 bits into 4×15-bit keys
     (any pair within hamming ≤ 3 of each other shares ≥1 exact band —
-    pigeonhole), join per band, verify with bit_count(xor)."""
+    pigeonhole), join per band, verify with bit_count(xor). The DuckDB
+    oracle recomputes simhashes with the same md5 hash family and
+    emits ALL pairs with hamming ≤ max_hamming — so the gate also
+    proves the banding loses nothing (pigeonhole completeness)."""
     from htmlentityextraction_spark.functions.text import tokenize
 
     # explode + codegen, same rationale as minhash_signatures_codegen:
-    # 64 interpreted aggregate() lambdas per doc don't scale
+    # 60 interpreted aggregate() lambdas per doc don't scale
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("__t")
-    ).select("doc", F.xxhash64("__t").alias("__h"))
+    ).select("doc", _token_hash60(F.col("__t")).alias("__h"))
     votes = toks.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v_{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     bits = [
-        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for i in range(64)
+        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
     ]
     acc = bits[0]
     for c in bits[1:]:
         acc = acc + c
     sh = votes.select("doc", acc.alias("simhash"))
     bands = [
-        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{b}")
+        F.shiftright("simhash", _SIMHASH_BAND_BITS * b).bitwiseAND(F.lit(0x7FFF)).alias(f"band_{b}")
         for b in range(4)
     ]
     banded = sh.select("doc", "simhash", *bands)

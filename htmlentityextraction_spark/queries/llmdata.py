@@ -1,8 +1,18 @@
 """Training-data-pipeline queries: dedup, similarity search, text
 analysis over the documents/embeddings fixtures (BASELINE.json north
-star). Sketch-based tiers (MinHash-LSH, SimHash, ANN) are rows-only
-(not SQL-expressible in DuckDB at reasonable cost) and are instead
-property-tested in tests/; everything else carries a full oracle.
+star).
+
+Sketch-tier oracles: the MinHash-LSH query is gated against the EXACT
+char-5-shingle Jaccard pair set (DuckDB recomputes it from the raw
+text) — a hash match proves the full sketch pipeline (signatures,
+banding, candidate join, estimate pre-filter, verify) recovers the
+true near-dup set, i.e. recall 1.0 at this threshold on this corpus.
+The SimHash query uses a cross-engine md5-derived token hash so the
+oracle recomputes the very same simhashes and emits ALL pairs within
+the hamming radius — gating both the hash math and the pigeonhole
+completeness of the banding. ANN tiers stay rows-only (KMeans/LSH
+candidate sets are not SQL-expressible) with recall contracts in
+tests/.
 """
 
 from __future__ import annotations
@@ -69,17 +79,76 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
-# --- MinHash-LSH near-dup (rows-only: sketch not DuckDB-expressible) ---
-@register("dedup_minhash_lsh")
+# --- MinHash-LSH near-dup, gated against the exact shingle-Jaccard set ---
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM.format(col='text')} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               substring(t, CAST(unnest(generate_series(1, greatest(length(t) - 4, 1)))
+                              AS INTEGER), 5) AS g
+        FROM norm
+    ), counts AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i) + 1e-9, 6) AS jaccard
+    FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i) + 1e-9, 6) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs verified with true shingle
-    Jaccard; recall/precision property-tested in tests/test_dedup.py."""
+    Jaccard. The oracle is the EXACT char-5-shingle Jaccard >= 0.5
+    pair set — hash equality is a recall-1.0 + precision-1.0 proof of
+    the whole sketch pipeline on this corpus (the verify stage makes
+    precision exact by construction; the fixture's near-dups sit far
+    above threshold, where banded detection probability is ~1).
+    Recall/precision additionally property-tested in tests/."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
-# --- SimHash near-dup (rows-only) ---
-@register("dedup_simhash")
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB recomputation of the 60-bit md5-family SimHash + the
+    FULL hamming-radius pair set (no banding — gating the Spark side's
+    banding as lossless)."""
+    tok_hash = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    toks = _TOKS.format(col="text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS t FROM documents
+    ), h AS (
+        SELECT doc_id, {tok_hash} AS h FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ), sh AS (
+        SELECT doc_id, {assemble} AS simhash FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(max_hamming=3))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, max_hamming=3)
