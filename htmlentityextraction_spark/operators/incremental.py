@@ -55,3 +55,160 @@ def incremental_run(
     result = process(new_rows)
     write_watermark(state_dir, str(stats["mx"]))
     return result, stats["n"]
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE table (K3/K8 upsert + anti-upsert as a table format)
+# ---------------------------------------------------------------------------
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+class ParquetMergeTable:
+    """Minimal copy-on-write table format supporting incremental MERGE
+    (matched → update, matched tombstone → delete, unmatched → insert)
+    over key-bucketed parquet with an atomic manifest swap.
+
+    This is the table-format answer to the reference's mutable-store
+    sinks: MySQL ``INSERT … ON DUPLICATE KEY UPDATE``
+    (`analytics/UpdateProdMetrics.scala:264-306`) and Cassandra CQL
+    DELETE (`emr/SwapIDs.scala:119-128`) — the Delta/Iceberg-style
+    MERGE a production user runs daily, reduced to its load-bearing
+    parts:
+
+    - data lives in ``num_buckets`` key-hash buckets, one parquet dir
+      per (bucket, version); a JSON manifest maps bucket → current dir.
+    - MERGE rewrites ONLY the buckets that contain updated keys
+      (copy-on-write file reuse for the rest) — at 100 TB a trickle
+      merge touches |update-buckets|, not the table.
+    - readers resolve the manifest first: a snapshot is immutable.
+    - commit = write-new-files, then atomically replace the manifest
+      (os.replace here; a conditional PUT on an object store). A crash
+      BEFORE the swap leaves the old snapshot fully intact — verified
+      by the restart-safety test, which stages a merge, "crashes", and
+      re-runs it.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str, num_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.num_buckets = num_buckets
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_file) as f:
+            return json.load(f)
+
+    def _swap_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_file)
+
+    def _bucket(self, key: Column) -> Column:
+        return F.pmod(F.xxhash64(key), F.lit(self.num_buckets))
+
+    def _write_buckets(self, df: DataFrame, version: int, buckets: list[int]) -> dict[str, str]:
+        """Write one dir per bucket under v{version}/, return
+        bucket → relative path entries."""
+        vdir = f"v{version}"
+        out = df.withColumn("__bucket", self._bucket(F.col(self.key_col)))
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(self.path, vdir)
+        )
+        return {str(b): os.path.join(vdir, f"__bucket={b}") for b in buckets}
+
+    # -- operations --------------------------------------------------------
+    def create(self, df: DataFrame) -> None:
+        """Initial snapshot (version 1, all buckets)."""
+        os.makedirs(self.path, exist_ok=True)
+        entries = self._write_buckets(df, 1, list(range(self.num_buckets)))
+        # drop entries for buckets with no rows (partitionBy writes none)
+        entries = {
+            b: p for b, p in entries.items()
+            if os.path.isdir(os.path.join(self.path, p))
+        }
+        self._swap_manifest({"version": 1, "buckets": entries})
+
+    def read(self) -> DataFrame:
+        """Current snapshot (manifest-resolved; immutable per read)."""
+        m = self._read_manifest()
+        paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
+        if not paths:
+            return self.spark.createDataFrame([], self._schema_of_empty())
+        return self.spark.read.parquet(*paths)
+
+    def merge(self, updates: DataFrame, op_col: str = "op") -> dict:
+        """MERGE: rows with op='upsert' update matched keys or insert
+        new ones; op='delete' removes matched keys. Returns the new
+        manifest. Equal to staged_merge + commit."""
+        staged = self.staged_merge(updates, op_col)
+        self.commit(staged)
+        return staged
+
+    def staged_merge(self, updates: DataFrame, op_col: str = "op") -> dict:
+        """Write the post-merge files for every affected bucket and
+        return the NEW manifest — without publishing it. A crash here
+        (or a discarded stage) leaves readers on the old snapshot."""
+        m = self._read_manifest()
+        version = m["version"] + 1
+        upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
+        affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
+        if not affected:
+            return {"version": version, "buckets": dict(m["buckets"])}
+
+        old_paths = [
+            os.path.join(self.path, m["buckets"][str(b)])
+            for b in affected
+            if str(b) in m["buckets"]
+        ]
+        data_cols = [c for c in upd.columns if c not in (op_col, "__bucket")]
+        if old_paths:
+            old = self.spark.read.parquet(*old_paths)
+        else:
+            old = self.spark.createDataFrame([], updates.drop(op_col).schema)
+
+        k = self.key_col
+        upd_named = upd.select(
+            F.col(k).alias("__uk"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__u_{c}") for c in data_cols if c != k],
+        )
+        joined = old.join(upd_named, old[k] == upd_named["__uk"], "full_outer")
+        merged_cols = [
+            F.coalesce(F.col(k), F.col("__uk")).alias(k),
+            *[
+                F.when(F.col("__uk").isNotNull(), F.col(f"__u_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in data_cols
+                if c != k
+            ],
+        ]
+        merged = joined.filter(
+            F.col("__op").isNull() | (F.col("__op") == OP_UPSERT)
+        ).select(*merged_cols)
+
+        entries = dict(m["buckets"])
+        new_entries = self._write_buckets(merged, version, affected)
+        for b in affected:
+            p = new_entries[str(b)]
+            if os.path.isdir(os.path.join(self.path, p)):
+                entries[str(b)] = p
+            else:
+                entries.pop(str(b), None)  # bucket emptied by deletes
+        upd.unpersist()
+        return {"version": version, "buckets": entries}
+
+    def commit(self, manifest: dict) -> None:
+        """Publish a staged manifest (the atomic swap)."""
+        self._swap_manifest(manifest)
+
+    def _schema_of_empty(self):
+        raise ValueError("cannot read an empty table with no manifest entries")

@@ -181,6 +181,66 @@ def train_per_domain(
     return capped.groupBy("domain").applyInPandas(fit, REGISTRY_SCHEMA)
 
 
+CURVE_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("n_trees", T.LongType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("selected", T.BooleanType()),
+    ]
+)
+
+
+def submodel_curve_per_domain(
+    cand: DataFrame,
+    num_features: int = 1000,
+    min_doc_freq: int = 5,
+    top_k: int = 100,
+    n_estimators: int = 10,
+    max_depth: int = 3,
+    min_rows: int = 20,
+    max_rows_per_domain: int = 100_000,
+) -> DataFrame:
+    """M11/M13 (`transform/Transformer.scala:295-304`,
+    `emr/BuildModels.scala:45-55`, `domain/models/GBTPerDomain.scala:
+    62-68`): per domain, the tree-prefix sub-model curve — one row per
+    (domain, k) with the training F-score of the first-k-trees model —
+    plus the reference's model-size selection (argmax F, ties to the
+    smaller model) marked on the selected row. Same applyInPandas
+    group-task shape as train_per_domain: the curve costs one extra
+    margin pass per tree over the group, nothing cluster-wide."""
+
+    def curve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (domain,) = key
+        pdf = pdf.sort_values(["url", "candidate"], kind="stable").reset_index(drop=True)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        if len(pdf) < min_rows or y.sum() == 0 or y.sum() == len(y):
+            return pd.DataFrame(columns=[f.name for f in CURVE_SCHEMA.fields])
+        X, _idf, _indices = _tfidf_matrix(pdf, num_features, min_doc_freq, top_k)
+        model = GBTClassifier(n_estimators=n_estimators, max_depth=max_depth).fit(X, y)
+        curves = model.margin_curve(X)
+        rows = []
+        for k in range(1, curves.shape[0]):
+            pred = curves[k] > 0
+            tp = float((pred & (y == 1)).sum())
+            prec = tp / max(float(pred.sum()), 1.0)
+            sen = tp / max(float((y == 1).sum()), 1.0)
+            f1 = 2 * sen * prec / max(sen + prec, 1e-12)
+            rows.append({"domain": domain, "n_trees": k, "f1": round(f1, 6)})
+        best_k, _best_f1 = model.best_prefix_by_f1(X, y)
+        for r in rows:
+            r["selected"] = r["n_trees"] == best_k
+        return pd.DataFrame(rows)
+
+    w = Window.partitionBy("domain").orderBy("url", "candidate")
+    capped = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows_per_domain)
+        .drop("__rn")
+    )
+    return capped.groupBy("domain").applyInPandas(curve, CURVE_SCHEMA)
+
+
 def save_registry(registry: DataFrame, path: str) -> None:
     """Persist the per-domain model registry (M15 — the reference's
     single HashMap object file, `emr/Models2Object.scala:27-36`,

@@ -1,0 +1,87 @@
+"""Incremental table-format MERGE query (K3/K8 as a real table op).
+
+Two successive MERGE batches against a copy-on-write bucketed parquet
+table (operators/incremental.ParquetMergeTable), then the final
+snapshot. The oracle expresses the net effect of both batches in
+closed form, so a hash match proves update, delete, delete-persistence
+(half the deleted keys are NOT re-inserted), re-insert-after-delete,
+and brand-new-key insert all landed — across manifest versions.
+
+Reference: `analytics/UpdateProdMetrics.scala:264-306` (MySQL
+INSERT … ON DUPLICATE KEY UPDATE), `emr/SwapIDs.scala:119-128`
+(Cassandra DELETE after re-keying).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators.incremental import (
+    OP_DELETE,
+    OP_UPSERT,
+    ParquetMergeTable,
+)
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "merge_incremental_orders",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k AS o_orderkey,
+           CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
+                WHEN k % 14 = 2 THEN 1.0
+                WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                ELSE p END AS price
+    FROM o WHERE k % 14 <> 9
+    UNION ALL
+    SELECT k + 10000000 AS o_orderkey, 5.0 AS price FROM o WHERE k % 50 = 0
+    """,
+)
+def merge_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create table from orders → MERGE batch 1 (upsert k%7==1 to
+    +5%, delete k%7==2) → MERGE batch 2 (re-insert k%14==2 at price
+    1.0 — k%14==9 stays deleted —, upsert k%7==3 to -10%, insert new
+    keys k+10M for k%50==0 at 5.0) → read the final snapshot. Each
+    merge rewrites only the buckets holding its keys and publishes via
+    an atomic manifest swap."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="merge_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
+    tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
+    tbl.create(orders)
+
+    batch1 = orders.filter(F.pmod(k, F.lit(7)).isin(1, 2)).select(
+        "o_orderkey",
+        F.when(F.pmod(k, F.lit(7)) == 1, F.floor(F.col("price") * 1.05 * 100) / 100)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("price"),
+        F.when(F.pmod(k, F.lit(7)) == 1, F.lit(OP_UPSERT))
+        .otherwise(F.lit(OP_DELETE))
+        .alias("op"),
+    )
+    tbl.merge(batch1)
+
+    reinsert = orders.filter(F.pmod(k, F.lit(14)) == 2).select(
+        "o_orderkey", F.lit(1.0).alias("price"), F.lit(OP_UPSERT).alias("op")
+    )
+    discount = orders.filter(F.pmod(k, F.lit(7)) == 3).select(
+        "o_orderkey",
+        (F.floor(F.col("price") * 0.9 * 100) / 100).alias("price"),
+        F.lit(OP_UPSERT).alias("op"),
+    )
+    brand_new = orders.filter(F.pmod(k, F.lit(50)) == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit(5.0).alias("price"),
+        F.lit(OP_UPSERT).alias("op"),
+    )
+    tbl.merge(reinsert.unionByName(discount).unionByName(brand_new))
+
+    return tbl.read().select("o_orderkey", "price")

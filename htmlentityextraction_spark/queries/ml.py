@@ -22,6 +22,7 @@ from htmlentityextraction_spark.sources.tables import load_table
 
 _N_DOMAINS = 8
 _FIT = dict(n_estimators=10, max_depth=3, min_doc_freq=5, top_k=100)
+_FIT_CURVE = dict(n_estimators=10, max_depth=3, min_doc_freq=5, top_k=100)
 
 
 def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,6 +111,30 @@ def model_score_pick_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = md.train_per_domain(feats, **_FIT)
     scored = md.score_candidates(feats, reg)
     return md.pick_model_price(scored)
+
+
+@register(
+    "model_submodel_curve",
+    _ORACLE_BASE
+    + """
+    , domains AS (SELECT DISTINCT domain FROM pages)
+    SELECT d.domain AS domain,
+           CAST(t.k AS BIGINT) AS n_trees,
+           CAST(1.0 AS DOUBLE) AS f1,
+           t.k = 1 AS selected
+    FROM domains d, generate_series(1, 10) t(k)
+    """,
+)
+def model_submodel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11/M13 (`emr/BuildModels.scala:45-55`): per-domain tree-prefix
+    F-score curve + model-size selection. Closed form on the planted
+    corpus: the first tree already splits on the planted token, so
+    every prefix scores F1=1.0 and the tie-break selects the 1-tree
+    model — any curve row below 1.0 or a larger selected model is a
+    pipeline regression."""
+    labeled = _labeled_candidates(spark, sf_dir)
+    feats = md.featurize_candidates(labeled)
+    return md.submodel_curve_per_domain(feats, **_FIT_CURVE)
 
 
 @register(

@@ -58,3 +58,59 @@ def test_train_per_domain_caps_mega_domains(spark):
     ).collect()
     assert len(reg) == 1
     assert reg[0].n_rows == 50, "skew cap must bound the per-domain fit"
+
+
+def _mk_table(spark, tmp_path, rows):
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    df = spark.createDataFrame(rows, "o_orderkey long, price double")
+    tbl = ParquetMergeTable(spark, str(tmp_path / "tbl"), "o_orderkey", num_buckets=4)
+    tbl.create(df)
+    return tbl
+
+
+def test_merge_table_upsert_delete_insert(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(20)])
+    updates = spark.createDataFrame(
+        [(3, 33.0, "upsert"), (5, None, "delete"), (100, 1.5, "upsert")],
+        "o_orderkey long, price double, op string",
+    )
+    tbl.merge(updates)
+    got = {r.o_orderkey: r.price for r in tbl.read().collect()}
+    assert got[3] == 33.0, "matched upsert must update"
+    assert 5 not in got, "matched delete must remove the row"
+    assert got[100] == 1.5, "unmatched upsert must insert"
+    assert got[7] == 7.0, "untouched rows must survive"
+    assert len(got) == 20  # 20 - 1 delete + 1 insert
+
+
+def test_merge_table_crash_before_commit_preserves_snapshot(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(20)])
+    updates = spark.createDataFrame(
+        [(3, 99.0, "upsert"), (4, None, "delete")],
+        "o_orderkey long, price double, op string",
+    )
+    # stage the merge (files written) but "crash" before the manifest
+    # swap: readers must still see the original snapshot
+    staged = tbl.staged_merge(updates)
+    got = {r.o_orderkey: r.price for r in tbl.read().collect()}
+    assert got[3] == 3.0 and 4 in got and len(got) == 20, (
+        "un-committed merge must be invisible"
+    )
+    # restart: redo the whole merge (stage + commit) — must converge
+    tbl.merge(updates)
+    got = {r.o_orderkey: r.price for r in tbl.read().collect()}
+    assert got[3] == 99.0 and 4 not in got and len(got) == 19
+    assert staged["version"] == 2
+
+
+def test_merge_table_rewrites_only_affected_buckets(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(40)])
+    before = tbl._read_manifest()["buckets"]
+    updates = spark.createDataFrame([(3, 99.0, "upsert")], "o_orderkey long, price double, op string")
+    tbl.merge(updates)
+    after = tbl._read_manifest()["buckets"]
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1, f"single-key merge must rewrite one bucket, got {changed}"
+    # copy-on-write: unchanged buckets still point at the v1 files
+    assert all(after[b].startswith("v1/") for b in after if b not in changed)
