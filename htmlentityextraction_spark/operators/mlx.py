@@ -49,10 +49,11 @@ def random_forest_eval(
 
 
 def linear_svc_eval(
-    emb: DataFrame, label_threshold: int = 5, max_iter: int = 50, seed: int = 42
+    emb: DataFrame, label_threshold: int = 5, max_iter: int = 50
 ) -> DataFrame:
     """M17 (`models/SVM.scala:55-56`): linear SVM (hinge loss) on the
-    embeddings; per-class train accuracy."""
+    embeddings; per-class train accuracy. No seed parameter: LinearSVC
+    is deterministic by construction (OWLQN on a fixed objective)."""
     data = _vectorized(emb).withColumn(
         "y", (F.col("label") < label_threshold).cast("double")
     )

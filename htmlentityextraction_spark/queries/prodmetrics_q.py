@@ -75,6 +75,85 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prod_metrics_top2_extremes",
+    """
+    WITH deltas AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store_id,
+               l_extendedprice AS price,
+               lag(l_extendedprice) OVER w AS prev_price,
+               l_extendedprice - lag(l_extendedprice) OVER w AS delta
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+    ranked AS (
+        SELECT prodid, store_id, price, prev_price, delta,
+               row_number() OVER (PARTITION BY prodid
+                   ORDER BY delta DESC, store_id, price, prev_price) AS rn_inc,
+               row_number() OVER (PARTITION BY prodid
+                   ORDER BY delta ASC, store_id, price, prev_price) AS rn_dec
+        FROM valid
+    )
+    SELECT prodid, 'inc' AS kind, CAST(rn_inc AS BIGINT) AS rank, store_id,
+           round(delta + 1e-9, 6) AS delta,
+           round(prev_price + 1e-9, 6) AS price_from,
+           round(price + 1e-9, 6) AS price_to
+    FROM ranked WHERE rn_inc <= 2
+    UNION ALL
+    SELECT prodid, 'dec' AS kind, CAST(rn_dec AS BIGINT) AS rank, store_id,
+           round(delta + 1e-9, 6) AS delta,
+           round(prev_price + 1e-9, 6) AS price_from,
+           round(price + 1e-9, 6) AS price_to
+    FROM ranked WHERE rn_dec <= 2
+    """,
+)
+def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProdMetricsV6 top-2 variant (`analytics/ProdMetricsV6.scala:
+    106-137`): per product, the TWO largest price increases and TWO
+    largest decreases with their endpoints (previous price → new
+    price) and store. Emitted as (prodid, kind, rank) rows — products
+    with a single delta yield only rank 1. Same single delta-window
+    pass as the top-1 variant; both rank families share the prodid
+    partitioning so no extra shuffle."""
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    deltas = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("prodid"),
+            F.col("l_suppkey").alias("store_id"),
+            F.col("l_extendedprice").alias("price"),
+            F.lag("l_extendedprice").over(w).alias("prev_price"),
+            (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+    )
+    wi = Window.partitionBy("prodid").orderBy(
+        F.desc("delta"), "store_id", "price", "prev_price"
+    )
+    wd = Window.partitionBy("prodid").orderBy(
+        F.asc("delta"), "store_id", "price", "prev_price"
+    )
+    ranked = deltas.withColumn("rn_inc", F.row_number().over(wi)).withColumn(
+        "rn_dec", F.row_number().over(wd)
+    )
+
+    def emit(kind: str, rn: str) -> DataFrame:
+        return ranked.filter(F.col(rn) <= 2).select(
+            "prodid",
+            F.lit(kind).alias("kind"),
+            F.col(rn).cast("bigint").alias("rank"),
+            "store_id",
+            F.round(F.col("delta") + 1e-9, 6).alias("delta"),
+            F.round(F.col("prev_price") + 1e-9, 6).alias("price_from"),
+            F.round(F.col("price") + 1e-9, 6).alias("price_to"),
+        )
+
+    return emit("inc", "rn_inc").unionByName(emit("dec", "rn_dec"))
+
+
+@register(
     "pivot_store_price_matrix",
     """
     WITH latest AS (

@@ -71,14 +71,20 @@ def serve_stream(
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
     fanning out to historical/ (all), realtime/ (passing), logs/
-    (errored) parquet sinks."""
+    (errored) parquet sinks, and logs_corrupt/ for unparseable
+    messages (payload preserved — the reference's error topic routing,
+    `utils/Utils.scala:442-460`, not a silent drop)."""
     registry_rows = registry.collect()
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
-        pages = schemas.parse_page_messages(batch).filter(~F.col("is_corrupt"))
-        result = score_pages_batch(pages, registry_rows)
+        parsed = schemas.parse_page_messages(batch)
+        parsed.persist()
+        result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
         result.persist()
         try:
+            parsed.filter(F.col("is_corrupt")).select(
+                "raw_payload", F.lit("corruptMessage").alias("status")
+            ).write.mode("append").parquet(os.path.join(out_dir, "logs_corrupt"))
             result.write.mode("append").parquet(os.path.join(out_dir, "historical"))
             result.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
                 os.path.join(out_dir, "realtime")
@@ -88,6 +94,7 @@ def serve_stream(
             )
         finally:
             result.unpersist()
+            parsed.unpersist()
 
     q = (
         raw_stream.writeStream.foreachBatch(batch_fn)

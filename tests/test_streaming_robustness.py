@@ -147,8 +147,13 @@ def test_serve_path_survives_corrupt_and_null_messages(spark):
 
     hist = spark.read.parquet(os.path.join(out, "historical")).collect()
     by_url = {r.url: r for r in hist}
-    # corrupt message filtered out entirely; both parseable pages present
+    # corrupt message kept out of scoring but routed to the error side
+    # output with its payload intact (reference error-topic behavior)
     assert set(by_url) == {"http://good.com/p/1", "http://good.com/p/2"}
+    corrupt = spark.read.parquet(os.path.join(out, "logs_corrupt")).collect()
+    assert len(corrupt) == 1
+    assert corrupt[0].raw_payload == "{broken json!!"
+    assert corrupt[0].status == "corruptMessage"
     # null-html page takes the sentinel path, pattern price wins
     r2 = by_url["http://good.com/p/2"]
     assert r2.model_price == -1.0 and r2.status == "allFalseCandids"
