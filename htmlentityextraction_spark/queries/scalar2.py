@@ -158,22 +158,31 @@ def scheduler_due_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rates.filter(F.pmod(tick, F.col("update_window")) == 0)
 
 
-@register("hll_distinct_parts_per_supplier")
+@register(
+    "hll_distinct_parts_per_supplier",
+    """
+    SELECT l_suppkey AS supplier,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS within_5pct
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
 def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch aggregation (Spark 3.5+ datasketches): per-supplier
     distinct-part estimates from mergeable sketches — the shuffle-
     friendly form of count(distinct) at 100 TB (partial sketches merge
-    map-side; the exact form must shuffle every key pair). Rows-only:
-    DuckDB has no compatible HLL; the ±5% accuracy contract vs exact
-    counts is pytest-enforced (tests/test_bucketing.py)."""
+    map-side; the exact form must shuffle every key pair). DuckDB has
+    no compatible HLL, so the gated contract is the ACCURACY: the
+    estimate must land within ±5% of the exact count for every
+    supplier (within_5pct must hash as all-true). The raw estimate is
+    additionally tolerance-tested in tests/test_bucketing.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_suppkey").alias("supplier"))
-        .agg(
-            F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias(
-                "approx_parts"
-            ),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .select("supplier", "approx_parts", "exact_parts")
+    agg = li.groupBy(F.col("l_suppkey").alias("supplier")).agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.col("exact_parts") * 0.05
+    )
+    return agg.select("supplier", "exact_parts", within.alias("within_5pct"))
