@@ -173,20 +173,24 @@ def minhash_lsh_pairs(
     # Sketch pre-filter: a dense corpus can emit far more band
     # collisions than true near-dups (178k pairs for 5k docs at
     # sf0.1). Estimate jaccard as the fraction of equal signature
-    # components (64 long equality checks — cheap) and only
-    # exact-verify pairs estimated within margin of the threshold.
-    sig_a = sigs.select(
-        F.col("doc").alias("id_a"), *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(num_hashes)]
+    # components and only exact-verify pairs estimated within margin
+    # of the threshold. Signatures are PACKED into one array column
+    # before the pair join — joining two 64-column tables pushed a
+    # ~130-column projection through the planner (measured: most of
+    # the query's cold-start was driver-side plan work, not
+    # execution); the packed form joins 2 columns and compares with
+    # one zip_with over the (small) candidate set, off the hot path.
+    sig_arr = sigs.select(
+        "doc", F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sig")
     )
-    sig_b = sigs.select(
-        F.col("doc").alias("id_b"), *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(num_hashes)]
-    )
-    est = sum(
-        F.when(F.col(f"sa_{i}") == F.col(f"sb_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    est = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
     ) / float(num_hashes)
     cand = (
-        raw_cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        raw_cand.join(sig_arr.select(F.col("doc").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sig_arr.select(F.col("doc").alias("id_b"), F.col("sig").alias("sb")), "id_b")
         .withColumn("__est", est)
         .filter(F.col("__est") >= jaccard_threshold - 0.15)
         .select("id_a", "id_b")
