@@ -345,11 +345,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang", "source"),
     threshold: float = 0.8,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs within blocking keys — the
     SQL-expressible ground truth the sketch tiers approximate. The
-    block join bounds the pair space; at 100 TB the block must be a
-    real partition key (here lang×source)."""
+    join is QUADRATIC within each block: this is the verifier for
+    candidate sets / small blocks, NOT a corpus-wide dedup pass (use
+    minhash_lsh_pairs for that). max_block_rows makes the misuse loud:
+    any block larger than the cap fails the job with the offending key
+    instead of silently launching an O(n²) shuffle."""
     from htmlentityextraction_spark.functions.text import tokenize
 
     toks = df.select(
@@ -357,6 +361,22 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
     )
+    if max_block_rows is not None:
+        big = (
+            toks.groupBy(*block_cols)
+            .count()
+            .filter(F.col("count") > max_block_rows)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            key = {c: big[0][c] for c in block_cols}
+            raise ValueError(
+                f"ngram_jaccard_pairs: block {key} has {big[0]['count']} rows "
+                f"(> max_block_rows={max_block_rows}); quadratic verify would "
+                "not scale — run a sketch tier (minhash_lsh_pairs) instead or "
+                "raise the cap explicitly"
+            )
     left = toks.select(
         F.col("doc").alias("id_a"), F.col("toks").alias("t_a"), *[F.col(c) for c in block_cols]
     )

@@ -67,15 +67,53 @@ def _events_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events fixture (Kafka stand-in, T2: the
-    file source replays from the beginning — `startingOffsets =
-    smallest`). Nanos→micros conversion matches the batch loader."""
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    starting_offset: str = "smallest",
+    max_files_per_trigger: int | None = None,
+    events_dir: str | None = None,
+) -> DataFrame:
+    """Streaming scan of the events fixture (Kafka stand-in, S7/T2).
+
+    Offset-reset parity with the reference's Kafka direct stream
+    (`streaming/Htmls2PredsPipe.scala:36,95-98`):
+
+    - ``smallest``: replay the topic from the beginning — the file
+      source's native behavior.
+    - ``largest``: consume only records that arrive AFTER stream
+      creation. The file stand-in snapshots the max event time at
+      creation and filters to strictly-newer rows, so data already in
+      the dir is skipped exactly like Kafka's latest-offset reset.
+
+    ``max_files_per_trigger`` maps to the file source's
+    maxFilesPerTrigger — the micro-batch sizing knob standing in for
+    Kafka's partition/batch assignment (T1).
+
+    Nanos→micros conversion matches the batch loader."""
+    if starting_offset not in ("smallest", "largest"):
+        raise ValueError(f"starting_offset must be smallest|largest, got {starting_offset!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_events_dir(sf_dir))
+    # events_dir: a FLAT dir of parquet files acting as the topic (the
+    # file stream source does not recurse into subdirectories)
+    d = events_dir if events_dir is not None else _events_dir(sf_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(d)
     # integer DIV (not floor of a double divide — nanos overflow the
     # double mantissa and round 1 us high), matching the batch loader
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if starting_offset == "largest":
+        head = (
+            spark.read.schema(EVENTS_RAW_SCHEMA)
+            .parquet(d)
+            .agg(F.max(F.expr("ts div 1000")).alias("mx"))
+            .first()["mx"]
+        )
+        if head is not None:
+            out = out.filter(F.col("ts") > F.timestamp_micros(F.lit(head)))
+    return out
 
 
 def enrich_events(stream: DataFrame) -> DataFrame:

@@ -133,3 +133,59 @@ def test_watermark_drops_late_data_across_restart(spark):
     assert sums.get(12) == 3.0
     assert 10 not in sums
     shutil.rmtree(src); shutil.rmtree(ckpt); shutil.rmtree(sink)
+
+
+def _write_events(spark, flat_dir, ids_ts, tag):
+    """Append a batch of events as ONE flat parquet file (the file
+    stream source treats each top-level file as a topic arrival)."""
+    rows = [(i, ts, i % 5, "click", 1.0, '{"k":1}') for i, ts in ids_ts]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    staging = flat_dir.rstrip("/") + f"_staging_{tag}"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(flat_dir, exist_ok=True)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staging, f), os.path.join(flat_dir, f"{tag}-{f}"))
+
+
+def test_starting_offset_semantics(spark, tmp_path):
+    """S7/T2 Kafka offset-reset parity on the file stand-in:
+    smallest replays history, largest consumes only post-creation
+    arrivals."""
+    topic = str(tmp_path / "topic")
+    ns = 1_000_000_000
+    _write_events(spark, topic, [(1, 100 * ns), (2, 200 * ns)], "a")
+
+    # smallest: the full history is replayed
+    s_small = sp.read_events_stream(spark, "", events_dir=topic)
+    assert sp.run_to_memory(spark, s_small).count() == 2
+
+    # largest: created now -> existing rows are skipped...
+    s_large = sp.read_events_stream(spark, "", starting_offset="largest", events_dir=topic)
+    # ...then two new records "arrive" after stream creation
+    _write_events(spark, topic, [(3, 300 * ns), (4, 400 * ns)], "b")
+    got = sp.run_to_memory(spark, s_large).select("event_id").collect()
+    assert sorted(r.event_id for r in got) == [3, 4]
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, tmp_path):
+    """T1 micro-batch sizing: maxFilesPerTrigger=1 over 3 files must
+    produce 3 micro-batches (the partition/batch-assignment knob of
+    the Kafka stand-in)."""
+    topic = str(tmp_path / "topic")
+    ns = 1_000_000_000
+    for i in range(3):
+        _write_events(spark, topic, [(i, (i + 1) * 100 * ns)], f"f{i}")
+
+    batches = []
+    s = sp.read_events_stream(spark, "", max_files_per_trigger=1, events_dir=topic)
+    q = (
+        s.writeStream.foreachBatch(lambda b, bid: batches.append(b.count()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) == 3 and all(n == 1 for n in batches)
