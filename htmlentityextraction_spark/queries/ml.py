@@ -107,7 +107,11 @@ def model_score_pick_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast registry → per-url argmax-positive price with the
     -1/-2 sentinels (`streaming/Htmls2PredsPipe.scala:104-159`)."""
     labeled = _labeled_candidates(spark, sf_dir)
-    feats = md.featurize_candidates(labeled)
+    # persist: the training job (registry collect) and the scoring job
+    # both consume feats — without it the pandas-UDF extraction runs
+    # twice (the reference cached its parsed RDD for the same reason,
+    # `GBTDomainSuperParSelectCandid.scala:26`)
+    feats = md.featurize_candidates(labeled).persist()
     reg = md.train_per_domain(feats, **_FIT)
     scored = md.score_candidates(feats, reg)
     return md.pick_model_price(scored)
@@ -152,7 +156,9 @@ def model_url_level_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level selected-candidate eval (`transform/Transformer.scala:
     322-337`): positives are recovered exactly, negatives yield the
     -1 sentinel (counted incorrect)."""
-    labeled = _labeled_candidates(spark, sf_dir)
+    # persist at the labeled level: feats (train + score) AND the
+    # truth side both re-derive from the pandas-UDF extraction
+    labeled = _labeled_candidates(spark, sf_dir).persist()
     feats = md.featurize_candidates(labeled)
     reg = md.train_per_domain(feats, **_FIT)
     truth = labeled.select("url", "domain", "price")
