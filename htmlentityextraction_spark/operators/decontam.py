@@ -1,0 +1,163 @@
+"""Corpus-hygiene operators a training-data pipeline runs before
+pretraining: benchmark decontamination, incremental (cross-corpus)
+dedup, and boilerplate-segment removal.
+
+The reference has no equivalent (its dedup surface stops at URL-level
+keep-latest, `emr/SwapIDs.scala`); these extend the LLM-data family
+(`operators/dedup.py`) with the ops run against a *held-out* set or an
+*existing* corpus rather than within one batch.
+
+All three are pure DataFrame compositions — tokenization and n-gram
+construction use sequence/transform/slice array SQL (JVM-side, no
+Python), and every join is either broadcast (held-out benchmark sets
+are small by construction) or a single hash shuffle on a 64-bit gram
+hash / fingerprint (never on raw text), which is the shape that holds
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.text import tokenize
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All space-joined word n-grams of a token array; empty array when
+    the doc has fewer than ``n`` tokens. sequence+transform+slice keeps
+    it JVM-side; the guard matters because Spark ``sequence(1, 0)``
+    DESCENDS ([1, 0]) instead of returning empty."""
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_tokens(toks: Column, seg_len: int) -> Column:
+    """Non-overlapping ``seg_len``-token segments (trailing partial
+    segment kept) as space-joined strings."""
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    return F.when(
+        n_seg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.array_join(F.slice(toks, (i - F.lit(1)) * seg_len + F.lit(1), seg_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per train doc, the number of distinct
+    word ``n``-grams it shares with ANY held-out document, plus a
+    0/1 ``contaminated`` flag (>= 1 hit).
+
+    Scale shape: the held-out side (benchmark suites) is small by
+    construction → its distinct gram-hash set is broadcast; the train
+    side explodes grams map-side, hashes to a 64-bit key (narrow rows,
+    never raw text on the wire), survives the broadcast semi-filter,
+    and only the surviving (doc, gram-hash) pairs hit the one shuffle
+    (groupBy doc). Docs with zero hits never shuffle at all.
+    """
+    h_grams = (
+        heldout.select(F.explode(word_ngrams(tokenize(F.col(text_col)), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    t_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(tokenize(F.col(text_col)), n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    hits = (
+        t_grams.join(F.broadcast(h_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= 1).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def dedup_against_corpus(
+    incoming: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: keep incoming docs whose normalized-text
+    fingerprint appears nowhere in the existing corpus, then keep-min-id
+    within the incoming batch itself.
+
+    The existing-corpus fingerprint set is NOT broadcastable at 100 TB,
+    so this is a shuffle anti-join on the 32-byte fingerprint — one
+    shuffle, no raw text moved — followed by the same keep-first
+    groupBy used by ``dedup.exact_dedup``.
+    """
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+
+    inc = incoming.withColumn("fingerprint", normalized_fingerprint(F.col(text_col)))
+    ex_fp = existing.select(
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    fresh = inc.join(ex_fp, "fingerprint", "left_anti")
+    first = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return first.select(id_col, "fingerprint")
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 15,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate removal at segment granularity: split each
+    doc into consecutive ``seg_len``-token segments, count how many
+    DISTINCT docs each segment occurs in corpus-wide, and drop segments
+    seen in >= ``min_docs`` docs. Emits per-doc keep/drop accounting
+    (the reassembled text is a deterministic function of the kept
+    segments).
+
+    Two hash shuffles on the 64-bit segment hash (global doc-frequency,
+    then the join back) plus one on doc_id for the final rollup — no
+    all-pairs step anywhere, so corpus size only scales the shuffles
+    linearly.
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(segment_tokens(tokenize(F.col(text_col)), seg_len)).alias("pos", "seg"),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64("seg").alias("sh"),
+        F.size(F.split("seg", " ")).alias("seg_toks"),
+    )
+    freq = segs.groupBy("sh").agg(F.count_distinct(id_col).alias("df"))
+    marked = segs.join(freq, "sh").withColumn(
+        "is_boiler", (F.col("df") >= min_docs).cast("int")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("is_boiler").cast("bigint").alias("n_boilerplate"),
+            F.sum(F.when(F.col("is_boiler") == 0, F.col("seg_toks")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Corpus-hygiene queries: benchmark decontamination, incremental
+cross-corpus dedup, boilerplate-segment removal (operators/decontam.py).
+
+The held-out benchmark set and the incoming batch are carved out of
+``documents`` deterministically (doc_id modulo) so both engines see the
+same split. Oracles rebuild the n-grams/segments in DuckDB from the raw
+text (lateral generate_series over the token list) — a hash match
+proves tokenization, gram construction, the join topology, and the
+per-doc rollup all agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators import decontam as dc
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+# Same normalization as functions.text.tokenize (letters-only, single
+# space) — keep in lockstep with queries/llmdata.py's _TOKS.
+_TOKS = (
+    "string_split_regex(trim(regexp_replace(regexp_replace({col},"
+    "'[^A-Za-z]+',' ','g'),' +',' ','g')), ' ')"
+)
+
+
+@register(
+    "decontaminate_against_heldout",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                      i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM toks
+    ), held AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0
+    ), hits AS (
+        SELECT grams.doc_id, count(DISTINCT grams.g) AS n_hits
+        FROM grams JOIN held USING (g)
+        WHERE grams.doc_id % 37 <> 0
+        GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+               AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 37 <> 0
+    """,
+)
+def decontaminate_against_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing any word
+    8-gram with the held-out set (doc_id % 37 = 0 stands in for the
+    benchmark suite). Held-out gram-hash set is broadcast; only
+    surviving (doc, gram) pairs reach the one groupBy shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return dc.decontaminate(train, heldout, n=8)
+
+
+@register(
+    "incremental_dedup_new_batch",
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(regexp_replace(regexp_replace(text,
+                   '[^A-Za-z]+',' ','g'),' +',' ','g')))) AS fingerprint
+        FROM documents
+    ), fresh AS (
+        SELECT i.doc_id, i.fingerprint
+        FROM fp i
+        WHERE i.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fp e
+                          WHERE e.doc_id % 5 <> 0
+                            AND e.fingerprint = i.fingerprint)
+    )
+    SELECT min(doc_id) AS doc_id, fingerprint
+    FROM fresh GROUP BY fingerprint
+    """,
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an incoming batch (doc_id % 5 = 0) is
+    anti-joined by normalized fingerprint against the existing corpus,
+    then keep-min-id within the batch. One shuffle on the fingerprint —
+    the existing set is never broadcast (it wouldn't fit at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return dc.dedup_against_corpus(incoming, existing)
+
+
+@register(
+    "boilerplate_segment_removal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, CAST(ceil(len(t) / 15.0) AS BIGINT)),
+                   i -> struct_pack(
+                       seg := array_to_string(t[(i-1)*15+1 : i*15], ' '),
+                       seg_toks := len(t[(i-1)*15+1 : i*15])))) AS s
+        FROM toks
+    ), seg2 AS (
+        SELECT doc_id, s.seg AS seg, s.seg_toks AS seg_toks FROM segs
+    ), freq AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM seg2 GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           CAST(sum(CASE WHEN f.df < 3 THEN s.seg_toks ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM seg2 s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: 15-token segments seen in >= 3
+    distinct docs are dropped; per-doc keep/drop accounting. Segment
+    doc-frequency and the join back both shuffle on a 64-bit segment
+    hash, never raw text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dc.boilerplate_segments(docs, seg_len=15, min_docs=3)
