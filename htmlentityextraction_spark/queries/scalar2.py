@@ -186,3 +186,46 @@ def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         <= F.col("exact_parts") * 0.05
     )
     return agg.select("supplier", "exact_parts", within.alias("within_5pct"))
+
+
+@register(
+    "approx_percentile_accuracy",
+    """
+    SELECT l_returnflag AS flag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           true AS ok_p25, true AS ok_p50, true AS ok_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch aggregation: per-flag approx_percentile (the
+    mergeable KLL-style sketch — partial sketches combine map-side, so
+    a 100 TB percentile costs one narrow shuffle, vs exact percentile
+    which must co-locate every value of a group). DuckDB has no
+    compatible sketch, so the gated contract is the ACCURACY
+    guarantee: with accuracy=1000 the rank error is <= 1/1000, so each
+    approx quantile must land between the exact quantiles at
+    q +/- 2/1000 (ok_* must hash as all-true). exact_p50 is
+    additionally value-gated against DuckDB's quantile_cont (Spark's
+    exact `percentile` uses the same linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 2.0 / 1000.0
+    aggs = [
+        F.expr(f"approx_percentile(l_extendedprice, {q}, 1000)").alias(f"ap_{n}")
+        for q, n in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+    ] + [
+        F.expr(f"percentile(l_extendedprice, {q})").alias(f"ex_{n}")
+        for q, n in ((0.25 - eps, "p25_lo"), (0.25 + eps, "p25_hi"),
+                     (0.5 - eps, "p50_lo"), (0.5 + eps, "p50_hi"),
+                     (0.9 - eps, "p90_lo"), (0.9 + eps, "p90_hi"),
+                     (0.5, "p50"))
+    ]
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(*aggs)
+    ok = lambda n: (F.col(f"ap_{n}") >= F.col(f"ex_{n}_lo")) & (  # noqa: E731
+        F.col(f"ap_{n}") <= F.col(f"ex_{n}_hi")
+    )
+    return agg.select(
+        "flag",
+        F.round("ex_p50", 6).alias("exact_p50"),
+        ok("p25").alias("ok_p25"), ok("p50").alias("ok_p50"), ok("p90").alias("ok_p90"),
+    )
