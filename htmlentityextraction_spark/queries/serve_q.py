@@ -13,8 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.operators import models as md
-from htmlentityextraction_spark.queries.ml import _FIT, _labeled_candidates
+from htmlentityextraction_spark.queries.ml import _registry_rows
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import serve
@@ -75,9 +74,7 @@ def stream_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive pages recover their planted price through the whole
     streaming path (modeledPatternEquals); negative and zero-candidate
     pages fall to the -1 sentinel → allFalseCandids → pattern price."""
-    labeled = _labeled_candidates(spark, sf_dir)
-    feats = md.featurize_candidates(labeled)
-    registry = md.train_per_domain(feats, **_FIT)
+    registry = _registry_rows(spark, sf_dir)
 
     src = tempfile.mkdtemp(prefix="serve_src_")
     out = tempfile.mkdtemp(prefix="serve_out_")

@@ -66,7 +66,7 @@ def score_pages_batch(pages: DataFrame, registry_rows: list) -> DataFrame:
 def serve_stream(
     spark: SparkSession,
     raw_stream: DataFrame,
-    registry: DataFrame,
+    registry: DataFrame | list,
     out_dir: str,
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
@@ -74,7 +74,7 @@ def serve_stream(
     (errored) parquet sinks, and logs_corrupt/ for unparseable
     messages (payload preserved — the reference's error topic routing,
     `utils/Utils.scala:442-460`, not a silent drop)."""
-    registry_rows = registry.collect()
+    registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         parsed = schemas.parse_page_messages(batch)
