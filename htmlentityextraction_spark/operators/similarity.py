@@ -289,6 +289,42 @@ def quantizer_fit_frame(c: DataFrame, cap: int, seed: int) -> DataFrame:
     return c.sample(False, cap / n, seed=seed) if n > cap else c
 
 
+def _fit_kmeans_local(X: "np.ndarray", k: int, seed: int, iters: int = 25) -> "np.ndarray":
+    """Driver-local Lloyd's with kmeans++ init over the (bounded)
+    sample matrix. The sample is ≤ fit_sample_cap rows by construction,
+    so the fit is O(MB) driver work — replacing the distributed KMeans
+    whose per-iteration job overhead dominated (measured 8.8 s of an
+    11 s query at sf0.01 for a 16-centroid fit on ~2k vectors). This is
+    the FAISS-style shape: train the coarse quantizer on a sample,
+    ship centroids to workers as a closure constant."""
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    if n == 0:
+        return np.zeros((k, 0))
+    centers = np.empty((min(k, n), X.shape[1]))
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for j in range(1, centers.shape[0]):
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers[j] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(1))
+    x2 = (X**2).sum(1)
+    for _ in range(iters):
+        d = x2[:, None] - 2.0 * (X @ centers.T) + (centers**2).sum(1)[None, :]
+        assign = d.argmin(1)
+        moved = 0.0
+        for j in range(centers.shape[0]):
+            pts = X[assign == j]
+            if len(pts):
+                nc = pts.mean(0)
+                moved = max(moved, float(((nc - centers[j]) ** 2).sum()))
+                centers[j] = nc
+        if moved < 1e-12:
+            break
+    return centers
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -311,19 +347,38 @@ def ann_ivf_topk(
     is the clustered-data complement to ann_lsh_topk: LSH needs no
     training but probes fixed hyperplane buckets; IVF adapts cells to
     the data distribution."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("features", array_to_vector("cvec"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(quantizer_fit_frame(c, fit_sample_cap, seed))
-    c_assigned = model.transform(c).select("neighbor_id", "cvec", "cell")
+    )
+    sample = np.array(
+        [list(r["cvec"]) for r in quantizer_fit_frame(c, fit_sample_cap, seed).collect()],
+        dtype=np.float64,
+    )
+    centers = _fit_kmeans_local(sample, n_cells, seed)
+    c2 = (centers**2).sum(1)
 
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    def assign_cells(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            d = (M**2).sum(1)[:, None] - 2.0 * (M @ centers.T) + c2[None, :]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cvec": pdf["cvec"],
+                    "cell": d.argmin(1).astype(np.int32),
+                }
+            )
+
+    c_assigned = c.mapInPandas(
+        assign_cells, "neighbor_id long, cvec array<double>, cell int"
+    )
+
+    centroids = [list(map(float, ctr)) for ctr in centers]
     cent_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [(i, v) for i, v in enumerate(centroids)], "cell int, centroid array<double>"
