@@ -1,0 +1,130 @@
+"""Connected-component resolution for near-duplicate clusters.
+
+Pair emitters (exact, MinHash-LSH, SimHash, embedding-cosine — see
+``operators/dedup.py``) are only half of a dedup pipeline: the
+keep/drop decision needs the TRANSITIVE closure of the pair relation.
+If A~B and B~C then {A, B, C} is one cluster even when the (A, C)
+pair was never emitted (sketches routinely miss one edge of a
+triangle while catching the other two). This module turns a pair set
+into (doc, cluster) labels and a canonical-representative choice.
+
+Algorithm: min-label propagation over DataFrame joins. Every vertex
+starts labeled with itself; each round it adopts the smallest label
+in its closed neighborhood; fixpoint = components labeled by their
+minimum vertex id. Rounds needed = graph diameter. Near-dup graphs
+are unions of small, dense clusters (diameter 2-4 in practice: the
+members of a template family all pairwise-collide in some band), so
+the round count stays small and CORPUS-SIZE-INDEPENDENT — growing the
+corpus adds more clusters, not wider ones. Each round costs one
+shuffle (neighbor-min groupBy) + one join, both keyed on vertex id so
+AQE can coalesce; lineage is cut per round with ``localCheckpoint``
+so the plan does not grow with iterations (at cluster scale, swap in
+``checkpoint`` against a durable dir for executor-loss recovery).
+For adversarial long-path graphs the alternating large-star /
+small-star scheme (Kiveris et al., "Connected Components in MapReduce
+and Beyond") converges in O(log n) rounds; near-dup workloads do not
+need it, and its per-round cost is ~2x.
+
+The reference has no clustering stage (its dedup is per-URL
+keep-latest, `analytics/UpdateProdMetrics.scala` model); this is part
+of the LLM-training-data extension surface (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Resolve ``pairs`` into components: returns (node, component)
+    where ``component`` is the minimum node id reachable from
+    ``node``. Only nodes that appear in at least one pair are
+    returned (singletons are the caller's corpus minus this set —
+    joining them through the propagation loop would shuffle the whole
+    corpus every round for labels that cannot change).
+
+    ``max_rounds`` bounds the loop against pathological inputs; the
+    fixpoint check is exact (a round that changes no label ends the
+    loop), so the bound is never the thing that decides the answer —
+    hitting it raises rather than silently returning a partial
+    closure.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Symmetric, self-loop-free edge list; distinct so repeated pairs
+    # from a multi-tier union don't inflate the per-round shuffle.
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)  # existence check, not a full count
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("u").alias("node"), "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds; "
+        "the pair graph has a longer path than any near-dup workload "
+        "produces - raise max_rounds or switch to large-star/small-star"
+    )
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup decision for a corpus: (doc_id, cluster_id, keep).
+
+    ``cluster_id`` is the minimum doc id of the doc's near-dup
+    component (its own id for singletons); ``keep`` marks the one
+    canonical representative per cluster. Keep-min-id matches
+    ``dedup.exact_dedup``'s tie-break so the exact and sketch tiers
+    agree on which copy survives. Singletons bypass the propagation
+    loop entirely (left join + coalesce), so the iterative part only
+    touches the pair-incident minority of the corpus.
+    """
+    comp = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

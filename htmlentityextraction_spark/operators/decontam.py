@@ -17,7 +17,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.text import tokenize
@@ -116,6 +116,52 @@ def dedup_against_corpus(
     fresh = inc.join(ex_fp, "fingerprint", "left_anti")
     first = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return first.select(id_col, "fingerprint")
+
+
+def segment_dedup_keep_first(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 15,
+) -> DataFrame:
+    """Exact passage-level dedup: the FIRST global occurrence of each
+    distinct ``seg_len``-token segment (order = (doc_id, pos)) is
+    kept, every later repeat dropped — the within-corpus complement of
+    ``boilerplate_segments`` (which drops by doc-frequency regardless
+    of position). Emits per-doc accounting plus an md5 fingerprint of
+    the reassembled deduped text, so downstream can verify the
+    rewrite without shipping full text through the gate.
+
+    Scale shape: one shuffle partitioned on the 64-bit segment hash
+    for the first-occurrence rank (the raw segment rides along only
+    for the hash-collision guard and reassembly), then one shuffle on
+    doc_id for the rollup. Duplicate groups are tiny (how many times
+    can one passage repeat), so the per-key sort inside the window is
+    bounded.
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(segment_tokens(tokenize(F.col(text_col)), seg_len)).alias("pos", "seg"),
+    ).withColumn("sh", F.xxhash64("seg"))
+    # Partition on (sh, seg): the hash dominates the partitioner for
+    # balance; the raw segment keeps a 64-bit collision from merging
+    # two different segments into one dedup group.
+    win = Window.partitionBy("sh", "seg").orderBy(id_col, "pos")
+    marked = segs.withColumn("keep", F.row_number().over(win) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            )
+        ).alias("dedup_fp"),
+    )
 
 
 def boilerplate_segments(

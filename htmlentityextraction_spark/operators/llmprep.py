@@ -10,7 +10,7 @@ split/sample or training data silently drifts).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.text import tokenize
@@ -90,3 +90,31 @@ def source_mix(
     for src, rate in rates_by_source.items():
         keep = keep | ((F.col(source_col) == src) & (bucket < int(rate * 256)))
     return df.filter(keep)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group cap (domain rebalancing): keep the
+    ``k`` rows with the smallest md5(id) per group — an equal-
+    probability without-replacement sample whose "random" order is
+    the hash, so it is reproducible across engines, runs, and
+    partitionings (``sampleBy`` is none of those). Adds
+    ``sample_rank`` (1-based within the group).
+
+    One shuffle on the group key; the window sort is by a 32-char
+    digest so heavy groups cost O(n log n) in-partition. A group far
+    bigger than a partition (one domain = half the corpus) needs the
+    two-phase salted cap: hash-bucket each group, cap each bucket at
+    k, then re-cap the ≤ salt*k survivors — same operator applied
+    twice, so the building block here stays the right one.
+    """
+    rnd = F.md5(F.col(id_col).cast("string"))
+    win = Window.partitionBy(*group_cols).orderBy(rnd, id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -94,6 +94,44 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_dedup_keep_first",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, CAST(ceil(len(t) / 15.0) AS BIGINT)),
+                   i -> struct_pack(
+                       pos := i,
+                       seg := array_to_string(t[(i-1)*15+1 : i*15], ' ')))) AS s
+        FROM toks
+    ), seg2 AS (
+        SELECT doc_id, s.pos AS pos, s.seg AS seg FROM segs
+    ), ranked AS (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM seg2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY pos), '')) AS dedup_fp
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: first global occurrence of each
+    15-token segment survives; later repeats are dropped. The md5 of
+    each doc's reassembled text is hash-gated, proving segmentation,
+    the first-occurrence rank, and the positional reassembly all
+    agree with the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dc.segment_dedup_keep_first(docs, seg_len=15)
+
+
+@register(
     "boilerplate_segment_removal",
     f"""
     WITH toks AS (

@@ -115,6 +115,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+# --- cluster resolution: pairs -> transitive closure -> keep/drop ---
+@register(
+    "dedup_cluster_resolution",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+               list_distinct({_TOKS.format(col='text')}) AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to clusters by min-label propagation
+    (transitive closure), one keep=true canonical per cluster. The
+    oracle recomputes the closure with a recursive CTE — a hash match
+    proves the iterative join loop reaches the same fixpoint. Pairs
+    come from the exact token-Jaccard tier so both sides see the
+    identical edge set; at 100 TB the same resolver consumes the
+    MinHash/SimHash pair union unchanged."""
+    from htmlentityextraction_spark.operators import components as cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    return cc.resolve_duplicate_clusters(docs, pairs)
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB recomputation of the 60-bit md5-family SimHash + the
     FULL hamming-radius pair set (no banding — gating the Spark side's
@@ -327,6 +372,49 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
         ta.quality_score(F.col("text")).alias("quality"),
     )
+
+
+# --- unigram LM scoring (perplexity-gate signal) ---
+_LM_V = 5000
+_LM_DENOM = f"(n + 0.5 * {_LM_V + 1})"
+
+
+@register(
+    "lm_unigram_doc_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS.format(col='lower(text)')}) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), counts AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+    ), lp AS (
+        SELECT tok, ln((c + 0.5) / {_LM_DENOM}) AS logprob
+        FROM (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {_LM_V}), tot
+    ), scored AS (
+        SELECT doc_id,
+               coalesce(lp.logprob,
+                        (SELECT ln(0.5 / {_LM_DENOM}) FROM tot)) AS l
+        FROM toks LEFT JOIN lp USING (tok)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(l) + 1e-9, 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-prob under a corpus-trained
+    add-0.5 LM with a top-{V} vocabulary cut — the engine-side shape
+    of a KenLM perplexity gate (operators/lmscore.py). The vocab cut
+    is a distributed top-K, the score join a broadcast; one shuffle
+    each for token counts and the per-doc aggregate."""
+    from htmlentityextraction_spark.operators import lmscore
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lmscore.score_documents(docs, vocab_size=_LM_V, alpha=0.5)
 
 
 # --- rolling fingerprint ---

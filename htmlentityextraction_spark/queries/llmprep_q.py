@@ -142,3 +142,24 @@ def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates.update({f"src{i}": 0.25 for i in range(10, 20)})
     mixed = lp.source_mix(docs, rates, key=F.col("doc_id").cast("string"))
     return mixed.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "cap_docs_per_group",
+    """
+    SELECT doc_id, lang, source, CAST(sample_rank AS INT) AS sample_rank FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+)
+def cap_docs_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing: keep at most 5 docs per (lang, source),
+    chosen by smallest md5(doc_id) — a deterministic equal-probability
+    without-replacement sample per group (operators/llmprep.py
+    cap_per_group). One shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return lp.cap_per_group(docs, ["lang", "source"], k=5)
