@@ -158,6 +158,29 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_attribution",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_seconds
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream windowed inner join: clicks attributed to the
+    same user's views within 10 minutes, watermarks bounding the join
+    state on both sides. The oracle is the batch time-band join —
+    inner matches emit eagerly, so the bounded run must equal it
+    exactly."""
+    views = sp.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = sp.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = sp.stream_stream_attribution(views, clicks, horizon="10 minutes")
+    return sp.run_to_memory(spark, joined)
+
+
+@register(
     "stream_static_enrichment",
     """
     SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value

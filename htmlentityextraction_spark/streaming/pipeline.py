@@ -242,6 +242,48 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
     return stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
 
 
+def stream_stream_attribution(
+    views: DataFrame, clicks: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream event-time inner join (view→click attribution):
+    each click matches the same user's views whose timestamp falls in
+    [click_ts - horizon, click_ts]. BOTH sides carry watermarks and
+    the join condition carries the time band, so the state store is
+    bounded: a buffered view is evicted once the click-side watermark
+    passes view_ts + horizon — without the band the state would grow
+    with the full history of both streams. Inner-join matches emit
+    eagerly (no watermark hold-back), so a bounded availableNow run
+    yields the complete batch-equivalent result.
+
+    Scale shape: the join keys on user_id, so both streams shuffle
+    once to co-locate per-user state; state size is horizon-bounded
+    per user, independent of stream length. The reference's streaming
+    surface is stateless per-message (`streaming/Htmls2PredsPipe.
+    scala`) — this is the idiomatic-Spark extension (SURVEY §2.10).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", horizon)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", horizon)
+    cond = (
+        (v["user_id"] == c["click_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(c, cond, "inner").select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_seconds"),
+    )
+
+
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static broadcast join (J8/T-static): the static side is
     re-read per micro-batch; broadcast keeps it off the shuffle path —

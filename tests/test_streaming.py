@@ -189,3 +189,28 @@ def test_max_files_per_trigger_bounds_microbatches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert len(batches) == 3 and all(n == 1 for n in batches)
+
+
+def test_stream_stream_attribution_horizon(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [(1, 10, base), (2, 20, base)], "event_id long, user_id long, ts timestamp"
+    ).write.parquet(vdir)
+    spark.createDataFrame(
+        [
+            (3, 10, base + dt.timedelta(minutes=5)),   # in horizon -> match
+            (4, 20, base + dt.timedelta(minutes=11)),  # outside 10 min -> no match
+            (5, 99, base + dt.timedelta(minutes=1)),   # no view for user -> no match
+        ],
+        "event_id long, user_id long, ts timestamp",
+    ).write.parquet(cdir)
+    schema = "event_id long, user_id long, ts timestamp"
+    views = spark.readStream.schema(schema).parquet(vdir)
+    clicks = spark.readStream.schema(schema).parquet(cdir)
+    out = sp.run_to_memory(
+        spark, sp.stream_stream_attribution(views, clicks, horizon="10 minutes")
+    ).collect()
+    assert [(r["view_id"], r["click_id"], r["lag_seconds"]) for r in out] == [(1, 3, 300)]
