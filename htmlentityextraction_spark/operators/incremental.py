@@ -106,6 +106,16 @@ class ParquetMergeTable:
             return json.load(f)
 
     def _swap_manifest(self, manifest: dict) -> None:
+        # Retain every published snapshot: the versioned manifest is
+        # written first (immutable once written), then the current
+        # pointer swaps — so history is complete even mid-crash, and
+        # time-travel reads resolve manifest-v{N} exactly like Delta/
+        # Iceberg log entries. Copy-on-write already keeps old bucket
+        # dirs, so a historical manifest's files all still exist
+        # (until vacuum drops them).
+        vfile = os.path.join(self.path, f"manifest-v{manifest['version']}.json")
+        with open(vfile, "w") as f:
+            json.dump(manifest, f)
         tmp = self._manifest_file + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -136,13 +146,73 @@ class ParquetMergeTable:
         }
         self._swap_manifest({"version": 1, "buckets": entries})
 
-    def read(self) -> DataFrame:
-        """Current snapshot (manifest-resolved; immutable per read)."""
-        m = self._read_manifest()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: current manifest, or time-travel to a prior
+        published ``version``. Every snapshot is immutable — a reader
+        holding version N is unaffected by later merges (and by
+        vacuum, until vacuum drops N)."""
+        if version is None:
+            m = self._read_manifest()
+        else:
+            vfile = os.path.join(self.path, f"manifest-v{version}.json")
+            if not os.path.exists(vfile):
+                raise FileNotFoundError(
+                    f"version {version} not available (never published, or vacuumed)"
+                )
+            with open(vfile) as f:
+                m = json.load(f)
         paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty())
         return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Published versions, oldest first: [{version, n_buckets}]."""
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as f:
+                    m = json.load(f)
+                out.append({"version": m["version"], "n_buckets": len(m["buckets"])})
+        return sorted(out, key=lambda r: r["version"])
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop snapshots older than the newest ``keep_last`` versions
+        and delete bucket dirs no KEPT manifest references. Copy-on-
+        write means an old version dir can still back the current
+        snapshot, so deletion is reference-counted against the kept
+        manifests, never by version-dir age. Returns deleted paths."""
+        hist = self.history()
+        keep_versions = {h["version"] for h in hist[-max(keep_last, 1):]}
+        keep_versions.add(self._read_manifest()["version"])
+        referenced: set[str] = set()
+        for v in keep_versions:
+            vfile = os.path.join(self.path, f"manifest-v{v}.json")
+            if os.path.exists(vfile):
+                with open(vfile) as f:
+                    referenced.update(json.load(f)["buckets"].values())
+        deleted = []
+        for h in hist:
+            if h["version"] not in keep_versions:
+                os.remove(os.path.join(self.path, f"manifest-v{h['version']}.json"))
+        for vdir in sorted(os.listdir(self.path)):
+            if not vdir.startswith("v") or not vdir[1:].isdigit():
+                continue
+            for bdir in sorted(os.listdir(os.path.join(self.path, vdir))):
+                rel = os.path.join(vdir, bdir)
+                if bdir.startswith("__bucket=") and rel not in referenced:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(self.path, rel))
+                    deleted.append(rel)
+            if not any(
+                b.startswith("__bucket=")
+                for b in os.listdir(os.path.join(self.path, vdir))
+            ):
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, vdir))
+        return deleted
 
     def merge(self, updates: DataFrame, op_col: str = "op") -> dict:
         """MERGE: rows with op='upsert' update matched keys or insert
