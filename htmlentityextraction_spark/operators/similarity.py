@@ -420,3 +420,80 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_cap: int = 20000,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: the bounded-sample KMeans
+    quantizer blocks the corpus into cells, then each cell computes
+    its EXACT pairwise cosine matrix (one BLAS gram matrix per cell
+    inside applyInPandas) and emits pairs >= threshold as
+    (id_a, id_b, cosine).
+
+    This is the scale path for embedding near-dup: the pair space
+    shrinks from O(n^2) to sum of cell sizes squared, and cell count
+    grows with the corpus (n_cells ~ n/target_cell_size) so per-cell
+    work stays constant — the label-blocked pair join
+    (queries/llmdata.py embedding_neardup_pairs) is the fixture
+    stand-in for exactly this blocking. Near-dup pairs land in the
+    same cell with high probability because near-identical vectors
+    quantize together; the residual cross-cell miss rate is the
+    recall the contract query measures.
+    """
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    sample = np.array(
+        [list(r["cvec"]) for r in quantizer_fit_frame(c, fit_sample_cap, seed).collect()],
+        dtype=np.float64,
+    )
+    centers = _fit_kmeans_local(sample, n_cells, seed)
+    c2 = (centers**2).sum(1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            d = (M**2).sum(1)[:, None] - 2.0 * (M @ centers.T) + c2[None, :]
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "cvec": pdf["cvec"], "cell": d.argmin(1).astype(np.int32)}
+            )
+
+    assigned = c.mapInPandas(assign, "vid long, cvec array<double>, cell int")
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vid"].to_numpy()
+        M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((M**2).sum(1))
+        norms[norms == 0] = np.inf  # zero vectors match nothing
+        N = M / norms[:, None]
+        S = N @ N.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] + 1e-9 >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cosine": np.round(S[iu, ju][keep] + 1e-9, 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cosine double"
+    )
