@@ -78,7 +78,12 @@ def sessionize(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # cast via timestamp_ltz: parquet naive timestamps read as
+    # TIMESTAMP_NTZ (Spark 4 default), which cannot cast straight to
+    # long; NTZ -> LTZ interprets in the session tz (pinned UTC), so
+    # epoch seconds match DuckDB's epoch() over the same naive values
+    ep = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    gap = ep - F.lag(ep).over(w)
     is_new = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
     with_sess = df.withColumn("__new", is_new).withColumn(
         "session_seq", F.sum("__new").over(w)
@@ -92,6 +97,7 @@ def sessionize(
         )
         .withColumn(
             "duration_sec",
-            F.col("session_end").cast("long") - F.col("session_start").cast("long"),
+            F.col("session_end").cast("timestamp_ltz").cast("long")
+            - F.col("session_start").cast("timestamp_ltz").cast("long"),
         )
     )

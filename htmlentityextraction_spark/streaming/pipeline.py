@@ -97,22 +97,33 @@ def read_events_stream(
     # events_dir: a FLAT dir of parquet files acting as the topic (the
     # file stream source does not recurse into subdirectories)
     d = events_dir if events_dir is not None else _events_dir(sf_dir)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # The file stream source needs an explicit schema; the fixture's ts
+    # physical type varies by generator version (TIMESTAMP(NANOS) read
+    # as long under the legacy conf, vs plain TIMESTAMP(MICROS)).
+    # Probe with a batch read and adapt, like sources/tables.load_table.
+    ts_is_nanos = dict(spark.read.parquet(d).dtypes).get("ts") == "bigint"
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", ts_type) for f in EVENTS_RAW_SCHEMA]
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(d)
-    # integer DIV (not floor of a double divide — nanos overflow the
-    # double mantissa and round 1 us high), matching the batch loader
-    out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = reader.parquet(d)
+    if ts_is_nanos:
+        # integer DIV (not floor of a double divide — nanos overflow the
+        # double mantissa and round 1 us high), matching the batch loader
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if starting_offset == "largest":
         head = (
-            spark.read.schema(EVENTS_RAW_SCHEMA)
+            spark.read.schema(schema)
             .parquet(d)
-            .agg(F.max(F.expr("ts div 1000")).alias("mx"))
+            .agg(F.max(F.expr("ts div 1000") if ts_is_nanos else F.col("ts")).alias("mx"))
             .first()["mx"]
         )
         if head is not None:
-            out = out.filter(F.col("ts") > F.timestamp_micros(F.lit(head)))
+            lit_head = F.timestamp_micros(F.lit(head)) if ts_is_nanos else F.lit(head)
+            out = out.filter(F.col("ts") > lit_head)
     return out
 
 
@@ -319,8 +330,10 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             events.append(pdf[["ts"]])
         ev = pd.concat(events).sort_values("ts")
         # second-truncated epochs match the batch sessionizer's
-        # cast("long") semantics
-        secs = (ev["ts"].astype("int64") // 1_000_000_000).to_list()
+        # cast("long") semantics; go through datetime64[s] so the
+        # conversion is exact whatever resolution (ns vs us) and tz
+        # flavor pandas hands us
+        secs = ev["ts"].values.astype("datetime64[s]").astype("int64").tolist()
         if state.exists:
             seq, n, start, last = state.get
         else:

@@ -109,11 +109,14 @@ def main() -> int:
     timings: list[tuple[float, str]] = []
     for name in names:
         t0 = time.time()
-        sdf = qs[name](spark, args.sf_dir)
         try:
+            sdf = qs[name](spark, args.sf_dir)
             spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"{name}: FAIL spark toPandas crashed: {e}")
+            # mirror the driver: a crashed query is a recorded failure,
+            # not the end of the run
+            msg = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
+            print(f"{name}: FAIL spark side crashed: {msg}")
             failures += 1
             continue
         t_spark = time.time() - t0
