@@ -63,6 +63,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # timing basis provenance: r1 timed df.count() (Catalyst prunes
+        # non-cardinality work); r2+ times a noop-sink write that
+        # materializes every column. Never compare across bases.
+        "basis": "noop-write",
     }
     # derived throughput: the serve path processes one page per orders row
     if "stream_serve_pipeline" in timings and timings["stream_serve_pipeline"] > 0:

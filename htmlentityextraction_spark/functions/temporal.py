@@ -1,0 +1,62 @@
+"""Shared epoch-time helpers, robust to both fixture timestamp
+encodings.
+
+The driver's ``events`` fixture has shipped two physical encodings for
+``ts`` across generator versions: TIMESTAMP(NANOS) (read as long under
+the legacy conf and re-encoded by the loaders) and plain
+TIMESTAMP(MICROS). Depending on reader defaults the logical type that
+reaches query code is TIMESTAMP (LTZ) or TIMESTAMP_NTZ — and Spark 4
+rejects ``unix_micros`` / ``cast("long")`` on NTZ
+(DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE). Every epoch conversion in
+the tree routes through here so a fixture flip can never redden a
+single call site again.
+
+NTZ → LTZ casts interpret the naive value in the session timezone
+(pinned UTC in session.get_spark), so epoch values match DuckDB's
+``epoch()`` over the same naive timestamps.
+
+Mirrors the reference's epoch arithmetic on Kafka-event times
+(`streaming/Htmls2PredsPipe.scala:95-98`), which never faced the issue
+because Cassandra/Kafka timestamps are always zoned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TS_DTYPES = ("timestamp", "timestamp_ntz")
+
+
+def _as_col(col: Column | str) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds since epoch for a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    ``cast(timestamp_ltz)`` is the identity on LTZ and the
+    session-tz interpretation on NTZ; the final ``cast(long)``
+    truncates toward zero like ``unix_timestamp``.
+    """
+    return _as_col(col).cast("timestamp_ltz").cast("long")
+
+
+def epoch_micros(col: Column | str) -> Column:
+    """Microseconds since epoch for a TIMESTAMP or TIMESTAMP_NTZ
+    column (``unix_micros`` alone rejects NTZ input on Spark 4)."""
+    return F.unix_micros(_as_col(col).cast("timestamp_ltz"))
+
+
+def assert_timestamp_col(df: DataFrame, name: str) -> None:
+    """Fail loudly when an epoch helper is pointed at a non-timestamp
+    column. ``cast("timestamp_ltz")`` on a numeric column would
+    silently reinterpret a raw epoch long as epoch *seconds*; callers
+    that accept a caller-chosen ts column guard with this first."""
+    dtype = dict(df.dtypes).get(name)
+    if dtype not in _TS_DTYPES:
+        raise TypeError(
+            f"column {name!r} must be timestamp or timestamp_ntz for epoch "
+            f"conversion, got {dtype!r} — cast explicitly at the call site "
+            "if a numeric epoch column is intended"
+        )

@@ -21,6 +21,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.temporal import (
+    assert_timestamp_col,
+    epoch_seconds,
+)
+
 
 def salted_group_stats(
     df: DataFrame,
@@ -77,12 +82,11 @@ def sessionize(
     user; session ids are (user, running count of gap-breaks)."""
     from pyspark.sql import Window
 
+    # ts_col must be a timestamp type: epoch_seconds' timestamp_ltz
+    # cast would silently reinterpret a raw epoch long as seconds
+    assert_timestamp_col(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # cast via timestamp_ltz: parquet naive timestamps read as
-    # TIMESTAMP_NTZ (Spark 4 default), which cannot cast straight to
-    # long; NTZ -> LTZ interprets in the session tz (pinned UTC), so
-    # epoch seconds match DuckDB's epoch() over the same naive values
-    ep = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    ep = epoch_seconds(ts_col)
     gap = ep - F.lag(ep).over(w)
     is_new = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
     with_sess = df.withColumn("__new", is_new).withColumn(
@@ -97,7 +101,6 @@ def sessionize(
         )
         .withColumn(
             "duration_sec",
-            F.col("session_end").cast("timestamp_ltz").cast("long")
-            - F.col("session_start").cast("timestamp_ltz").cast("long"),
+            epoch_seconds("session_end") - epoch_seconds("session_start"),
         )
     )

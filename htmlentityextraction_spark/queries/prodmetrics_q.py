@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.temporal import epoch_seconds
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -283,7 +284,7 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
         F.col("l_extendedprice").alias("price"),
-        F.floor(F.unix_timestamp("l_shipdate")).cast("long").alias("ts"),
+        epoch_seconds("l_shipdate").alias("ts"),
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
     )

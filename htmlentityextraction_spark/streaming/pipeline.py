@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+from htmlentityextraction_spark.functions.temporal import epoch_seconds
 
 # events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
 # long; see sources/tables.load_table)
@@ -101,7 +102,18 @@ def read_events_stream(
     # physical type varies by generator version (TIMESTAMP(NANOS) read
     # as long under the legacy conf, vs plain TIMESTAMP(MICROS)).
     # Probe with a batch read and adapt, like sources/tables.load_table.
-    ts_is_nanos = dict(spark.read.parquet(d).dtypes).get("ts") == "bigint"
+    # The encoding is decided ONCE, from the files present at stream
+    # creation — a topic dir must stay single-encoding for its
+    # lifetime (mixing generator versions in one dir would misdecode
+    # the minority encoding; Kafka topics have the same one-serializer
+    # contract). An empty topic (the empty-then-produce pattern the
+    # `largest` offset stand-in models) defaults to the micros/
+    # TimestampType encoding, which is what Spark's own writers
+    # produce for files appended later.
+    try:
+        ts_is_nanos = dict(spark.read.parquet(d).dtypes).get("ts") == "bigint"
+    except Exception:  # AnalysisException: UNABLE_TO_INFER_SCHEMA on empty dir
+        ts_is_nanos = False
     ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
     schema = T.StructType(
         [f if f.name != "ts" else T.StructField("ts", ts_type) for f in EVENTS_RAW_SCHEMA]
@@ -291,7 +303,7 @@ def stream_stream_attribution(
         "view_id",
         "click_id",
         "user_id",
-        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_seconds"),
+        (epoch_seconds("click_ts") - epoch_seconds("view_ts")).alias("lag_seconds"),
     )
 
 
@@ -369,18 +381,38 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_to_memory(spark: SparkSession, df: DataFrame, complete: bool = False) -> DataFrame:
-    """Execute a (bounded) streaming DataFrame with availableNow into
-    an in-memory table and return its contents as a batch DataFrame —
-    the test/oracle harness for every query above (T9)."""
+    """Execute a (bounded) streaming DataFrame with availableNow and
+    return its full output as a batch DataFrame — the test/oracle
+    harness for every query above (T9).
+
+    Append-mode output goes through a parquet file sink and is read
+    back distributed: the memory sink collects every row to the
+    driver, which is both the slow path at sf0.1 (~2x the pure
+    streaming execution) and a non-starter at scale. Complete-mode
+    (unsupported by file sinks) keeps the memory sink — complete
+    output is a re-emitted aggregate, small by construction."""
     name = "s_" + uuid.uuid4().hex[:12]
     ckpt = os.path.join(tempfile.gettempdir(), "ckpt_" + name)
+    if complete:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.table(name)
+    out_dir = os.path.join(tempfile.gettempdir(), "out_" + name)
     q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if complete else "append")
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(600)
-    return spark.table(name)
+    # explicit schema: a zero-row run leaves only _spark_metadata and
+    # schema inference would fail; the streaming plan already knows it
+    return spark.read.schema(df.schema).parquet(out_dir)

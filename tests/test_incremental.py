@@ -8,6 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.temporal import epoch_micros
 from htmlentityextraction_spark.operators import incremental as inc
 from htmlentityextraction_spark.operators import models as md
 
@@ -18,7 +19,7 @@ def test_incremental_runs_process_only_new_rows(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     cut = ev.agg(
         F.timestamp_micros(
-            F.percentile(F.unix_micros("ts"), F.lit(0.5)).cast("long")
+            F.percentile(epoch_micros("ts"), F.lit(0.5)).cast("long")
         ).alias("p")
     ).first().p
 
