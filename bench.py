@@ -23,6 +23,10 @@ HEADLINE = [
     "similarity_cosine_topk",        # vector scan + per-query topk
     "text_quality_profile",          # columnar text analysis
     "price_candidate_extraction",    # pandas-UDF extraction path
+    # model_score_pick_price runs BEFORE stream_serve_pipeline and is
+    # charged the one-time per-domain registry fit (queries/ml.fit_once);
+    # serve then consumes the packaged registry, like the reference's
+    # BuildModels -> serving split. First-query-pays, deterministically.
     "model_score_pick_price",        # per-domain train + score + pick
     "stream_enrich_status",          # structured streaming availableNow
     "stream_serve_pipeline",         # full serve path: parse->extract->score->route

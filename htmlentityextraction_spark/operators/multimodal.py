@@ -84,16 +84,33 @@ def decode_payload(payload: bytes, width: int) -> np.ndarray:
     return arr[: h * width].reshape(h, width)
 
 
-def decode_with_codec(payload: bytes, media_type: str):  # pragma: no cover
-    """Real-codec entry point, gated on library availability."""
+def decode_with_codec(payload: bytes, media_type: str) -> np.ndarray:
+    """Real-codec decode of an ENCODED image payload (PNG/JPEG/...)
+    via PIL, returning the pixel array (H, W[, C]) as uint8.
+
+    Gated on library availability: this container ships no codec
+    libs, so the engine's 4 multimodal queries run on
+    ``decode_payload``'s deterministic stand-in (raw-byte matrix) —
+    same mapInPandas batching, schema, and partitioning either way.
+    Audio/video stay gated until a matching codec lib exists.
+    Exercised by tests/test_multimodal_codec.py when PIL is present.
+    """
+    if media_type != "image":
+        raise NotImplementedError(
+            f"no codec wired for media_type={media_type!r}; only image "
+            "decode has a library integration (PIL)"
+        )
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "no codec library in this environment; decode_payload provides "
             "the deterministic stand-in"
         ) from exc
-    raise NotImplementedError("codec wiring lands when a codec library is available")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L") if img.mode == "1" else img).astype(np.uint8)
 
 
 FEATURE_SCHEMA = T.StructType(

@@ -47,11 +47,22 @@ def _labeled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LABELED_CACHE[sf_dir][1]
 
 
-def _registry_rows(spark: SparkSession, sf_dir: str) -> list:
+def fit_once(spark: SparkSession, sf_dir: str) -> list:
+    """Explicit one-time train of the per-domain registry (the
+    reference's BuildModels job: package once, every consumer loads —
+    `emr/BuildModels.scala`). Idempotent; all registry consumers
+    (stats, score+pick, url eval, serve) call through here, so
+    whichever runs first pays the fit and the rest reuse it. Call it
+    up front to amortize explicitly (e.g. a pipeline warm-up step);
+    otherwise first-query-pays, which bench.py documents."""
     if sf_dir not in _REG_CACHE:
         feats = md.featurize_candidates(_labeled_cached(spark, sf_dir))
         _REG_CACHE[sf_dir] = md.train_per_domain(feats, **_FIT).collect()
     return _REG_CACHE[sf_dir]
+
+
+def _registry_rows(spark: SparkSession, sf_dir: str) -> list:
+    return fit_once(spark, sf_dir)
 
 
 def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

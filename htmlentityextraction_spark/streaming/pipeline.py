@@ -139,6 +139,71 @@ def read_events_stream(
     return out
 
 
+# JSON wire schema for the real-Kafka topic: ts travels as epoch
+# micros (JSON has no timestamp type); everything else matches the
+# parquet fixture columns.
+KAFKA_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str = "events",
+    starting_offset: str = "smallest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Real Kafka source (S7/T1-T2) — the documented one-line swap for
+    ``read_events_stream``, producing the identical column set so
+    every downstream operator (enrich/route/window/sessionize) runs
+    unchanged.
+
+    Offset parity with the reference's direct stream
+    (`streaming/Htmls2PredsPipe.scala:95-98`): the legacy
+    ``smallest``/``largest`` auto.offset.reset values map to the
+    connector's ``earliest``/``latest`` startingOffsets; partition
+    assignment is the connector's (one Spark partition per topic
+    partition). ``max_offsets_per_trigger`` is the Kafka-native
+    micro-batch sizing knob (maxOffsetsPerTrigger), the analogue of
+    the file source's maxFilesPerTrigger.
+
+    Needs the spark-sql-kafka connector on the classpath and a
+    reachable broker; exercised by the env-guarded
+    tests/test_kafka_source.py and otherwise stood in for by the
+    file source."""
+    if starting_offset not in ("smallest", "largest"):
+        raise ValueError(f"starting_offset must be smallest|largest, got {starting_offset!r}")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option(
+            "startingOffsets", "earliest" if starting_offset == "smallest" else "latest"
+        )
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    parsed = reader.load().select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_SCHEMA).alias("e")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros("e.ts_us").alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
 def enrich_events(stream: DataFrame) -> DataFrame:
     """Stateless per-record enrichment (T4): parse the props JSON
     payload (`from_json`, S4/F10), derive deterministic model/pattern
