@@ -118,3 +118,43 @@ def cap_per_group(
         df.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: within each group, documents
+    in deterministic ``id_col`` order are laid head-to-tail and cut
+    into fixed ``budget``-token training sequences; each document is
+    attributed to the bin containing its first token. The packing
+    step that turns a chunked corpus into dense fixed-length batches
+    (no padding waste, unlike pad-per-doc).
+
+    One window shuffle on the group key (running token offset), then
+    the bin id is pure arithmetic — at 100 TB this is a single
+    hash-partitioned sort per source, no driver state, and the
+    assignment is reproducible because the order key is the id, not
+    arrival order. Returns one row per (group, bin) with fill stats.
+    """
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("grp").orderBy("id")
+    # integer DIV, not float /: exact for any budget (float division
+    # is only exact for power-of-two budgets)
+    binned = base.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).selectExpr("grp", "id", "n_tok", f"start_off div {int(budget)} as bin_id")
+    return binned.groupBy("grp", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("id").alias("first_doc"),
+        F.max("id").alias("last_doc"),
+    )

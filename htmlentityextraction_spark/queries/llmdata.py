@@ -437,3 +437,57 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", ta.rolling_fingerprint(F.col("text"), 8).alias("rolling_fp")
     )
+
+
+# --- semantic cluster assignment (KMeans assignment pass) ---
+@register(
+    "semantic_cluster_profile",
+    """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), a AS (
+        SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv) + 1e-9, 6) AS cos
+        FROM embeddings e CROSS JOIN c
+    ), best AS (
+        SELECT vec_id, cid, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM a
+    )
+    SELECT cid AS cluster_id, count(*) AS n_members,
+           round(avg(cos) + 1e-9, 4) AS mean_cos,
+           min(vec_id) AS rep_vec
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMeans ASSIGNMENT pass over the embedding corpus:
+    8 fixed centroids (the vectors with vec_id < 8 — a seeded init),
+    every vector assigned to its max-cosine centroid, per-cluster
+    size/coherence profile. The curation step that groups a corpus by
+    semantic neighborhood (SemDeDup's clustering stage) reduced to its
+    scale skeleton: centroids broadcast (k rows), assignment is a
+    map-side n x k scan — no shuffle until the k-row profile agg.
+    Iterating = re-running this pass with updated centroids; the
+    oracle pins one exact pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cos = F.round(
+        sim.cosine(F.col("embedding").cast("array<double>"), F.col("cv")) + 1e-9, 6
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos") + 1e-9, 4).alias("mean_cos"),
+        F.min("vec_id").alias("rep_vec"),
+    )

@@ -163,3 +163,32 @@ def cap_docs_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_per_group). One shuffle on the group key."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return lp.cap_per_group(docs, ["lang", "source"], k=5)
+
+
+@register(
+    "sequence_packing_bins",
+    f"""
+    WITH t AS (
+        SELECT source AS grp, doc_id AS id, len({_TOKS})::BIGINT AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT grp, id, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok
+                    AS BIGINT) AS start_off
+        FROM t
+    )
+    SELECT grp, start_off // 512 AS bin_id, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS bin_tokens,
+           min(id) AS first_doc, max(id) AS last_doc
+    FROM c GROUP BY grp, bin_id
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing into 512-token training bins
+    per source (operators/llmprep.pack_sequences): docs in doc_id
+    order laid head-to-tail, each attributed to the bin holding its
+    first token. The dense-batching step after chunking — one window
+    shuffle per source, bin id by exact integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lp.pack_sequences(docs, budget=512)

@@ -229,3 +229,169 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ex_p50", 6).alias("exact_p50"),
         ok("p25").alias("ok_p25"), ok("p50").alias("ok_p50"), ok("p90").alias("ok_p90"),
     )
+
+
+@register(
+    "corr_covar_qty_price",
+    """
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT flag, count(*)::BIGINT AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM b GROUP BY flag
+    )
+    SELECT flag, n AS n_rows,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 1e-9, 6) AS corr_qty_price,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 + 1e-9, 6)
+               AS covar_pop_qty_usd,
+           round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(n AS DOUBLE) + 1e-9, 6)
+               AS stddev_pop_qty
+    FROM m
+    """,
+)
+def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev per return flag via EXACT
+    integer co-moments (A-family statistical aggregates). Built-in
+    corr()/covar_pop() accumulate floats in partition order — at 1000
+    executors two runs of the same query can disagree in the last
+    digits. Instead: quantities and price-cents are integers, the five
+    co-moment sums are exact (decimal accumulators, overflow-proof at
+    any scale), and floats appear only in one final deterministic
+    expression. Same single-shuffle plan as a plain groupBy.agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    return m.select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)) + 1e-9, 6).alias("corr_qty_price"),
+        F.round(num / nd / nd / F.lit(100.0) + 1e-9, 6).alias("covar_pop_qty_usd"),
+        F.round(F.sqrt(dx) / nd + 1e-9, 6).alias("stddev_pop_qty"),
+    )
+
+
+@register(
+    "mode_discount_per_flag",
+    """
+    SELECT flag, discount_cents, n_obs FROM (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_cents,
+               count(*) AS n_obs,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC,
+                                           CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                   AS rn
+        FROM lineitem GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def mode_discount_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent discount tier), with
+    a deterministic smallest-value tie-break — count-then-argmax, the
+    two-shuffle exact form (the sketch form at extreme cardinality is
+    cms_heavy_hitters' CountMinSketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).alias("discount_cents"),
+        )
+        .groupBy("flag", "discount_cents")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    w = Window.partitionBy("flag").orderBy(F.desc("n_obs"), F.asc("discount_cents"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("flag", "discount_cents", "n_obs")
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    SELECT l_partkey AS partkey, count(*) AS exact_n, true AS within_bounds
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY exact_n DESC, partkey LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters as a DataFrame COMPOSITION:
+    d=5 hash rows (xxhash64 with distinct salt args) x w=4096-bucket
+    counters built in one groupBy (the sketch itself is a 20k-row
+    DataFrame, mergeable by construction — union + re-agg), estimates
+    by min-over-rows via a broadcast join of the candidate keys. The
+    frequency-table answer when the key space is too wide to hold
+    exactly: the counter table is fixed-size regardless of input
+    rows. DuckDB has no CMS, so like the HLL query the gated contract
+    is the ESTIMATE BOUNDS: for the top-20 exact heavy hitters,
+    exact <= estimate <= exact + 2N/w must hold (within_bounds all
+    true); exact counts ride along for the hash."""
+    W, D = 4096, 5
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+
+    def bucket(i: int):
+        return F.pmod(F.xxhash64("key", F.lit(i)), F.lit(W))
+
+    rows = li.select(
+        "key",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("i"), bucket(i).alias("b")) for i in range(D)])).alias("hb"),
+    ).select("key", "hb.i", "hb.b")
+    counters = rows.groupBy("i", "b").agg(F.count("*").alias("cnt"))
+
+    exact = li.groupBy(F.col("key").alias("partkey")).agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("partkey")).limit(20)
+    cand = top.select(
+        "partkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(F.xxhash64(F.col("partkey"), F.lit(i)), F.lit(W)).alias("b"),
+                    )
+                    for i in range(D)
+                ]
+            )
+        ).alias("hb"),
+    ).select("partkey", "exact_n", "hb.i", "hb.b")
+    est = (
+        counters.join(F.broadcast(cand), ["i", "b"])
+        .groupBy("partkey", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    total = li.agg(F.count("*").alias("n_total"))
+    within = (F.col("est") >= F.col("exact_n")) & (
+        F.col("est") <= F.col("exact_n") + F.ceil(F.lit(2.0) * F.col("n_total") / F.lit(W))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select("partkey", "exact_n", within.alias("within_bounds"))
+        .orderBy(F.desc("exact_n"), F.asc("partkey"))
+    )

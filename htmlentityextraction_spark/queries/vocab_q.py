@@ -187,3 +187,57 @@ def padded_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(n, F.lit(_SEQ_LEN)).cast("long").alias("attn_len"),
     )
+
+
+@register(
+    "doc_tfidf_keywords",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*)::BIGINT AS n_docs FROM documents
+    ), s AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               floor(t.tf * (n.n_docs + 1) / (d.df + 1) * 1000000 + 0.5) / 1000000 AS score
+        FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rnk
+        FROM s
+    ) WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (M1/M2's weighting as a
+    corpus query). IDF is the RATIONAL form (N+1)/(df+1), not its log:
+    rank order per doc is preserved for a fixed tf, and the score
+    stays exact integer arithmetic until one final division —
+    reproducible across engines, where log() bit-drift could flip a
+    rank. Two shuffles (doc-term tf, term df); df table is
+    vocabulary-sized → broadcast; the corpus is touched once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != "")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nrow = docs.agg(F.count("*").alias("n_docs"))
+    raw = F.col("tf") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))
+    score = F.floor(raw * 1000000 + F.lit(0.5)) / 1000000
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )

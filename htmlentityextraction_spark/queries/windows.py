@@ -185,3 +185,28 @@ def hotspots_change_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_prod.select(
         "prod", "total_changes", "avg_changes_per_store", hot.alias("hot_level")
     )
+
+
+@register(
+    "ntile_cume_dist_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(10) OVER w AS BIGINT) AS price_decile,
+           round(cume_dist() OVER w + 1e-9, 6) AS price_cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window family (O-family complement to
+    rank_family_parts): equal-height deciles + cumulative distribution
+    per order priority. Unique (price, key) ORDER BY keeps both
+    functions deterministic under ties. One hash partition per
+    priority — the same single-shuffle shape at any scale."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("price_decile"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("price_cume"),
+    )

@@ -48,6 +48,11 @@ _DRIVER_UNCONFIRMED = (
     "ml_linear_svc_eval", "ml_lda_topics", "ml_pca_projection",
     "multimodal_metadata_profile", "multimodal_resize_images",
     "multimodal_sample_frames",
+    # new in round 3 — no driver run yet
+    "sequence_packing_bins", "doc_tfidf_keywords",
+    "semantic_cluster_profile", "ntile_cume_dist_orders",
+    "corr_covar_qty_price", "mode_discount_per_flag",
+    "cms_heavy_hitters",
 )
 
 
