@@ -90,11 +90,41 @@ class ParquetMergeTable:
       re-runs it.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str, num_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        num_buckets: int = 16,
+        bucketing: str = "hash",
+        range_width: int | None = None,
+        stats_cols: list[str] | None = None,
+    ):
+        """``bucketing``:
+
+        - ``hash`` (default): bucket = xxhash64(key) % num_buckets —
+          uniform spread; point lookups prune to one bucket
+          (``read_key``), but range predicates cannot prune.
+        - ``range``: bucket = key div range_width (Iceberg's truncate
+          transform) — bucket count grows with the key domain
+          (num_buckets is ignored), and range predicates on the key
+          prune via the manifest zone maps (``read_where``).
+
+        ``stats_cols``: columns to record per-bucket min/max for in
+        the manifest (zone maps), default ``[key_col]``. Numeric or
+        string columns only (values land in the JSON manifest).
+        """
+        if bucketing not in ("hash", "range"):
+            raise ValueError(f"bucketing must be hash|range, got {bucketing!r}")
+        if bucketing == "range" and not range_width:
+            raise ValueError("range bucketing requires range_width")
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.num_buckets = num_buckets
+        self.bucketing = bucketing
+        self.range_width = range_width
+        self.stats_cols = list(stats_cols) if stats_cols else [key_col]
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -122,49 +152,159 @@ class ParquetMergeTable:
         os.replace(tmp, self._manifest_file)
 
     def _bucket(self, key: Column) -> Column:
+        if self.bucketing == "range":
+            # exact integer division (Iceberg truncate transform)
+            return F.expr(f"`{self.key_col}` div {int(self.range_width)}")
         return F.pmod(F.xxhash64(key), F.lit(self.num_buckets))
 
-    def _write_buckets(self, df: DataFrame, version: int, buckets: list[int]) -> dict[str, str]:
-        """Write one dir per bucket under v{version}/, return
-        bucket → relative path entries."""
+    def _json_scalar(self, v):
+        import datetime
+        import decimal
+
+        if isinstance(v, (int, float, str)) or v is None:
+            return v
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return str(v)
+
+    def _bucket_stats(self, out: DataFrame) -> dict:
+        """Per-bucket min/max zone maps for stats_cols; ≤ one row per
+        bucket, so the collect is bounded by the bucket count."""
+        aggs = []
+        for c in self.stats_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = out.groupBy("__bucket").agg(*aggs).collect()
+        return {
+            str(r["__bucket"]): {
+                c: [self._json_scalar(r[f"__mn_{c}"]), self._json_scalar(r[f"__mx_{c}"])]
+                for c in self.stats_cols
+            }
+            for r in rows
+        }
+
+    def _write_buckets(self, df: DataFrame, version: int) -> tuple[dict[str, str], dict]:
+        """Write one dir per bucket under v{version}/; return
+        (bucket → relative path for every bucket actually written,
+        bucket → zone-map stats). The input is persisted for the two
+        passes (write + stats agg)."""
         vdir = f"v{version}"
-        out = df.withColumn("__bucket", self._bucket(F.col(self.key_col)))
-        out.write.mode("overwrite").partitionBy("__bucket").parquet(
-            os.path.join(self.path, vdir)
-        )
-        return {str(b): os.path.join(vdir, f"__bucket={b}") for b in buckets}
+        out = df.withColumn("__bucket", self._bucket(F.col(self.key_col))).persist()
+        try:
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(
+                os.path.join(self.path, vdir)
+            )
+            stats = self._bucket_stats(out)
+        finally:
+            out.unpersist()
+        written = {
+            d.split("=", 1)[1]: os.path.join(vdir, d)
+            for d in os.listdir(os.path.join(self.path, vdir))
+            if d.startswith("__bucket=")
+        }
+        return written, stats
 
     # -- operations --------------------------------------------------------
     def create(self, df: DataFrame) -> None:
-        """Initial snapshot (version 1, all buckets)."""
+        """Initial snapshot (version 1, all non-empty buckets)."""
         os.makedirs(self.path, exist_ok=True)
-        entries = self._write_buckets(df, 1, list(range(self.num_buckets)))
-        # drop entries for buckets with no rows (partitionBy writes none)
-        entries = {
-            b: p for b, p in entries.items()
-            if os.path.isdir(os.path.join(self.path, p))
-        }
-        self._swap_manifest({"version": 1, "buckets": entries})
+        entries, stats = self._write_buckets(df, 1)
+        self._swap_manifest({"version": 1, "buckets": entries, "stats": stats})
+
+    def _manifest_for(self, version: int | None) -> dict:
+        if version is None:
+            return self._read_manifest()
+        vfile = os.path.join(self.path, f"manifest-v{version}.json")
+        if not os.path.exists(vfile):
+            raise FileNotFoundError(
+                f"version {version} not available (never published, or vacuumed)"
+            )
+        with open(vfile) as f:
+            return json.load(f)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: current manifest, or time-travel to a prior
         published ``version``. Every snapshot is immutable — a reader
         holding version N is unaffected by later merges (and by
         vacuum, until vacuum drops N)."""
-        if version is None:
-            m = self._read_manifest()
-        else:
-            vfile = os.path.join(self.path, f"manifest-v{version}.json")
-            if not os.path.exists(vfile):
-                raise FileNotFoundError(
-                    f"version {version} not available (never published, or vacuumed)"
-                )
-            with open(vfile) as f:
-                m = json.load(f)
+        m = self._manifest_for(version)
         paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty())
         return self.spark.read.parquet(*paths)
+
+    # -- pruned reads (zone maps / bucket transform) -----------------------
+    def prune_report(self, col: str, lo=None, hi=None, version: int | None = None) -> dict:
+        """Manifest-only pruning decision for ``lo <= col <= hi``:
+        which buckets must be scanned vs are skipped by their zone
+        maps. Buckets without stats for ``col`` (e.g. written before
+        the column was tracked) are conservatively scanned."""
+        m = self._manifest_for(version)
+        kept, pruned = [], []
+        for b in m["buckets"]:
+            st = (m.get("stats") or {}).get(b, {}).get(col)
+            if st is not None and st[0] is not None and st[1] is not None:
+                if (hi is not None and st[0] > hi) or (lo is not None and st[1] < lo):
+                    pruned.append(b)
+                    continue
+            kept.append(b)
+        return {"scanned": sorted(kept), "skipped": sorted(pruned)}
+
+    def read_where(self, col: str, lo=None, hi=None, version: int | None = None) -> DataFrame:
+        """Range read with manifest zone-map pruning: only buckets
+        whose [min, max] for ``col`` overlaps [lo, hi] are scanned
+        (with range bucketing + col=key this is partition pruning; the
+        predicate still applies exactly, so results never depend on
+        stats). At 100 TB this is the difference between listing a few
+        bucket dirs and scanning the table — the same file-skipping
+        contract Delta/Iceberg readers get from their manifests."""
+        m = self._manifest_for(version)
+        if not m["buckets"]:
+            return self.spark.createDataFrame([], self._schema_of_empty())
+        kept = self.prune_report(col, lo, hi, version)["scanned"]
+        # all-pruned: scan one bucket for the schema; the predicate
+        # below returns zero rows from it
+        paths = [os.path.join(self.path, m["buckets"][b]) for b in kept] or [
+            os.path.join(self.path, next(iter(m["buckets"].values())))
+        ]
+        df = self.spark.read.parquet(*paths)
+        c = F.col(col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c <= F.lit(hi))
+        return df.filter(cond)
+
+    def _bucket_of_value(self, key_value) -> int:
+        """Bucket id for one key, evaluated with the engine's own
+        expression (identical hash/div semantics to the write path)."""
+        # cast to the stored key type: xxhash64 is type-sensitive
+        # (hash of INT 57 != hash of LONG 57), so an untyped literal
+        # would land in the wrong bucket
+        ktype = dict(self.read().dtypes)[self.key_col]
+        row = (
+            self.spark.range(1)
+            .select(F.lit(key_value).cast(ktype).alias(self.key_col))
+            .select(self._bucket(F.col(self.key_col)).alias("b"))
+            .first()
+        )
+        return int(row.b)
+
+    def read_key(self, key_value) -> DataFrame:
+        """Point lookup: the bucket transform sends the key to exactly
+        one bucket dir (hash or range), so a lookup scans 1/N of the
+        table regardless of mode — the J7-style point-read path."""
+        m = self._read_manifest()
+        if not m["buckets"]:
+            return self.spark.createDataFrame([], self._schema_of_empty())
+        b = str(self._bucket_of_value(key_value))
+        paths = [os.path.join(self.path, m["buckets"][b])] if b in m["buckets"] else [
+            os.path.join(self.path, next(iter(m["buckets"].values())))
+        ]
+        return self.spark.read.parquet(*paths).filter(F.col(self.key_col) == F.lit(key_value))
 
     def history(self) -> list[dict]:
         """Published versions, oldest first: [{version, n_buckets}]."""
@@ -231,7 +371,11 @@ class ParquetMergeTable:
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
         affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
         if not affected:
-            return {"version": version, "buckets": dict(m["buckets"])}
+            return {
+                "version": version,
+                "buckets": dict(m["buckets"]),
+                "stats": dict(m.get("stats", {})),
+            }
 
         old_paths = [
             os.path.join(self.path, m["buckets"][str(b)])
@@ -266,15 +410,19 @@ class ParquetMergeTable:
         ).select(*merged_cols)
 
         entries = dict(m["buckets"])
-        new_entries = self._write_buckets(merged, version, affected)
+        stats = dict(m.get("stats", {}))
+        new_entries, new_stats = self._write_buckets(merged, version)
         for b in affected:
-            p = new_entries[str(b)]
-            if os.path.isdir(os.path.join(self.path, p)):
-                entries[str(b)] = p
-            else:
-                entries.pop(str(b), None)  # bucket emptied by deletes
+            b = str(b)
+            if b in new_entries:
+                entries[b] = new_entries[b]
+                if b in new_stats:
+                    stats[b] = new_stats[b]
+            else:  # bucket emptied by deletes
+                entries.pop(b, None)
+                stats.pop(b, None)
         upd.unpersist()
-        return {"version": version, "buckets": entries}
+        return {"version": version, "buckets": entries, "stats": stats}
 
     def commit(self, manifest: dict) -> None:
         """Publish a staged manifest (the atomic swap)."""

@@ -85,3 +85,48 @@ def merge_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.merge(reinsert.unionByName(discount).unionByName(brand_new))
 
     return tbl.read().select("o_orderkey", "price")
+
+
+@register(
+    "mergetable_pruned_range_read",
+    """
+    SELECT o_orderkey, price FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey BETWEEN 8000 AND 16000
+                    THEN floor(o_totalprice * 1.10 * 100) / 100
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey BETWEEN 8000 AND 16000)
+    ) WHERE o_orderkey BETWEEN 10000 AND 14000
+    """,
+)
+def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed merge table (bucket = key div 2000, the Iceberg
+    truncate transform) + manifest zone maps: create from orders,
+    MERGE a batch of mid-range upserts/deletes, then a range read
+    that PRUNES to the few overlapping buckets before scanning
+    (``read_where``; the oracle is the same rows, proving pruning
+    never changes results). The manifest-level file skipping a
+    Delta/Iceberg reader gets — at 100 TB a narrow range read lists
+    a handful of bucket dirs instead of the table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="merge_rng_", dir=os.environ.get("TMPDIR", "/tmp"))
+    tbl = ParquetMergeTable(
+        spark, path, key_col="o_orderkey", bucketing="range", range_width=2000
+    )
+    tbl.create(orders)
+    in_band = k.between(8000, 16000)
+    batch = orders.filter(in_band & (F.pmod(k, 5) == 0)).select(
+        "o_orderkey",
+        (F.floor(F.col("price") * 1.10 * 100) / 100).alias("price"),
+        F.lit(OP_UPSERT).alias("op"),
+    ).unionByName(
+        orders.filter(in_band & (F.pmod(k, 10) == 7)).select(
+            "o_orderkey", F.lit(None).cast("double").alias("price"), F.lit(OP_DELETE).alias("op")
+        )
+    )
+    tbl.merge(batch)
+    return tbl.read_where("o_orderkey", 10000, 14000)

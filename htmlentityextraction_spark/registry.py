@@ -52,7 +52,7 @@ _DRIVER_UNCONFIRMED = (
     "sequence_packing_bins", "doc_tfidf_keywords",
     "semantic_cluster_profile", "ntile_cume_dist_orders",
     "corr_covar_qty_price", "mode_discount_per_flag",
-    "cms_heavy_hitters",
+    "cms_heavy_hitters", "mergetable_pruned_range_read",
 )
 
 

@@ -143,3 +143,50 @@ def test_merge_table_vacuum_keeps_referenced_cow_files(spark, tmp_path):
     # dirs via copy-on-write) reads back whole
     got = {r.o_orderkey: r.price for r in tbl.read().collect()}
     assert got[3] == 34.0 and len(got) == 10
+
+
+def test_range_bucketing_zone_map_pruning(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 2.0).alias("price")
+    )
+    tbl = inc.ParquetMergeTable(
+        spark, str(tmp_path / "rt"), "o_orderkey", bucketing="range", range_width=100
+    )
+    tbl.create(df)
+    rep = tbl.prune_report("o_orderkey", 150, 249)
+    assert rep["scanned"] == ["1", "2"], rep
+    assert len(rep["skipped"]) == 8
+    got = sorted(r.o_orderkey for r in tbl.read_where("o_orderkey", 150, 249).collect())
+    assert got == list(range(150, 250))
+    # merge flows zone maps forward; pruning still exact afterwards
+    tbl.merge(
+        spark.createDataFrame(
+            [(170, 999.0, "upsert"), (240, None, "delete")],
+            "o_orderkey long, price double, op string",
+        )
+    )
+    assert tbl.prune_report("o_orderkey", 150, 249)["scanned"] == ["1", "2"]
+    after = {r.o_orderkey: r.price for r in tbl.read_where("o_orderkey", 150, 249).collect()}
+    assert after[170] == 999.0 and 240 not in after and len(after) == 99
+    # fully-pruned range: zero rows, schema intact
+    assert tbl.read_where("o_orderkey", 5000, 6000).count() == 0
+
+
+def test_point_lookup_scans_single_bucket_both_modes(spark, tmp_path):
+    import os
+
+    for mode, kw in (("hash", {}), ("range", {"range_width": 10})):
+        tbl = inc.ParquetMergeTable(
+            spark, str(tmp_path / f"pl_{mode}"), "o_orderkey", bucketing=mode, **kw
+        )
+        tbl.create(
+            spark.range(0, 200).select(
+                F.col("id").alias("o_orderkey"), (F.col("id") * 1.0).alias("price")
+            )
+        )
+        hit = tbl.read_key(57)
+        rows = hit.collect()
+        assert [(r.o_orderkey, r.price) for r in rows] == [(57, 57.0)]
+        dirs = {os.path.dirname(f) for f in hit.inputFiles()}
+        assert len(dirs) == 1, f"{mode}: point lookup must scan one bucket dir, got {dirs}"
+        assert tbl.read_key(10_000).count() == 0
