@@ -322,3 +322,65 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name in ("delta_1d", "delta_2d", "delta_6d")
         ],
     )
+
+
+@register(
+    "ema_price_per_product",
+    """
+    WITH g AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store,
+               list_transform(
+                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                                   'ln': l_linenumber, 'p': l_extendedprice})),
+                   s -> s.p) AS ps
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT prodid, store, len(ps)::BIGINT AS n_obs,
+           round(list_reduce(ps, (acc, x) -> acc * 0.5 + x * 0.5) + 1e-9, 6) AS ema
+    FROM g
+    """,
+)
+def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (alpha=0.5) of each (product,
+    store) price series — a SEQUENTIAL-dependency aggregate, the
+    shape Spark windows cannot express directly. Technique: collect
+    the series as a sorted array (unique (ts, orderkey, linenumber)
+    sort key) and LEFT-FOLD with `aggregate()` — both engines fold in
+    identical order, so the float op sequence is bitwise-reproducible
+    (no cross-partition accumulation drift). One shuffle on the group
+    key; per-group state is the series itself, bounded by the
+    per-product observation count — the same contract as the
+    reference's per-product delta walks (`analytics/DeltaCalc.scala:
+    62-75`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.col("l_partkey").alias("prodid"), F.col("l_suppkey").alias("store")
+        ).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            epoch_seconds("l_shipdate").alias("ts"),
+                            F.col("l_orderkey").alias("ok"),
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_extendedprice").alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s.p,
+            ).alias("ps")
+        )
+    )
+    arr = F.col("ps")
+    ema = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return g.select(
+        "prodid",
+        "store",
+        F.size(arr).cast("long").alias("n_obs"),
+        F.round(ema + 1e-9, 6).alias("ema"),
+    )

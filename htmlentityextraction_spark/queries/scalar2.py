@@ -395,3 +395,146 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partkey", "exact_n", within.alias("within_bounds"))
         .orderBy(F.desc("exact_n"), F.asc("partkey"))
     )
+
+
+@register(
+    "theta_sketch_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    SELECT
+        (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS n_union_exact,
+        (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n_inter_exact,
+        (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS n_diff_exact,
+        true AS ok_union, true AS ok_inter, true AS ok_diff
+    """,
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (datasketches): distinct-customer
+    sketches for the URGENT and HIGH order segments, then
+    union/intersection/difference estimates — the mergeable way to
+    answer audience-overlap questions at 100 TB (HLL can only union;
+    theta sketches subtract and intersect). Per-segment sketches
+    build map-side and merge associatively. Gated like the HLL query:
+    each estimate must land within ±2% of the exact set size (the
+    sketches are exact below their sample threshold, so the flags are
+    deterministically true at test scale); exact counts ride along
+    for the hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    seg = lambda p: orders.filter(F.col("o_orderpriority") == p)  # noqa: E731
+    sk = (
+        seg("1-URGENT")
+        .agg(F.expr("theta_sketch_agg(o_custkey)").alias("sa"))
+        .crossJoin(seg("2-HIGH").agg(F.expr("theta_sketch_agg(o_custkey)").alias("sb")))
+    )
+    a_keys = seg("1-URGENT").select("o_custkey").distinct()
+    b_keys = seg("2-HIGH").select("o_custkey").distinct()
+    exact = (
+        a_keys.union(b_keys).distinct().agg(F.count("*").alias("n_union_exact"))
+        .crossJoin(a_keys.intersect(b_keys).agg(F.count("*").alias("n_inter_exact")))
+        .crossJoin(a_keys.exceptAll(b_keys.distinct()).agg(F.count("*").alias("n_diff_exact")))
+    )
+    est = sk.select(
+        F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("e_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias("e_inter"),
+        F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias("e_diff"),
+    )
+    both = exact.crossJoin(est)
+    ok = lambda e, x: (F.abs(F.col(e) - F.col(x)) <= F.col(x) * 0.02).alias(  # noqa: E731
+        e.replace("e_", "ok_")
+    )
+    return both.select(
+        "n_union_exact",
+        "n_inter_exact",
+        "n_diff_exact",
+        ok("e_union", "n_union_exact"),
+        ok("e_inter", "n_inter_exact"),
+        ok("e_diff", "n_diff_exact"),
+    )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+@register(
+    "table_profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(min(o_orderkey) + 1e-9, 6) AS min_num,
+           round(max(o_orderkey) + 1e-9, 6) AS max_num,
+           NULL AS min_str, NULL AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+           round(min(o_custkey) + 1e-9, 6), round(max(o_custkey) + 1e-9, 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+           round(min(o_totalprice) + 1e-9, 6), round(max(o_totalprice) + 1e-9, 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+           round(epoch(min(o_orderdate)) + 1e-9, 6), round(epoch(max(o_orderdate)) + 1e-9, 6),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the engine's `DESCRIBE`/df.summary
+    analog, exact): per column, null count, exact distinct, typed
+    min/max (numeric columns as double — timestamps as epoch seconds
+    — string columns as strings). ONE scan: all per-column aggregates
+    compute in a single pass, then unpivot driver-side from the one
+    collected row (at 100 TB exact distincts are the only shuffle;
+    swap countDistinct for hll/theta estimates when approximation is
+    acceptable)."""
+    from htmlentityextraction_spark.functions.temporal import epoch_seconds
+
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        col = epoch_seconds(c) if kind == "ts" else F.col(c)
+        aggs.append((F.count("*") - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if kind in ("num", "ts"):
+            aggs.append(F.round(F.min(col) + 1e-9, 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(col) + 1e-9, 6).alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(col).alias(f"mn_{c}"))
+            aggs.append(F.max(col).alias(f"mx_{c}"))
+    row = orders.agg(*aggs).first()
+    out = []
+    for c, kind in _PROFILE_COLS:
+        is_num = kind in ("num", "ts")
+        out.append(
+            (
+                c,
+                int(row[f"nn_{c}"]),
+                int(row[f"nd_{c}"]),
+                float(row[f"mn_{c}"]) if is_num else None,
+                float(row[f"mx_{c}"]) if is_num else None,
+                None if is_num else row[f"mn_{c}"],
+                None if is_num else row[f"mx_{c}"],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "col_name string, n_nulls long, n_distinct long, min_num double,"
+        "max_num double, min_str string, max_str string",
+    )
