@@ -198,3 +198,44 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.run_to_memory(spark, joined).select(
         "event_id", "user_id", "c_name", "c_mktsegment", "value"
     )
+
+
+@register(
+    "stream_stream_attribution_outer",
+    """
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         matched AS (
+             SELECT v.view_id, c.click_id, v.user_id,
+                    CAST(floor(epoch(c.click_ts)) - floor(epoch(v.view_ts)) AS BIGINT)
+                        AS lag_seconds
+             FROM v JOIN c
+               ON v.user_id = c.cu
+              AND c.click_ts >= v.view_ts
+              AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+         ),
+         wm AS (SELECT least((SELECT max(view_ts) FROM v),
+                             (SELECT max(click_ts) FROM c))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT view_id, click_id, user_id, lag_seconds FROM matched
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM matched)
+      AND v.view_ts + INTERVAL 10 MINUTE < wm.w
+    """,
+)
+def stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: matched view→click pairs
+    plus null-click rows for views the watermark has proven
+    unmatchable (view_ts + horizon < min-side watermark). The oracle
+    encodes the watermark emission boundary exactly, so the hash
+    match proves both the join result AND the outer-emission
+    semantics — including that still-matchable tail views are
+    withheld."""
+    views = sp.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = sp.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = sp.stream_stream_attribution_outer(views, clicks, horizon="10 minutes")
+    return sp.run_to_memory(spark, joined)

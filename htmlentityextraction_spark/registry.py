@@ -54,6 +54,7 @@ _DRIVER_UNCONFIRMED = (
     "corr_covar_qty_price", "mode_discount_per_flag",
     "cms_heavy_hitters", "mergetable_pruned_range_read",
     "ema_price_per_product", "theta_sketch_set_ops", "table_profile_orders",
+    "stream_stream_attribution_outer",
 )
 
 

@@ -325,9 +325,16 @@ def sliding_avg(enriched: DataFrame, size: str = "2 hours", slide: str = "1 hour
 
 
 def stream_dedup(stream: DataFrame) -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon
-    (dropDuplicates keeps state per key; the watermark bounds it)."""
-    return stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    """Streaming exact dedup on event_id, state bounded by the
+    watermark. ``dropDuplicatesWithinWatermark``, NOT plain
+    ``dropDuplicates``: without the event-time column in the key set,
+    plain dropDuplicates keeps every seen key forever (the watermark
+    does not evict its state — the classic unbounded-state gotcha);
+    the WithinWatermark variant evicts each key once the watermark
+    passes its event time + delay, so state is horizon-bounded at any
+    stream length. Duplicates are assumed to arrive within the
+    2-hour horizon (true for the at-least-once replay this models)."""
+    return stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
 def stream_stream_attribution(
@@ -365,6 +372,48 @@ def stream_stream_attribution(
         & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
     )
     return v.join(c, cond, "inner").select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (epoch_seconds("click_ts") - epoch_seconds("view_ts")).alias("lag_seconds"),
+    )
+
+
+def stream_stream_attribution_outer(
+    views: DataFrame, clicks: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """LEFT OUTER variant of the attribution join: views with no
+    click in the horizon still emit (null click) — but only once the
+    watermark proves no future click can match. Emission semantics
+    (asserted by the oracle of `stream_stream_attribution_outer`):
+
+    - matched pairs emit eagerly, exactly like the inner join;
+    - an unmatched view emits with nulls when
+      ``view_ts + horizon < watermark`` where the global watermark is
+      ``min(max view_ts, max click_ts) - horizon`` at end of input;
+    - unmatched views NEWER than that boundary are still "maybe
+      matchable" when the bounded run stops, and are NOT emitted —
+      the price of outer semantics on an unbounded model. On a live
+      stream they emit as the watermark advances.
+
+    Same user_id shuffle and horizon-bounded state as the inner form.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", horizon)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", horizon)
+    cond = (
+        (v["user_id"] == c["click_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(c, cond, "left_outer").select(
         "view_id",
         "click_id",
         "user_id",
