@@ -208,10 +208,16 @@ class ParquetMergeTable:
 
     # -- operations --------------------------------------------------------
     def create(self, df: DataFrame) -> None:
-        """Initial snapshot (version 1, all non-empty buckets)."""
+        """Initial snapshot (version 1, all non-empty buckets). The
+        schema is recorded in the manifest so an EMPTY table (or one
+        emptied by deletes) still reads back with its proper schema —
+        required by streaming MERGE sinks that create the table
+        before the first micro-batch arrives."""
         os.makedirs(self.path, exist_ok=True)
         entries, stats = self._write_buckets(df, 1)
-        self._swap_manifest({"version": 1, "buckets": entries, "stats": stats})
+        self._swap_manifest(
+            {"version": 1, "buckets": entries, "stats": stats, "schema": df.schema.json()}
+        )
 
     def _manifest_for(self, version: int | None) -> dict:
         if version is None:
@@ -232,7 +238,7 @@ class ParquetMergeTable:
         m = self._manifest_for(version)
         paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
         if not paths:
-            return self.spark.createDataFrame([], self._schema_of_empty())
+            return self.spark.createDataFrame([], self._schema_of_empty(m))
         return self.spark.read.parquet(*paths)
 
     # -- pruned reads (zone maps / bucket transform) -----------------------
@@ -262,7 +268,7 @@ class ParquetMergeTable:
         contract Delta/Iceberg readers get from their manifests."""
         m = self._manifest_for(version)
         if not m["buckets"]:
-            return self.spark.createDataFrame([], self._schema_of_empty())
+            return self.spark.createDataFrame([], self._schema_of_empty(m))
         kept = self.prune_report(col, lo, hi, version)["scanned"]
         # all-pruned: scan one bucket for the schema; the predicate
         # below returns zero rows from it
@@ -293,13 +299,51 @@ class ParquetMergeTable:
         )
         return int(row.b)
 
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two published snapshots (Delta's
+        ``table_changes`` shape): one row per key whose state differs,
+        classified ``insert`` / ``update`` / ``delete``, with the old
+        and new non-key columns side by side (null on the absent
+        side). Computed as a full-outer join of the two immutable
+        snapshots on the key — no change log is stored, so CDC works
+        between ANY two retained versions, at the cost of reading
+        both (at 100 TB, prefer adjacent versions: copy-on-write
+        means unchanged buckets are the same files, and a
+        bucket-path-equality pre-filter could skip them; kept simple
+        here because the join is already bucket-co-partitioned)."""
+        old = self.read(from_version)
+        new = self.read(to_version)
+        k = self.key_col
+        data_cols = [c for c in old.columns if c != k]
+        o = old.select(F.col(k).alias("__ok"), *[F.col(c).alias(f"old_{c}") for c in data_cols])
+        n = new.select(F.col(k).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in data_cols])
+        j = o.join(n, o["__ok"] == n["__nk"], "full_outer")
+        changed = F.lit(False)
+        for c in data_cols:
+            changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        change = (
+            F.when(F.col("__ok").isNull(), F.lit("insert"))
+            .when(F.col("__nk").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                F.coalesce(F.col("__ok"), F.col("__nk")).alias(k),
+                "change_type",
+                *[F.col(f"old_{c}") for c in data_cols],
+                *[F.col(f"new_{c}") for c in data_cols],
+            )
+        )
+
     def read_key(self, key_value) -> DataFrame:
         """Point lookup: the bucket transform sends the key to exactly
         one bucket dir (hash or range), so a lookup scans 1/N of the
         table regardless of mode — the J7-style point-read path."""
         m = self._read_manifest()
         if not m["buckets"]:
-            return self.spark.createDataFrame([], self._schema_of_empty())
+            return self.spark.createDataFrame([], self._schema_of_empty(m))
         b = str(self._bucket_of_value(key_value))
         paths = [os.path.join(self.path, m["buckets"][b])] if b in m["buckets"] else [
             os.path.join(self.path, next(iter(m["buckets"].values())))
@@ -422,11 +466,23 @@ class ParquetMergeTable:
                 entries.pop(b, None)
                 stats.pop(b, None)
         upd.unpersist()
-        return {"version": version, "buckets": entries, "stats": stats}
+        return {
+            "version": version,
+            "buckets": entries,
+            "stats": stats,
+            "schema": m.get("schema"),
+        }
 
     def commit(self, manifest: dict) -> None:
         """Publish a staged manifest (the atomic swap)."""
         self._swap_manifest(manifest)
 
-    def _schema_of_empty(self):
-        raise ValueError("cannot read an empty table with no manifest entries")
+    def _schema_of_empty(self, manifest: dict):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        sj = manifest.get("schema")
+        if sj is None:  # table created before schemas were recorded
+            raise ValueError("cannot read an empty table with no recorded schema")
+        return T.StructType.fromJson(_json.loads(sj))

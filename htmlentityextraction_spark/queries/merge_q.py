@@ -50,6 +50,13 @@ def merge_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys k+10M for k%50==0 at 5.0) → read the final snapshot. Each
     merge rewrites only the buckets holding its keys and publishes via
     an atomic manifest swap."""
+    return _merged_orders_table(spark, sf_dir).read().select("o_orderkey", "price")
+
+
+def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
+    """The shared two-merge scenario (see merge_incremental_orders)
+    — also the CDC fixture: v1 = raw orders, v3 = after both
+    merges."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").alias("price")
     )
@@ -83,8 +90,7 @@ def merge_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(OP_UPSERT).alias("op"),
     )
     tbl.merge(reinsert.unionByName(discount).unionByName(brand_new))
-
-    return tbl.read().select("o_orderkey", "price")
+    return tbl
 
 
 @register(
@@ -130,3 +136,42 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(batch)
     return tbl.read_where("o_orderkey", 10000, 14000)
+
+
+@register(
+    "mergetable_cdc_changes",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k AS o_orderkey, 'update' AS change_type,
+           round(p + 1e-9, 6) AS old_price,
+           round(floor(p * 1.05 * 100) / 100 + 1e-9, 6) AS new_price
+    FROM o WHERE k % 7 = 1
+    UNION ALL
+    SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE k % 14 = 2
+    UNION ALL
+    SELECT k, 'update', round(p + 1e-9, 6),
+           round(floor(p * 0.9 * 100) / 100 + 1e-9, 6)
+    FROM o WHERE k % 7 = 3
+    UNION ALL
+    SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE k % 14 = 9
+    UNION ALL
+    SELECT k + 10000000, 'insert', CAST(NULL AS DOUBLE), 5.0 FROM o WHERE k % 50 = 0
+    """,
+)
+def mergetable_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across the two-merge scenario: diff of
+    snapshot v1 (raw orders) against the current snapshot via
+    ``table_changes`` — every net update/delete/insert classified
+    with old and new values side by side. The oracle states each
+    change class in closed form, so the hash match proves CDC sees
+    exactly the net effect of both merges (including that the
+    delete-then-reinsert keys surface as updates, not
+    delete+insert)."""
+    tbl = _merged_orders_table(spark, sf_dir)
+    cdc = tbl.table_changes(1)
+    return cdc.select(
+        "o_orderkey",
+        "change_type",
+        F.round(F.col("old_price") + 1e-9, 6).alias("old_price"),
+        F.round(F.col("new_price") + 1e-9, 6).alias("new_price"),
+    )

@@ -239,3 +239,41 @@ def stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     clicks = sp.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     joined = sp.stream_stream_attribution_outer(views, clicks, horizon="10 minutes")
     return sp.run_to_memory(spark, joined)
+
+
+@register(
+    "stream_merge_upsert_per_user",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           epoch_us(max(ts)) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: the events stream is cut into 4
+    micro-batches (maxFilesPerTrigger=1 over a 4-file topic) and each
+    batch merges per-user running aggregates into a ParquetMergeTable
+    (additive exact combine — see pipeline.stream_merge_into). The
+    oracle is the plain batch groupBy, so the hash match proves the
+    incremental per-batch merges converge to exactly the one-shot
+    answer regardless of batch boundaries."""
+    import os
+    import tempfile
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+    from htmlentityextraction_spark.sources.tables import load_table
+
+    # 4-file topic dir → 4 micro-batches
+    topic = tempfile.mkdtemp(prefix="merge_topic_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(topic)
+
+    tpath = tempfile.mkdtemp(prefix="stream_merge_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
+    tbl = ParquetMergeTable(spark, tpath, key_col="user_id", num_buckets=8)
+    tbl.create(
+        spark.createDataFrame([], "user_id long, n_events long, sum_cents long, last_us long")
+    )
+    stream = sp.read_events_stream(spark, sf_dir, events_dir=topic, max_files_per_trigger=1)
+    sp.stream_merge_into(stream, tbl, key="user_id").await_done()
+    return tbl.read()

@@ -54,7 +54,8 @@ _DRIVER_UNCONFIRMED = (
     "corr_covar_qty_price", "mode_discount_per_flag",
     "cms_heavy_hitters", "mergetable_pruned_range_read",
     "ema_price_per_product", "theta_sketch_set_ops", "table_profile_orders",
-    "stream_stream_attribution_outer",
+    "stream_stream_attribution_outer", "mergetable_cdc_changes",
+    "stream_merge_upsert_per_user",
 )
 
 

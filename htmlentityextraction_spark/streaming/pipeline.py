@@ -494,6 +494,55 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_merge_into(stream: DataFrame, tbl, key: str = "user_id") -> "StreamingQueryHolder":
+    """foreachBatch MERGE sink — the Delta-style "streaming upsert"
+    (T6 + K3 composed): each micro-batch aggregates per key
+    (event count, value cents, latest event time) and merges
+    ADDITIVELY into a ParquetMergeTable. The merge combine is
+    commutative + exact (integer counts/cents, max on epoch micros),
+    so the final table is independent of how the stream was cut into
+    micro-batches — the property that makes a replayed/restarted
+    stream converge to the same table. Each merge rewrites only the
+    buckets its keys touch and publishes atomically."""
+    from htmlentityextraction_spark.functions.temporal import epoch_micros
+    from htmlentityextraction_spark.operators.incremental import OP_UPSERT
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy(key).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+            F.max(epoch_micros("ts")).alias("last_us"),
+        )
+        cur = tbl.read().select(
+            F.col(key).alias("__k"),
+            F.col("n_events").alias("__n"),
+            F.col("sum_cents").alias("__s"),
+            F.col("last_us").alias("__l"),
+        )
+        upd = (
+            agg.join(cur, agg[key] == cur["__k"], "left")
+            .select(
+                key,
+                (F.col("n_events") + F.coalesce(F.col("__n"), F.lit(0))).alias("n_events"),
+                (F.col("sum_cents") + F.coalesce(F.col("__s"), F.lit(0))).alias("sum_cents"),
+                F.greatest(F.col("last_us"), F.coalesce(F.col("__l"), F.lit(0))).alias(
+                    "last_us"
+                ),
+            )
+            .withColumn("op", F.lit(OP_UPSERT))
+        )
+        tbl.merge(upd)
+
+    ckpt = os.path.join(tempfile.gettempdir(), "ckpt_merge_" + uuid.uuid4().hex[:12])
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return StreamingQueryHolder(q, tbl.path)
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, complete: bool = False) -> DataFrame:
     """Execute a (bounded) streaming DataFrame with availableNow and
     return its full output as a batch DataFrame — the test/oracle
