@@ -96,3 +96,59 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sp.read_events_stream(spark, sf_dir)
     out = sp.run_to_memory(spark, sp.sessionize_stream(stream, gap_minutes=30))
     return out.withColumn("session_seq", F.col("session_seq") + 1)
+
+
+@register(
+    "stream_session_window_builtin",
+    """
+    WITH o AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS seq
+        FROM o
+    ), g AS (
+        SELECT user_id, seq, count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us
+        FROM s GROUP BY user_id, seq
+    ), wm AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+    SELECT user_id, start_us, end_us, n_events
+    FROM g, wm WHERE end_us + 1800000000 < mx
+    """,
+)
+def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessionization (the declarative
+    twin of the applyInPandasWithState operator behind
+    stream_sessionize_stateful): 30-minute inactivity gap, append
+    mode. The oracle pins BOTH semantics the built-in implements —
+    the strict merge boundary (a gap of exactly the window breaks the
+    session: diff >= gap in microseconds) and watermark emission
+    (a session emits once watermark > session_end + gap; with a
+    0-second delay the held-back tail is each user's trailing
+    sessions within one gap of stream end). State is gap-bounded per
+    user, merged by Spark's native session-merge — no Python in the
+    loop."""
+    from htmlentityextraction_spark.functions.temporal import epoch_micros
+
+    ev = sp.read_events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(epoch_micros("ts")).alias("end_us"),
+        )
+        .select(
+            "user_id",
+            epoch_micros("w.start").alias("start_us"),
+            "end_us",
+            "n_events",
+        )
+    )
+    return sp.run_to_memory(spark, sessions)

@@ -55,7 +55,7 @@ _DRIVER_UNCONFIRMED = (
     "cms_heavy_hitters", "mergetable_pruned_range_read",
     "ema_price_per_product", "theta_sketch_set_ops", "table_profile_orders",
     "stream_stream_attribution_outer", "mergetable_cdc_changes",
-    "stream_merge_upsert_per_user",
+    "stream_merge_upsert_per_user", "stream_session_window_builtin",
 )
 
 
