@@ -491,3 +491,103 @@ def semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos") + 1e-9, 4).alias("mean_cos"),
         F.min("vec_id").alias("rep_vec"),
     )
+
+
+# Shared quality-score fragment (lockstep with textanalysis.quality_score)
+_QUALITY_DOC_SQL = f"""
+    SELECT doc_id, lang, source,
+           CAST(n_tokens AS BIGINT) AS n_tok,
+           round((least(n_tokens / 20.0, 1.0) * 0.3
+                  + greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10.0, 0.0) * 0.2
+                  + least(stop_hits / 3.0, 1.0) * 0.3
+                  + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0
+                          AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2)
+                 + 1e-9, 6) AS quality
+    FROM (
+        SELECT doc_id, lang, source,
+               length(text)::DOUBLE AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+               length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))::DOUBLE AS n_punct,
+               len({_TOKS.format(col='text')})::DOUBLE AS n_tokens,
+               len(list_intersect(list_distinct({_TOKS.format(col='text')}),
+                                  ['the','and','of','to','a']))::DOUBLE AS stop_hits
+        FROM documents
+    )
+"""
+
+
+@register(
+    "quality_percentile_gate_per_lang",
+    f"""
+    WITH q AS ({_QUALITY_DOC_SQL}),
+    cuts AS (
+        SELECT lang, quantile_cont(quality, 0.25) AS p25 FROM q GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.quality, round(c.p25 + 1e-9, 6) AS lang_p25
+    FROM q JOIN cuts c ON q.lang = c.lang
+    WHERE q.quality >= c.p25
+    """,
+)
+def quality_percentile_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE quality gating: instead of one global threshold, each
+    language keeps its top 75% by quality score (per-lang p25 cut) —
+    the practice that prevents low-resource languages from being
+    wiped out by a threshold tuned on English. Two aggregates (per-
+    lang percentile, languages-sized → broadcast back); the corpus is
+    scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", ta.quality_score(F.col("text")).alias("quality")
+    )
+    cuts = q.groupBy("lang").agg(F.percentile("quality", F.lit(0.25)).alias("p25"))
+    return (
+        q.join(F.broadcast(cuts), "lang")
+        .filter(F.col("quality") >= F.col("p25"))
+        .select("doc_id", "lang", "quality", F.round(F.col("p25") + 1e-9, 6).alias("lang_p25"))
+    )
+
+
+@register(
+    "select_corpus_to_token_budget",
+    f"""
+    WITH q AS ({_QUALITY_DOC_SQL}),
+    ranked AS (
+        SELECT doc_id, lang, quality, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY lang
+                                     ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM q
+    )
+    SELECT doc_id, lang, quality, n_tok, cum_tok
+    FROM ranked WHERE cum_tok <= 8000
+    """,
+)
+def select_corpus_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per language, take documents in
+    quality order (deterministic doc_id tie-break) until an 8k-token
+    budget fills — the 'best data under the compute budget' selection
+    step. One window shuffle per language; the running token total is
+    exact integer arithmetic."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        ta.quality_score(F.col("text")).alias("quality"),
+        # unfiltered split, in lockstep with the oracle's n_tokens and
+        # the quality formula's own token count
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 8000)
+        .select("doc_id", "lang", "quality", "n_tok", "cum_tok")
+    )

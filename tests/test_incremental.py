@@ -190,3 +190,35 @@ def test_point_lookup_scans_single_bucket_both_modes(spark, tmp_path):
         dirs = {os.path.dirname(f) for f in hit.inputFiles()}
         assert len(dirs) == 1, f"{mode}: point lookup must scan one bucket dir, got {dirs}"
         assert tbl.read_key(10_000).count() == 0
+
+
+def test_table_changes_classification_and_noop(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(10)])
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 33.0, "upsert"), (4, None, "delete"), (100, 1.0, "upsert"),
+             (5, 5.0, "upsert")],  # no-op update: same value
+            "o_orderkey long, price double, op string",
+        )
+    )
+    cdc = {r.o_orderkey: r for r in tbl.table_changes(1).collect()}
+    assert cdc[3].change_type == "update" and cdc[3].old_price == 3.0 and cdc[3].new_price == 33.0
+    assert cdc[4].change_type == "delete" and cdc[4].new_price is None
+    assert cdc[100].change_type == "insert" and cdc[100].old_price is None
+    assert 5 not in cdc, "unchanged value must not appear in the change feed"
+    assert set(cdc) == {3, 4, 100}
+    # self-diff is empty
+    assert tbl.table_changes(2, 2).count() == 0
+
+
+def test_empty_table_reads_with_recorded_schema(spark, tmp_path):
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    tbl = ParquetMergeTable(spark, str(tmp_path / "e"), "k", num_buckets=4)
+    tbl.create(spark.createDataFrame([], "k long, v double"))
+    df = tbl.read()
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<k:bigint,v:double>"
+    # first merge into the empty table works
+    tbl.merge(spark.createDataFrame([(1, 1.5, "upsert")], "k long, v double, op string"))
+    assert [(r.k, r.v) for r in tbl.read().collect()] == [(1, 1.5)]
