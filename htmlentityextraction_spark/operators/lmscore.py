@@ -82,3 +82,49 @@ def score_documents(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp") + F.lit(1e-9), 6).alias("avg_logprob"),
     )
+
+
+def bigram_doc_scores(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Bigram LM scoring — the order-2 step from the unigram model
+    toward KenLM-style perplexity gating. Per doc: mean
+    ln P(w2|w1) over its adjacent token pairs, with add-alpha
+    smoothing conditioned on context counts
+    (P = (c12 + a) / (c1 + a(V+1))).
+
+    Shape: bigrams explode narrowly from the token arrays (no window
+    shuffle — adjacency comes from the array, not a sort); the
+    bigram-count table joins back on (w1, w2) — one shuffle each for
+    the two count tables and the score join; the per-doc aggregate
+    shuffles doc ids once. The conditional table can exceed broadcast
+    size at corpus scale, so the join stays a shuffle join on
+    purpose. Docs with fewer than two tokens have no bigrams and are
+    excluded (mirrored by the oracle)."""
+    ft = F.filter(tokenize(F.lower(F.col("text"))), lambda t: t != "")
+    base = docs.select("doc_id", ft.alias("ft")).filter(F.size("ft") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ft)-1),"
+                " i -> struct(element_at(ft, i) as w1, element_at(ft, i+1) as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    toks = docs.select(F.explode(ft).alias("tok"))
+    v = toks.agg(F.countDistinct("tok").cast("double").alias("v"))
+    a = F.lit(alpha)
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + a) / (F.col("c1") + a * (F.col("v") + 1))).alias("l"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("l") + 1e-9, 6).alias("avg_logprob"),
+    )

@@ -591,3 +591,41 @@ def select_corpus_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("cum_tok") <= 8000)
         .select("doc_id", "lang", "quality", "n_tok", "cum_tok")
     )
+
+
+_FT = f"list_filter({_TOKS.format(col='lower(text)')}, x -> x <> '')"
+
+
+@register(
+    "lm_bigram_doc_scores",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_FT} AS ft FROM documents
+    ), bg AS (
+        SELECT doc_id, list_extract(ft, i) AS w1, list_extract(ft, i + 1) AS w2
+        FROM (SELECT doc_id, ft, unnest(generate_series(1, len(ft) - 1)) AS i
+              FROM t WHERE len(ft) >= 2)
+    ), c12 AS (
+        SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT tok)::DOUBLE AS v
+        FROM (SELECT unnest({_FT}) AS tok FROM documents)
+    ), s AS (
+        SELECT b.doc_id, ln((c.c12 + 0.5) / (u.c1 + 0.5 * (v.v + 1))) AS l
+        FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(l) + 1e-9, 6) AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM document scoring (operators/lmscore.bigram_doc_scores)
+    — the order-2 perplexity-gate signal: mean conditional
+    ln P(w2|w1) per doc with add-alpha smoothing. Adjacency comes
+    from the token array (narrow transform), not a window sort."""
+    from htmlentityextraction_spark.operators.lmscore import bigram_doc_scores
+
+    return bigram_doc_scores(load_table(spark, sf_dir, "documents"))

@@ -57,6 +57,7 @@ _DRIVER_UNCONFIRMED = (
     "stream_stream_attribution_outer", "mergetable_cdc_changes",
     "stream_merge_upsert_per_user", "stream_session_window_builtin",
     "quality_percentile_gate_per_lang", "select_corpus_to_token_budget",
+    "lm_bigram_doc_scores",
 )
 
 
