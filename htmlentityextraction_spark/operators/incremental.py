@@ -239,7 +239,9 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after column-adding merges, untouched buckets
+        # still hold the pre-evolution schema (null-filled on read)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- pruned reads (zone maps / bucket transform) -----------------------
     def prune_report(self, col: str, lo=None, hi=None, version: int | None = None) -> dict:
@@ -275,7 +277,7 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, m["buckets"][b]) for b in kept] or [
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         c = F.col(col)
         cond = F.lit(True)
         if lo is not None:
@@ -299,6 +301,50 @@ class ParquetMergeTable:
         )
         return int(row.b)
 
+    def optimize(self, target_files_per_bucket: int = 1) -> dict:
+        """Compact small files (Delta OPTIMIZE): every current bucket
+        dir holding more part files than the target is rewritten
+        coalesced into a new version; buckets already compact are
+        carried over copy-on-write, data and zone maps unchanged.
+        Merges write each bucket from shuffle parallelism, so a
+        long-lived table accretes small files — compaction restores
+        scan efficiency (fewer file opens, fuller row groups) without
+        touching logical content. Published like any other commit:
+        old snapshots still time-travel, vacuum reclaims the
+        fragmented dirs once unreferenced. One coalesce job per fat
+        bucket, driver-looped — at production bucket counts schedule
+        them in a thread pool; the commit is still one atomic swap."""
+        m = self._read_manifest()
+        version = m["version"] + 1
+        vdir = f"v{version}"
+        entries = dict(m["buckets"])
+        compacted: list[str] = []
+        for b, rel in sorted(m["buckets"].items()):
+            full = os.path.join(self.path, rel)
+            n_files = sum(1 for f in os.listdir(full) if f.startswith("part-"))
+            if n_files <= target_files_per_bucket:
+                continue
+            out_rel = os.path.join(vdir, f"__bucket={b}")
+            (
+                self.spark.read.parquet(full)
+                .coalesce(target_files_per_bucket)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, out_rel))
+            )
+            entries[b] = out_rel
+            compacted.append(b)
+        if not compacted:
+            return {"version": m["version"], "compacted": []}
+        self._swap_manifest(
+            {
+                "version": version,
+                "buckets": entries,
+                "stats": dict(m.get("stats", {})),
+                "schema": m.get("schema"),
+            }
+        )
+        return {"version": version, "compacted": compacted}
+
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two published snapshots (Delta's
         ``table_changes`` shape): one row per key whose state differs,
@@ -314,7 +360,14 @@ class ParquetMergeTable:
         old = self.read(from_version)
         new = self.read(to_version)
         k = self.key_col
-        data_cols = [c for c in old.columns if c != k]
+        old_cols = [c for c in old.columns if c != k]
+        new_cols = [c for c in new.columns if c != k]
+        data_cols = old_cols + [c for c in new_cols if c not in old_cols]
+        for c in data_cols:  # null-fill across schema evolution
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(dict(old.dtypes)[c]))
         o = old.select(F.col(k).alias("__ok"), *[F.col(c).alias(f"old_{c}") for c in data_cols])
         n = new.select(F.col(k).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in data_cols])
         j = o.join(n, o["__ok"] == n["__nk"], "full_outer")
@@ -348,7 +401,11 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, m["buckets"][b])] if b in m["buckets"] else [
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
-        return self.spark.read.parquet(*paths).filter(F.col(self.key_col) == F.lit(key_value))
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .filter(F.col(self.key_col) == F.lit(key_value))
+        )
 
     def history(self) -> list[dict]:
         """Published versions, oldest first: [{version, n_buckets}]."""
@@ -432,6 +489,22 @@ class ParquetMergeTable:
         else:
             old = self.spark.createDataFrame([], updates.drop(op_col).schema)
 
+        # schema evolution (Delta mergeSchema shape): an update batch
+        # may ADD columns — existing rows take null for them, and the
+        # manifest schema evolves so empty/pruned reads stay typed.
+        # Updates are full-row upserts, so they must still carry every
+        # existing column; silently dropping one would fork the schema
+        # between rewritten and untouched buckets.
+        missing_in_upd = [c for c in old.columns if c not in data_cols]
+        if missing_in_upd:
+            raise ValueError(
+                f"update batch is missing existing columns {missing_in_upd}; "
+                "upserts are full-row (schema evolution only ADDS columns)"
+            )
+        evolved = [c for c in data_cols if c not in old.columns]
+        for c in evolved:
+            old = old.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
+
         k = self.key_col
         upd_named = upd.select(
             F.col(k).alias("__uk"),
@@ -466,11 +539,12 @@ class ParquetMergeTable:
                 entries.pop(b, None)
                 stats.pop(b, None)
         upd.unpersist()
+        schema_json = merged.schema.json() if evolved else m.get("schema")
         return {
             "version": version,
             "buckets": entries,
             "stats": stats,
-            "schema": m.get("schema"),
+            "schema": schema_json,
         }
 
     def commit(self, manifest: dict) -> None:

@@ -222,3 +222,60 @@ def test_empty_table_reads_with_recorded_schema(spark, tmp_path):
     # first merge into the empty table works
     tbl.merge(spark.createDataFrame([(1, 1.5, "upsert")], "k long, v double, op string"))
     assert [(r.k, r.v) for r in tbl.read().collect()] == [(1, 1.5)]
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(10)])
+    # update batch ADDS a currency column
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 33.0, "EUR", "upsert"), (100, 1.0, "USD", "upsert")],
+            "o_orderkey long, price double, currency string, op string",
+        )
+    )
+    got = {r.o_orderkey: r for r in tbl.read().collect()}
+    assert got[3].currency == "EUR" and got[100].currency == "USD"
+    assert got[7].currency is None, "pre-evolution rows null-fill the new column"
+    assert len(got) == 11
+    # CDC across the evolution sees the new column
+    cdc = {r.o_orderkey: r for r in tbl.table_changes(1).collect()}
+    assert cdc[3].change_type == "update" and cdc[3].new_currency == "EUR"
+    assert cdc[100].change_type == "insert"
+    # dropping an existing column is rejected (full-row upserts)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing existing columns"):
+        tbl.merge(
+            spark.createDataFrame([(3, "x", "upsert")], "o_orderkey long, currency string, op string")
+        )
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    import os
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    tbl = ParquetMergeTable(spark, str(tmp_path / "opt"), "o_orderkey", num_buckets=4)
+    df = spark.range(0, 2000).repartition(16).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 1.0).alias("price")
+    )
+    tbl.create(df)
+
+    def files_per_bucket():
+        m = tbl._read_manifest()
+        return {
+            b: sum(1 for f in os.listdir(os.path.join(tbl.path, rel)) if f.startswith("part-"))
+            for b, rel in m["buckets"].items()
+        }
+
+    assert max(files_per_bucket().values()) > 1, "fixture must start fragmented"
+    before = sorted((r.o_orderkey, r.price) for r in tbl.read().collect())
+    res = tbl.optimize()
+    assert res["compacted"], "fragmented buckets must compact"
+    assert max(files_per_bucket().values()) == 1
+    after = sorted((r.o_orderkey, r.price) for r in tbl.read().collect())
+    assert after == before, "compaction must not change logical content"
+    # time travel to the pre-compaction version still works
+    assert tbl.read(version=1).count() == 2000
+    # idempotent: second optimize is a no-op
+    assert tbl.optimize()["compacted"] == []
