@@ -1,0 +1,198 @@
+"""Behavioral / product-analytics queries over the events stream:
+funnel progression, cohort retention, and statistical anomaly
+flagging. The standard session-and-user analytics a production event
+pipeline serves next to the price analytics (no direct reference
+equivalent — the events table is the driver fixture's clickstream).
+
+Scale shapes: funnel and retention are per-user min-aggregations
+(one shuffle on user_id) followed by tiny date/cohort aggregates;
+the z-score pass reuses the exact-integer co-moment technique from
+corr_covar_qty_price so outlier flags are reproducible across runs
+and partitionings (float mean/std drift can flip a borderline |z|
+comparison — exact moments cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.functions.temporal import epoch_micros
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "funnel_stage_per_user",
+    """
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_buy,
+           CAST(CASE WHEN p.t_buy IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_stage_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): per
+    user, the first event of each stage that happens strictly after
+    the previous stage's first event, and the deepest stage reached.
+    Three min-aggregates sharing one user_id partitioning; the stage
+    ordering constraint is in the join predicate, so 'clicked before
+    ever viewing' correctly does not advance the funnel."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    stage = (
+        F.when(F.col("t_buy").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_buy", stage.alias("stage"))
+    )
+
+
+@register(
+    "retention_cohort_matrix",
+    """
+    WITH first AS (
+        SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+                   AS day_offset
+        FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each later day-offset they were active (distinct user-day).
+    The classic triangle matrix — per-user min shuffle, then a
+    distinct + small aggregate; cohort dates stringified so both
+    engines hash the same representation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count("*").alias("n_active"))
+
+
+@register(
+    "price_zscore_outliers",
+    """
+    WITH b AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+               l_extendedprice AS price,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT flag, count(*)::BIGINT AS n, sum(y) AS sy, sum(y*y) AS syy
+        FROM b GROUP BY flag
+    ), stats AS (
+        SELECT flag,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / CAST(n AS DOUBLE) AS sigma
+        FROM m
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.flag, b.price,
+           round((CAST(b.y AS DOUBLE) - s.mu) / s.sigma + 1e-9, 6) AS z
+    FROM b JOIN stats s ON b.flag = s.flag
+    WHERE abs((CAST(b.y AS DOUBLE) - s.mu) / s.sigma) > 1.5
+    """,
+)
+def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly flags: line items whose price sits more
+    than 1.5 sigma from their return-flag group mean (the fixture's
+    near-uniform prices bound |z| below sqrt(3), so a 2-sigma gate
+    would be vacuous). Mean and sigma
+    come from EXACT integer co-moments (price cents), floats enter
+    only in the final per-row expression — so the boundary comparison
+    |z| > 1.5 is identical on every engine, run, and partitioning. One
+    aggregate (3 rows, broadcast back) + one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    ndec = F.col("n").cast(dec)
+    stats = m.select(
+        "flag",
+        (F.col("sy").cast("double") / nd).alias("mu"),
+        (F.sqrt((ndec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")) / nd).alias(
+            "sigma"
+        ),
+    )
+    z = (F.col("y").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        b.join(F.broadcast(stats), "flag")
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "flag",
+            "price",
+            F.round(z + 1e-9, 6).alias("z"),
+        )
+    )

@@ -57,7 +57,8 @@ _DRIVER_UNCONFIRMED = (
     "stream_stream_attribution_outer", "mergetable_cdc_changes",
     "stream_merge_upsert_per_user", "stream_session_window_builtin",
     "quality_percentile_gate_per_lang", "select_corpus_to_token_budget",
-    "lm_bigram_doc_scores",
+    "lm_bigram_doc_scores", "funnel_stage_per_user",
+    "retention_cohort_matrix", "price_zscore_outliers",
 )
 
 
