@@ -196,3 +196,61 @@ def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z + 1e-9, 6).alias("z"),
         )
     )
+
+
+@register(
+    "daily_weekly_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        GROUP BY d.day
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) + 1e-9, 6)
+               AS stickiness
+    FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+    """,
+)
+def daily_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. Windowed
+    COUNT(DISTINCT) is not expressible as a window aggregate in
+    Spark, so the trailing set is materialized as a (day x active-day)
+    range join over the DISTINCT user-day pairs — user-days are the
+    small distilled table (|users| x |days|), so the 7-way fan-out is
+    cheap at any corpus size; the raw event table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    u = ud.select(F.col("user_id").alias("uid"), F.col("day").alias("uday"))
+    wau = (
+        days.join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("uid").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double") + 1e-9, 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -210,3 +210,38 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("long").alias("price_decile"),
         F.round(F.cume_dist().over(w) + 1e-9, 6).alias("price_cume"),
     )
+
+
+@register(
+    "rolling_median_price",
+    """
+    SELECT l_partkey AS prodid, l_suppkey AS store,
+           l_orderkey AS ok, l_linenumber AS ln,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) OVER (
+               PARTITION BY l_partkey, l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) + 1e-9, 6)
+               AS rolling_median
+    FROM lineitem
+    """,
+)
+def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-observation median per price series — the robust
+    smoother for spiky price feeds (a windowed PERCENTILE, not a mean:
+    one bad scrape cannot drag it). Exact interpolated median over an
+    explicit rows frame; one shuffle on the series key, same
+    partitioning family as the delta windows."""
+    w = (
+        Window.partitionBy("l_partkey", "l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_suppkey").alias("store"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)).over(w) + 1e-9, 6).alias(
+            "rolling_median"
+        ),
+    )

@@ -59,7 +59,8 @@ _DRIVER_UNCONFIRMED = (
     "quality_percentile_gate_per_lang", "select_corpus_to_token_budget",
     "lm_bigram_doc_scores", "funnel_stage_per_user",
     "retention_cohort_matrix", "price_zscore_outliers",
-    "whois_contact_extraction",
+    "whois_contact_extraction", "rolling_median_price",
+    "daily_weekly_active_users",
 )
 
 
