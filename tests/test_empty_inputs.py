@@ -65,3 +65,47 @@ def test_asof_and_sessionize_empty(spark):
     assert tp.asof_join(probe, build, "k", "pts", "bts", ["price"]).count() == 0
     ev = spark.createDataFrame([], "user_id long, ts timestamp")
     assert skew.sessionize(ev).count() == 0
+
+
+def test_round3_operators_empty(spark):
+    from htmlentityextraction_spark.operators import llmprep as lp
+    from htmlentityextraction_spark.operators.lmscore import bigram_doc_scores
+    from htmlentityextraction_spark.sources import http as hs
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    packed = lp.pack_sequences(docs, budget=512)
+    assert packed.count() == 0
+    assert set(packed.columns) == {"grp", "bin_id", "n_docs", "bin_tokens", "first_doc", "last_doc"}
+
+    bg = bigram_doc_scores(docs.drop("source"))
+    assert bg.count() == 0
+    assert set(bg.columns) == {"doc_id", "n_bigrams", "avg_logprob"}
+
+    urls = spark.createDataFrame([], "url string")
+    fetched = hs.fetch_pages(urls)
+    assert fetched.count() == 0
+
+    # whois over a null / unparseable payload: N/A fields, no crash
+    bad = spark.createDataFrame(
+        [("x.com", None), ("y.com", "not json")], "domain string, raw string"
+    )
+    rows = {r.domain: r for r in hs.whois_contacts(bad).collect()}
+    assert rows["x.com"].registrant_full_name == "N/A"
+    assert rows["y.com"].technical_phone_number == "N/A"
+    assert rows["y.com"].contact_line.count(hs.RAW_DELIMITER) == 27
+
+
+def test_stream_merge_into_empty_stream(spark, tmp_path):
+    import tempfile
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+    from htmlentityextraction_spark.streaming import pipeline as sp
+
+    topic = tempfile.mkdtemp(prefix="empty_merge_topic_")
+    tbl = ParquetMergeTable(spark, str(tmp_path / "t"), key_col="user_id", num_buckets=4)
+    tbl.create(
+        spark.createDataFrame([], "user_id long, n_events long, sum_cents long, last_us long")
+    )
+    stream = sp.read_events_stream(spark, "unused", events_dir=topic)
+    sp.stream_merge_into(stream, tbl).await_done()
+    assert tbl.read().count() == 0
