@@ -263,3 +263,46 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+@register(
+    "fuzzy_entity_match",
+    """
+    WITH clean AS (
+        SELECT s_suppkey AS clean_id, lower(s_name) AS cname FROM supplier
+    ), dirty AS (
+        SELECT s_suppkey + 10000 AS dirty_id,
+               CASE WHEN s_suppkey % 2 = 1
+                    THEN lower(substring(s_name, 1, 3) || substring(s_name, 5))
+                    ELSE lower(s_name) END AS dname
+        FROM supplier
+    )
+    SELECT d.dirty_id, c.clean_id,
+           CAST(levenshtein(d.dname, c.cname) AS BIGINT) AS dist
+    FROM dirty d JOIN clean c ON levenshtein(d.dname, c.cname) <= 1
+    """,
+)
+def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on dirty keys (operators/entity.fuzzy_join):
+    supplier names with a deterministically dropped character are
+    re-matched to the clean roster within edit distance 1 via trigram
+    blocking + Levenshtein verification. The oracle is the EXHAUSTIVE
+    cross join with the same distance filter, so the hash match
+    proves the blocking loses no pair (recall 1.0) while the engine
+    never materializes n x m."""
+    from htmlentityextraction_spark.operators.entity import fuzzy_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    clean = sup.select(
+        F.col("s_suppkey").alias("clean_id"), F.lower("s_name").alias("cname")
+    )
+    dirty = sup.select(
+        (F.col("s_suppkey") + 10000).alias("dirty_id"),
+        F.when(
+            F.pmod("s_suppkey", F.lit(2)) == 1,
+            F.lower(F.concat(F.expr("substring(s_name, 1, 3)"), F.expr("substring(s_name, 5, 10000)"))),
+        )
+        .otherwise(F.lower("s_name"))
+        .alias("dname"),
+    )
+    return fuzzy_join(dirty, clean, "dirty_id", "dname", "clean_id", "cname", max_distance=1)

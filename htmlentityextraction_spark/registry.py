@@ -60,7 +60,7 @@ _DRIVER_UNCONFIRMED = (
     "lm_bigram_doc_scores", "funnel_stage_per_user",
     "retention_cohort_matrix", "price_zscore_outliers",
     "whois_contact_extraction", "rolling_median_price",
-    "daily_weekly_active_users",
+    "daily_weekly_active_users", "fuzzy_entity_match",
 )
 
 
