@@ -65,6 +65,11 @@ OP_UPSERT = "upsert"
 OP_DELETE = "delete"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a snapshot between staging and commit;
+    the staged merge must be re-staged on the current base."""
+
+
 class ParquetMergeTable:
     """Minimal copy-on-write table format supporting incremental MERGE
     (matched → update, matched tombstone → delete, unmatched → insert)
@@ -335,7 +340,9 @@ class ParquetMergeTable:
             compacted.append(b)
         if not compacted:
             return {"version": m["version"], "compacted": []}
-        self._swap_manifest(
+        # publish through commit() so a merge racing the compaction
+        # cannot be silently clobbered
+        self.commit(
             {
                 "version": version,
                 "buckets": entries,
@@ -548,8 +555,39 @@ class ParquetMergeTable:
         }
 
     def commit(self, manifest: dict) -> None:
-        """Publish a staged manifest (the atomic swap)."""
-        self._swap_manifest(manifest)
+        """Publish a staged manifest with OPTIMISTIC CONCURRENCY
+        CONTROL (Delta-style): the commit holds a lock file
+        (O_CREAT|O_EXCL — a conditional PUT on an object store),
+        re-reads the current version, and REFUSES if another writer
+        published since this merge was staged — last-writer-wins
+        would silently drop the other writer's buckets (the staged
+        manifest embeds the base snapshot's entries). The loser
+        re-stages on the new base and retries; its written files are
+        orphans that vacuum reclaims."""
+        import time
+
+        lock = os.path.join(self.path, "_commit.lock")
+        fd = None
+        for _ in range(100):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.05)
+        if fd is None:
+            raise TimeoutError(f"could not acquire commit lock {lock}")
+        try:
+            current = self._read_manifest()["version"]
+            if current != manifest["version"] - 1:
+                raise ConcurrentWriteError(
+                    f"staged on base version {manifest['version'] - 1} but the "
+                    f"table is now at {current}; re-stage the merge on the "
+                    "current snapshot and retry"
+                )
+            self._swap_manifest(manifest)
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     def _schema_of_empty(self, manifest: dict):
         import json as _json

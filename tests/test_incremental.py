@@ -279,3 +279,25 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     assert tbl.read(version=1).count() == 2000
     # idempotent: second optimize is a no-op
     assert tbl.optimize()["compacted"] == []
+
+
+def test_concurrent_commit_rejected_then_retry_succeeds(spark, tmp_path):
+    from htmlentityextraction_spark.operators.incremental import ConcurrentWriteError
+
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(20)])
+    upd_a = spark.createDataFrame([(3, 33.0, "upsert")], "o_orderkey long, price double, op string")
+    upd_b = spark.createDataFrame([(4, 44.0, "upsert")], "o_orderkey long, price double, op string")
+    staged_a = tbl.staged_merge(upd_a)
+    # writer B lands first
+    tbl.merge(upd_b)
+    # A's commit must be refused — last-writer-wins would drop B's work
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError, match="re-stage"):
+        tbl.commit(staged_a)
+    got = {r.o_orderkey: r.price for r in tbl.read().collect()}
+    assert got[4] == 44.0 and got[3] == 3.0, "rejected commit must change nothing"
+    # retry path: re-stage on the new base, both writers' effects land
+    tbl.merge(upd_a)
+    got = {r.o_orderkey: r.price for r in tbl.read().collect()}
+    assert got[3] == 33.0 and got[4] == 44.0
