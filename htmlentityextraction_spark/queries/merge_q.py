@@ -175,3 +175,72 @@ def mergetable_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("old_price") + 1e-9, 6).alias("old_price"),
         F.round(F.col("new_price") + 1e-9, 6).alias("new_price"),
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    """
+    WITH final AS (
+        SELECT o_orderkey, price FROM (
+            WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+            SELECT k AS o_orderkey,
+                   CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
+                        WHEN k % 14 = 2 THEN 1.0
+                        WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                        ELSE p END AS price
+            FROM o WHERE k % 14 <> 9
+            UNION ALL
+            SELECT k + 10000000, 5.0 FROM o WHERE k % 50 = 0
+        )
+    )
+    SELECT o_orderkey % 100 AS price_group,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM final GROUP BY price_group
+    """,
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE: a per-group rollup (count +
+    exact cent sum) is maintained by applying the CDC delta from
+    ``table_changes`` to the version-1 rollup — never re-aggregating
+    the final snapshot. The oracle aggregates the final state
+    directly, so the hash match proves base + delta == recompute:
+    inserts add, deletes subtract, updates contribute (new - old).
+    At 100 TB this is the difference between touching |changes| and
+    touching the table on every refresh; exact integer sums make the
+    algebra safe under any partitioning."""
+    tbl = _merged_orders_table(spark, sf_dir)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5))  # noqa: E731
+    grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
+
+    base = (
+        tbl.read(1)
+        .groupBy(grp(F.col("o_orderkey")))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("price"))).alias("sum_cents"),
+        )
+    )
+    cdc = tbl.table_changes(1)
+    is_ins = F.col("change_type") == "insert"
+    is_del = F.col("change_type") == "delete"
+    d_cnt = F.when(is_ins, 1).when(is_del, -1).otherwise(0)
+    d_sum = F.coalesce(
+        F.when(~is_del, cents(F.col("new_price"))), F.lit(0)
+    ) - F.coalesce(F.when(~is_ins, cents(F.col("old_price"))), F.lit(0))
+    delta = cdc.groupBy(grp(F.col("o_orderkey"))).agg(
+        F.sum(d_cnt).alias("d_cnt"), F.sum(d_sum).alias("d_sum")
+    )
+    return (
+        base.join(delta, "price_group", "full_outer")
+        .select(
+            "price_group",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0))).alias(
+                "sum_cents"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -61,6 +61,7 @@ _DRIVER_UNCONFIRMED = (
     "retention_cohort_matrix", "price_zscore_outliers",
     "whois_contact_extraction", "rolling_median_price",
     "daily_weekly_active_users", "fuzzy_entity_match",
+    "incremental_rollup_maintenance",
 )
 
 

@@ -59,3 +59,19 @@ def test_exact_comoments_match_builtin_corr(spark, sf_dir):
     }
     for flag, row in ours.items():
         assert abs(row.corr_qty_price - ref[flag].c) < 1e-5
+
+
+def test_fuzzy_join_short_strings_and_no_match(spark):
+    from htmlentityextraction_spark.operators.entity import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "ab"), (2, "hello"), (3, "zzz")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "ab"), (20, "hallo"), (30, "qqqq")], "rid long, rname string"
+    )
+    got = {(r.lid, r.rid): r.dist for r in
+           fuzzy_join(left, right, "lid", "lname", "rid", "rname", 1).collect()}
+    assert got[(1, 10)] == 0, "short strings (<3 chars) must still block and match"
+    assert got[(2, 20)] == 1
+    assert all(lid != 3 for lid, _ in got), "no spurious match for disjoint strings"
