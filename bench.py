@@ -32,6 +32,17 @@ HEADLINE = [
     "stream_serve_pipeline",         # full serve path: parse->extract->score->route
 ]
 
+# Round-3 families, timed identically but reported under "extended" so
+# the headline total stays comparable across rounds.
+EXTENDED = [
+    "ema_price_per_product",         # ordered-fold sequential aggregate
+    "cms_heavy_hitters",             # DataFrame Count-Min sketch
+    "mergetable_cdc_changes",        # table format: 2 merges + change feed
+    "fuzzy_entity_match",            # trigram-blocked fuzzy join
+    "sequence_packing_bins",         # token-budget packing
+    "stream_merge_upsert_per_user",  # streaming MERGE sink
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +71,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in [n for n in EXTENDED if n in qs]:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.time() - t0, 3)
+        print(f"# {name}: done in {extended[name]}s (extended)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_time",
@@ -71,6 +90,9 @@ def main() -> None:
         # non-cardinality work); r2+ times a noop-sink write that
         # materializes every column. Never compare across bases.
         "basis": "noop-write",
+        # round-3 families, timed on the same basis; NOT in `value`
+        # so the headline total stays comparable across rounds
+        "extended": extended,
     }
     # derived throughput: the serve path processes one page per orders row
     if "stream_serve_pipeline" in timings and timings["stream_serve_pipeline"] > 0:
