@@ -538,3 +538,146 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, n_nulls long, n_distinct long, min_num double,"
         "max_num double, min_str string, max_str string",
     )
+
+
+@register(
+    "ols_trend_qty_price",
+    """
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT flag, count(*)::BIGINT AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM b GROUP BY flag
+    )
+    SELECT flag, n AS n_rows,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0
+                 + 1e-9, 6) AS slope_usd_per_unit,
+           round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 + 1e-9, 6)
+               AS intercept_usd,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                 + 1e-9, 6) AS r2
+    FROM m
+    """,
+)
+def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price-vs-quantity trend):
+    slope, intercept, and R² in closed form from the same EXACT
+    integer co-moments as corr_covar_qty_price — distributed
+    regression with no iterative solver and no float accumulation
+    drift, the 100 TB way to fit millions of per-group trend lines
+    in one aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    slope = num / dx
+    intercept = F.col("sy").cast("double") / nd - slope * (F.col("sx").cast("double") / nd)
+    return m.select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        F.round(slope / F.lit(100.0) + 1e-9, 6).alias("slope_usd_per_unit"),
+        F.round(intercept / F.lit(100.0) + 1e-9, 6).alias("intercept_usd"),
+        F.round(num * num / (dx * dy) + 1e-9, 6).alias("r2"),
+    )
+
+
+@register(
+    "seasonality_dow_profile",
+    """
+    SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY dow, event_type
+    """,
+)
+def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly-
+    cycle baseline a monitoring pipeline compares against. Engines
+    number weekdays differently (Spark dayofweek is 1=Sunday, DuckDB
+    EXTRACT(dow) is 0=Sunday), so both sides normalize to the 0=Sunday
+    convention explicitly; cent sums stay exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
+    "multiformat_source_parity",
+    """
+    SELECT fmt, count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+    GROUP BY fmt
+    """,
+)
+def multiformat_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic ingest (the S-family promise made concrete):
+    the same relation round-trips through CSV, JSON-lines, and ORC
+    and aggregates identically from each — per format, row count,
+    exact cent sum, status cardinality. CSV/JSON read with explicit
+    schemas (schema inference at 100 TB is a full extra pass); ORC
+    carries its own. The oracle states the parquet ground truth once
+    per format, so the hash proves every decode path is lossless."""
+    import tempfile
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="multifmt_")
+    schema = "o_orderkey long, o_totalprice double, o_orderstatus string"
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        path = f"{root}/{fmt}"
+        w = base.write.mode("overwrite")
+        (w.option("header", "true").csv(path) if fmt == "csv"
+         else w.json(path) if fmt == "json" else w.orc(path))
+        r = spark.read
+        df = (
+            r.schema(schema).option("header", "true").csv(path) if fmt == "csv"
+            else r.schema(schema).json(path) if fmt == "json" else r.orc(path)
+        )
+        outs.append(
+            df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                    "sum_cents"
+                ),
+                F.countDistinct("o_orderstatus").alias("n_statuses"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -61,7 +61,8 @@ _DRIVER_UNCONFIRMED = (
     "retention_cohort_matrix", "price_zscore_outliers",
     "whois_contact_extraction", "rolling_median_price",
     "daily_weekly_active_users", "fuzzy_entity_match",
-    "incremental_rollup_maintenance",
+    "incremental_rollup_maintenance", "ols_trend_qty_price",
+    "seasonality_dow_profile", "multiformat_source_parity",
 )
 
 
