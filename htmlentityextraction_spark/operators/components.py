@@ -128,3 +128,51 @@ def resolve_duplicate_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def bounded_bfs_bipartite(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
+    """Breadth-first traversal over a bipartite edge list (u, v),
+    ``rounds`` frontier expansions from a single u-side ``seed``;
+    returns (side, node_id, level) with each node at its FIRST
+    discovery level (min-level semantics via anti-joins against the
+    visited set).
+
+    The bounded sibling of the label-propagation closure above: per
+    round one equi-join of the frontier against the edge list plus an
+    anti-join dedup — frontier-sized work, not graph-sized, so a
+    3-hop neighborhood query on a 100 TB edge list touches only the
+    neighborhood. Unbounded diameters belong to the iterate-to-
+    fixpoint operator; this one is for "what is within k hops"."""
+    from pyspark.sql import functions as F
+
+    u_seen = edges.sparkSession.createDataFrame([(seed,)], "node_id long")
+    v_seen = edges.sparkSession.createDataFrame([], "node_id long")
+    out = u_seen.select(
+        F.lit("u").alias("side"), "node_id", F.lit(0).cast("long").alias("level")
+    )
+    frontier, on_u = u_seen, True
+    for lvl in range(1, rounds + 1):
+        if on_u:  # expand u-frontier to its v-neighbors
+            nxt = (
+                edges.join(frontier.withColumnRenamed("node_id", "u"), "u")
+                .select(F.col("v").alias("node_id")).distinct()
+                .join(v_seen, "node_id", "left_anti")
+            )
+            v_seen = v_seen.union(nxt)
+        else:
+            nxt = (
+                edges.join(frontier.withColumnRenamed("node_id", "v"), "v")
+                .select(F.col("u").alias("node_id")).distinct()
+                .join(u_seen, "node_id", "left_anti")
+            )
+            u_seen = u_seen.union(nxt)
+        nxt = nxt.localCheckpoint()  # cut the growing lineage per round
+        out = out.union(
+            nxt.select(
+                F.lit("v" if on_u else "u").alias("side"),
+                "node_id",
+                F.lit(lvl).cast("long").alias("level"),
+            )
+        )
+        frontier, on_u = nxt, not on_u
+    return out

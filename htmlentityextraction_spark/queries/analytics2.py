@@ -306,3 +306,41 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dname"),
     )
     return fuzzy_join(dirty, clean, "dirty_id", "dname", "clean_id", "cname", max_distance=1)
+
+
+@register(
+    "bfs_order_part_neighborhood",
+    """
+    WITH seed AS (SELECT min(o_orderkey) AS s FROM orders),
+    l1 AS (SELECT DISTINCT l_partkey AS p FROM lineitem, seed WHERE l_orderkey = s),
+    l2 AS (SELECT DISTINCT l_orderkey AS o FROM lineitem
+           WHERE l_partkey IN (SELECT p FROM l1)
+             AND l_orderkey <> (SELECT s FROM seed)),
+    l3 AS (SELECT DISTINCT l_partkey AS p FROM lineitem
+           WHERE l_orderkey IN (SELECT o FROM l2)
+             AND l_partkey NOT IN (SELECT p FROM l1))
+    SELECT 'order' AS node_type, s AS node_id, CAST(0 AS BIGINT) AS level FROM seed
+    UNION ALL SELECT 'part', p, 1 FROM l1
+    UNION ALL SELECT 'order', o, 2 FROM l2
+    UNION ALL SELECT 'part', p, 3 FROM l3
+    """,
+)
+def bfs_order_part_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS neighborhood of the smallest order over the
+    order-part bipartite graph (operators/components.
+    bounded_bfs_bipartite): the order's parts, the orders sharing
+    them, and those orders' new parts — first-discovery levels. The
+    oracle states each level closed-form with NOT-IN dedup, so the
+    hash proves the iterative frontier expansion's min-level
+    semantics."""
+    from htmlentityextraction_spark.operators.components import bounded_bfs_bipartite
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")).distinct()
+    seed = load_table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    out = bounded_bfs_bipartite(edges, int(seed), rounds=3)
+    return out.select(
+        F.when(F.col("side") == "u", "order").otherwise("part").alias("node_type"),
+        "node_id",
+        "level",
+    )
