@@ -681,3 +681,92 @@ def multiformat_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag AS flag, measure, round(sum(val) + 1e-9, 2) AS total
+    FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    ) GROUP BY flag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide→long, the inverse of A14's pivot): four
+    measure columns melt into (measure, value) rows in ONE scan —
+    ``DataFrame.unpivot`` expands rows inside the scan stage, where
+    the UNION-ALL formulation the oracle uses (and older engines run)
+    reads the table four times. Totals rounded to cents; sums of
+    doubles agree at 2dp across engines on this fixture."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn("measure", F.expr("substring(measure, 3, 100)"))
+    return long.groupBy(F.col("l_returnflag").alias("flag"), "measure").agg(
+        F.round(F.sum("val") + 1e-9, 2).alias("total")
+    )
+
+
+@register(
+    "revenue_contribution_by_nation",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n ON s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY nation, region
+    )
+    SELECT nation, region, rev_cents,
+           round(CAST(rev_cents AS DOUBLE)
+                 / CAST(sum(rev_cents) OVER (PARTITION BY region) AS DOUBLE) + 1e-9, 6)
+               AS region_share,
+           CAST(rank() OVER (PARTITION BY region ORDER BY rev_cents DESC, nation)
+                AS BIGINT) AS region_rank
+    FROM rev
+    """,
+)
+def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report contribution analysis: each nation's share of
+    its region's revenue plus its rank — the market-position pattern
+    (`analytics/UrlPositionAndVar.scala`) applied to a star join.
+    Revenue in exact integer cents so the share denominators are
+    order-independent; one windowed pass over the tiny aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(cents.cast("long")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("region")
+    wr = Window.partitionBy("region").orderBy(F.desc("rev_cents"), F.asc("nation"))
+    return rev.select(
+        "nation",
+        "region",
+        "rev_cents",
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w).cast("double")
+            + 1e-9,
+            6,
+        ).alias("region_share"),
+        F.rank().over(wr).cast("long").alias("region_rank"),
+    )

@@ -63,7 +63,8 @@ _DRIVER_UNCONFIRMED = (
     "daily_weekly_active_users", "fuzzy_entity_match",
     "incremental_rollup_maintenance", "ols_trend_qty_price",
     "seasonality_dow_profile", "multiformat_source_parity",
-    "bfs_order_part_neighborhood",
+    "bfs_order_part_neighborhood", "unpivot_lineitem_measures",
+    "revenue_contribution_by_nation",
 )
 
 
