@@ -770,3 +770,63 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("region_share"),
         F.rank().over(wr).cast("long").alias("region_rank"),
     )
+
+
+@register(
+    "variant_semistructured_extraction",
+    """
+    WITH payload AS (
+        SELECT p_partkey,
+               '{"id": ' || p_partkey || ', "price": ' ||
+               CAST(floor(p_retailprice) AS BIGINT) || '.50' ||
+               CASE WHEN p_partkey % 4 <> 0
+                    THEN ', "attrs": {"size": ' || p_partkey % 50 ||
+                         ', "brand": "' || p_brand || '"}'
+                    ELSE '' END ||
+               ', "tags": ["t0", "t' || p_partkey % 3 || '"]}' AS js
+        FROM part
+    )
+    SELECT p_partkey,
+           CAST(json_extract(js, '$.id') AS BIGINT) AS id,
+           CAST(json_extract(js, '$.price') AS DOUBLE) AS price,
+           CAST(json_extract(js, '$.attrs.size') AS BIGINT) AS attr_size,
+           json_extract_string(js, '$.attrs.brand') AS brand,
+           json_extract_string(js, '$.tags[1]') AS tag1
+    FROM payload
+    """,
+)
+def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless semi-structured access via Spark 4's VARIANT type:
+    heterogeneous JSON (rows missing whole sub-objects) is parsed
+    once with ``parse_json`` and fields pulled with typed
+    ``variant_get`` paths — nested objects, array indexing, absent
+    paths → null. The shredded-on-read path for payloads whose schema
+    is unknown or drifting (from_json's fixed StructType, the S4/F10
+    route, covers the known-schema case); at scale the variant binary
+    encodes once and every extraction is JVM-side."""
+    p = load_table(spark, sf_dir, "part")
+    js = F.concat(
+        F.lit('{"id": '), F.col("p_partkey").cast("string"),
+        F.lit(', "price": '), F.floor("p_retailprice").cast("long").cast("string"),
+        F.lit(".50"),
+        F.when(
+            F.pmod("p_partkey", F.lit(4)) != 0,
+            F.concat(
+                F.lit(', "attrs": {"size": '),
+                F.pmod("p_partkey", F.lit(50)).cast("string"),
+                F.lit(', "brand": "'), F.col("p_brand"), F.lit('"}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(', "tags": ["t0", "t'),
+        F.pmod("p_partkey", F.lit(3)).cast("string"),
+        F.lit('"]}'),
+    )
+    v = p.select("p_partkey", F.parse_json(js).alias("v"))
+    return v.select(
+        "p_partkey",
+        F.expr("variant_get(v, '$.id', 'long')").alias("id"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("price"),
+        F.expr("variant_get(v, '$.attrs.size', 'long')").alias("attr_size"),
+        F.expr("variant_get(v, '$.attrs.brand', 'string')").alias("brand"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
+    )

@@ -6,9 +6,10 @@ them; the rebuild exposes Spark's built-ins with oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.temporal import epoch_seconds
 from htmlentityextraction_spark.operators import temporal as tp
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -130,4 +131,58 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM __li_gs "
         "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
+@register(
+    "scd2_price_dimension",
+    """
+    WITH obs AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store,
+               l_extendedprice AS price,
+               epoch(l_shipdate) AS ts,
+               lag(l_extendedprice) OVER w AS prev_price
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ), changes AS (
+        SELECT prodid, store, price, CAST(ts AS BIGINT) AS valid_from
+        FROM obs WHERE prev_price IS NULL OR price <> prev_price
+    )
+    SELECT prodid, store, price, valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY prodid, store
+                                       ORDER BY valid_from) AS BIGINT) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY prodid, store
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_price_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction from a change
+    log: per price series, only REAL changes survive (equal-price
+    observations collapse — the A4 walk-back rule), each carrying
+    [valid_from, valid_to) epoch validity and an is_current flag from
+    one lead(). The dimension an as-of/range join consumes
+    (asof_price_lookup, range_join_value_bands are the read side) —
+    two window passes sharing one (prodid, store) partitioning, no
+    self-joins."""
+    w = Window.partitionBy("prodid", "store").orderBy("__ts", "__ok", "__ln")
+    obs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("prodid"),
+        F.col("l_suppkey").alias("store"),
+        F.col("l_extendedprice").alias("price"),
+        epoch_seconds("l_shipdate").alias("__ts"),
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_linenumber").alias("__ln"),
+    )
+    changes = (
+        obs.withColumn("__prev", F.lag("price").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("price") != F.col("__prev")))
+        .select("prodid", "store", "price", F.col("__ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("prodid", "store").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "prodid", "store", "price", "valid_from",
+        nxt.alias("valid_to"), nxt.isNull().alias("is_current"),
     )

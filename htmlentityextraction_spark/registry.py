@@ -64,7 +64,8 @@ _DRIVER_UNCONFIRMED = (
     "incremental_rollup_maintenance", "ols_trend_qty_price",
     "seasonality_dow_profile", "multiformat_source_parity",
     "bfs_order_part_neighborhood", "unpivot_lineitem_measures",
-    "revenue_contribution_by_nation",
+    "revenue_contribution_by_nation", "variant_semistructured_extraction",
+    "scd2_price_dimension",
 )
 
 
