@@ -89,12 +89,25 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--timings", action="store_true", help="print per-query spark seconds sorted")
+    ap.add_argument(
+        "--plain-session",
+        action="store_true",
+        help="run with an UNTUNED SparkSession (no UTC pin, no AQE/Arrow "
+        "configs) — driver-parity mode: results must not depend on the "
+        "repo's session factory",
+    )
     args = ap.parse_args()
 
-    from htmlentityextraction_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("correctness-check")
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").appName("correctness-plain").getOrCreate()
+    else:
+        from htmlentityextraction_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
