@@ -830,3 +830,113 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
         F.expr("variant_get(v, '$.attrs.brand', 'string')").alias("brand"),
         F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH cuts AS (
+        SELECT l_returnflag AS flag,
+               CAST(quantile_cont(l_extendedprice, 0.01) AS DOUBLE) AS lo,
+               CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS hi
+        FROM lineitem GROUP BY flag
+    )
+    SELECT b.l_returnflag AS flag, count(*) AS n_rows,
+           CAST(sum(CASE WHEN b.l_extendedprice < c.lo OR b.l_extendedprice > c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(floor(
+               CASE WHEN b.l_extendedprice < c.lo THEN c.lo
+                    WHEN b.l_extendedprice > c.hi THEN c.hi
+                    ELSE b.l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS winsorized_sum_cents
+    FROM lineitem b JOIN cuts c ON b.l_returnflag = c.flag
+    GROUP BY b.l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping at per-group p01/p99): the
+    robust-statistics companion to the z-score flags — aggregate
+    AFTER clamping to the percentile cuts so a handful of broken
+    scrapes cannot move the total. Cuts come from one percentile
+    aggregate (groups-sized, broadcast back); sums are exact cents of
+    the clamped values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    p = F.col("l_extendedprice")
+    clamped = F.when(p < F.col("lo"), F.col("lo")).when(p > F.col("hi"), F.col("hi")).otherwise(p)
+    clipped = ((p < F.col("lo")) | (p > F.col("hi"))).cast("long")
+    return (
+        li.join(F.broadcast(cuts), li["l_returnflag"] == cuts["flag"])
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(clipped).alias("n_clipped"),
+            F.sum(F.floor(clamped * 100 + F.lit(0.5)).cast("long")).alias(
+                "winsorized_sum_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "chisq_flag_status_independence",
+    """
+    WITH o AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               count(*)::BIGINT AS obs
+        FROM lineitem GROUP BY flag, status
+    ), tot AS (
+        SELECT sum(obs) AS n FROM o
+    ), marg AS (
+        SELECT o.flag, o.status, o.obs,
+               (SELECT sum(obs) FROM o o2 WHERE o2.flag = o.flag) AS row_tot,
+               (SELECT sum(obs) FROM o o2 WHERE o2.status = o.status) AS col_tot
+        FROM o
+    )
+    SELECT flag, status, obs,
+           round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE) + 1e-9, 6) AS expected,
+           round((CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE))
+                 * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE))
+                 / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 + 1e-9, 6) AS chi2_term
+    FROM marg, tot
+    """,
+)
+def chisq_flag_status_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test terms for the returnflag x
+    linestatus contingency table: observed counts, expected under
+    independence (row_total * col_total / n), and each cell's
+    (o - e)^2 / e contribution — sum the terms for the statistic.
+    All inputs are exact integer counts, so expected values and
+    terms are deterministic doubles; the contingency table is
+    cells-sized (broadcast scale) no matter how large the fact
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    ).agg(F.count("*").alias("obs"))
+    row = o.groupBy("flag").agg(F.sum("obs").alias("row_tot"))
+    col = o.groupBy("status").agg(F.sum("obs").alias("col_tot"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    e = F.col("row_tot").cast("double") * F.col("col_tot").cast("double") / F.col("n").cast(
+        "double"
+    )
+    d = F.col("obs").cast("double") - e
+    return (
+        o.join(F.broadcast(row), "flag")
+        .join(F.broadcast(col), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "flag",
+            "status",
+            "obs",
+            F.round(e + 1e-9, 6).alias("expected"),
+            F.round(d * d / e + 1e-9, 6).alias("chi2_term"),
+        )
+    )

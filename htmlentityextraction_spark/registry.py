@@ -65,7 +65,8 @@ _DRIVER_UNCONFIRMED = (
     "seasonality_dow_profile", "multiformat_source_parity",
     "bfs_order_part_neighborhood", "unpivot_lineitem_measures",
     "revenue_contribution_by_nation", "variant_semistructured_extraction",
-    "scd2_price_dimension",
+    "scd2_price_dimension", "winsorized_price_stats",
+    "chisq_flag_status_independence",
 )
 
 
