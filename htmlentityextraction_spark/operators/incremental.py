@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,6 +106,8 @@ class ParquetMergeTable:
         bucketing: str = "hash",
         range_width: int | None = None,
         stats_cols: list[str] | None = None,
+        align_writes: bool = True,
+        max_records_per_file: int | None = 5_000_000,
     ):
         """``bucketing``:
 
@@ -118,6 +122,16 @@ class ParquetMergeTable:
         ``stats_cols``: columns to record per-bucket min/max for in
         the manifest (zone maps), default ``[key_col]``. Numeric or
         string columns only (values land in the JSON manifest).
+
+        ``align_writes`` (default True): shuffle each write by
+        ``__bucket`` so every bucket is written by one task — without
+        it, every shuffle partition of the merge join emits a file
+        into every bucket dir (partitions × buckets small files per
+        version, which the NEXT merge then re-opens). Fat buckets
+        still split into bounded files via ``max_records_per_file``
+        (maps to Spark's maxRecordsPerFile), so alignment never
+        creates unboundedly large files at scale. False models
+        legacy/unaligned writers — OPTIMIZE compacts those.
         """
         if bucketing not in ("hash", "range"):
             raise ValueError(f"bucketing must be hash|range, got {bucketing!r}")
@@ -130,6 +144,8 @@ class ParquetMergeTable:
         self.bucketing = bucketing
         self.range_width = range_width
         self.stats_cols = list(stats_cols) if stats_cols else [key_col]
+        self.align_writes = align_writes
+        self.max_records_per_file = max_records_per_file
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -191,16 +207,29 @@ class ParquetMergeTable:
         }
 
     def _write_buckets(self, df: DataFrame, version: int) -> tuple[dict[str, str], dict]:
-        """Write one dir per bucket under v{version}/; return
+        """Write one dir per bucket under v{version}-{uuid}/; return
         (bucket → relative path for every bucket actually written,
         bucket → zone-map stats). The input is persisted for the two
-        passes (write + stats agg)."""
-        vdir = f"v{version}"
-        out = df.withColumn("__bucket", self._bucket(F.col(self.key_col))).persist()
+        passes (write + stats agg).
+
+        The staging dir is UNIQUE PER WRITER (uuid suffix): two
+        writers staging against the same base version can never
+        overwrite each other's files, so when OCC refuses the loser's
+        commit, its staged files are true orphans — no path a
+        committed manifest references is ever touched. Without the
+        suffix, the loser's mode('overwrite') into the shared v{N}
+        dir would delete files the winner's published manifest points
+        at (readers of the current snapshot would see missing data)."""
+        vdir = f"v{version}-{uuid.uuid4().hex[:8]}"
+        out = df.withColumn("__bucket", self._bucket(F.col(self.key_col)))
+        if self.align_writes:
+            out = out.repartition("__bucket")
+        out = out.persist()
         try:
-            out.write.mode("overwrite").partitionBy("__bucket").parquet(
-                os.path.join(self.path, vdir)
-            )
+            writer = out.write.mode("overwrite")
+            if self.max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+            writer.partitionBy("__bucket").parquet(os.path.join(self.path, vdir))
             stats = self._bucket_stats(out)
         finally:
             out.unpersist()
@@ -248,20 +277,63 @@ class ParquetMergeTable:
         # still hold the pre-evolution schema (null-filled on read)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def affected_buckets(self, keys: DataFrame, key_col: str | None = None) -> list[str]:
+        """Distinct bucket ids the given key column lands in —
+        evaluated with the table's own bucket expression, so it is
+        exact for both hash and range bucketing. Bounded collect:
+        ≤ the table's bucket count."""
+        kc = key_col or self.key_col
+        rows = (
+            keys.select(self._bucket(F.col(kc)).alias("__b"))
+            .distinct()
+            .collect()
+        )
+        return sorted({str(r["__b"]) for r in rows})
+
+    def read_buckets(self, bucket_ids: list[str], version: int | None = None) -> DataFrame:
+        """Snapshot read restricted to the given bucket ids — the
+        pruned-read primitive behind key-state lookups (streaming
+        MERGE reads only the buckets a micro-batch's keys touch) and
+        manifest-diff CDC. Buckets absent from the manifest (never
+        written / emptied) are skipped. An empty selection reads back
+        as an empty frame with the manifest schema."""
+        m = self._manifest_for(version)
+        want = {str(b) for b in bucket_ids}
+        paths = [
+            os.path.join(self.path, rel)
+            for b, rel in m["buckets"].items()
+            if b in want
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self._schema_of_empty(m))
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     # -- pruned reads (zone maps / bucket transform) -----------------------
     def prune_report(self, col: str, lo=None, hi=None, version: int | None = None) -> dict:
         """Manifest-only pruning decision for ``lo <= col <= hi``:
         which buckets must be scanned vs are skipped by their zone
         maps. Buckets without stats for ``col`` (e.g. written before
-        the column was tracked) are conservatively scanned."""
+        the column was tracked) are conservatively scanned. Bounds
+        are normalized through the manifest's own JSON encoding
+        (dates/timestamps → ISO strings, decimals → floats) so a
+        date/datetime bound compares against stored stats instead of
+        raising; any residual incomparability (e.g. a numeric bound
+        against string stats) degrades to a conservative scan, never
+        an error — pruning is an optimization, not a correctness
+        gate."""
         m = self._manifest_for(version)
+        lo = self._json_scalar(lo)
+        hi = self._json_scalar(hi)
         kept, pruned = [], []
         for b in m["buckets"]:
             st = (m.get("stats") or {}).get(b, {}).get(col)
             if st is not None and st[0] is not None and st[1] is not None:
-                if (hi is not None and st[0] > hi) or (lo is not None and st[1] < lo):
-                    pruned.append(b)
-                    continue
+                try:
+                    if (hi is not None and st[0] > hi) or (lo is not None and st[1] < lo):
+                        pruned.append(b)
+                        continue
+                except TypeError:  # incomparable bound vs stored stat
+                    pass
             kept.append(b)
         return {"scanned": sorted(kept), "skipped": sorted(pruned)}
 
@@ -321,7 +393,7 @@ class ParquetMergeTable:
         them in a thread pool; the commit is still one atomic swap."""
         m = self._read_manifest()
         version = m["version"] + 1
-        vdir = f"v{version}"
+        vdir = f"v{version}-{uuid.uuid4().hex[:8]}"  # unique: see _write_buckets
         entries = dict(m["buckets"])
         compacted: list[str] = []
         for b, rel in sorted(m["buckets"].items()):
@@ -357,24 +429,38 @@ class ParquetMergeTable:
         ``table_changes`` shape): one row per key whose state differs,
         classified ``insert`` / ``update`` / ``delete``, with the old
         and new non-key columns side by side (null on the absent
-        side). Computed as a full-outer join of the two immutable
-        snapshots on the key — no change log is stored, so CDC works
-        between ANY two retained versions, at the cost of reading
-        both (at 100 TB, prefer adjacent versions: copy-on-write
-        means unchanged buckets are the same files, and a
-        bucket-path-equality pre-filter could skip them; kept simple
-        here because the join is already bucket-co-partitioned)."""
-        old = self.read(from_version)
-        new = self.read(to_version)
+        side). No change log is stored, so CDC works between ANY two
+        retained versions.
+
+        MANIFEST-DIFF PRUNING: copy-on-write means a bucket whose
+        relative path is identical in both manifests is byte-for-byte
+        the same files — no key in it can have changed — so the
+        full-outer join reads ONLY buckets whose paths differ
+        (added, dropped, or rewritten). Between adjacent versions of
+        a 100 TB table a trickle merge touches a handful of buckets;
+        CDC cost is O(changed buckets), not O(table). Bucketing
+        parameters are fixed at table creation, so a key's bucket id
+        is stable across versions and pruned sides stay join-aligned."""
+        m_old = self._manifest_for(from_version)
+        m_new = self._manifest_for(to_version)
+        ob, nb = m_old["buckets"], m_new["buckets"]
+        changed = sorted(b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b))
+        old = self.read_buckets([b for b in changed if b in ob], from_version)
+        new = self.read_buckets([b for b in changed if b in nb], to_version)
         k = self.key_col
-        old_cols = [c for c in old.columns if c != k]
-        new_cols = [c for c in new.columns if c != k]
-        data_cols = old_cols + [c for c in new_cols if c not in old_cols]
+        # column union from the manifest schemas (authoritative at
+        # each version): a changed-bucket subset may predate a
+        # schema-evolving merge and lack its added columns
+        old_types = self._manifest_types(m_old, old)
+        new_types = self._manifest_types(m_new, new)
+        data_cols = [c for c in old_types if c != k] + [
+            c for c in new_types if c != k and c not in old_types
+        ]
         for c in data_cols:  # null-fill across schema evolution
             if c not in old.columns:
-                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+                old = old.withColumn(c, F.lit(None).cast(new_types.get(c) or old_types[c]))
             if c not in new.columns:
-                new = new.withColumn(c, F.lit(None).cast(dict(old.dtypes)[c]))
+                new = new.withColumn(c, F.lit(None).cast(old_types.get(c) or new_types[c]))
         o = old.select(F.col(k).alias("__ok"), *[F.col(c).alias(f"old_{c}") for c in data_cols])
         n = new.select(F.col(k).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in data_cols])
         j = o.join(n, o["__ok"] == n["__nk"], "full_outer")
@@ -444,7 +530,8 @@ class ParquetMergeTable:
             if h["version"] not in keep_versions:
                 os.remove(os.path.join(self.path, f"manifest-v{h['version']}.json"))
         for vdir in sorted(os.listdir(self.path)):
-            if not vdir.startswith("v") or not vdir[1:].isdigit():
+            # v{N} (pre-unique-staging layout) or v{N}-{uuid}
+            if not re.fullmatch(r"v\d+(-[0-9a-f]+)?", vdir):
                 continue
             for bdir in sorted(os.listdir(os.path.join(self.path, vdir))):
                 rel = os.path.join(vdir, bdir)
@@ -462,18 +549,34 @@ class ParquetMergeTable:
                 shutil.rmtree(os.path.join(self.path, vdir))
         return deleted
 
-    def merge(self, updates: DataFrame, op_col: str = "op") -> dict:
+    def merge(
+        self, updates: DataFrame, op_col: str = "op", combine: dict[str, str] | None = None
+    ) -> dict:
         """MERGE: rows with op='upsert' update matched keys or insert
         new ones; op='delete' removes matched keys. Returns the new
-        manifest. Equal to staged_merge + commit."""
-        staged = self.staged_merge(updates, op_col)
+        manifest. Equal to staged_merge + commit.
+
+        ``combine``: per-column matched-row semantics — the
+        ``WHEN MATCHED THEN UPDATE SET n = n + new.n`` shape of the
+        reference's MySQL ``INSERT … ON DUPLICATE KEY UPDATE``
+        (`analytics/UpdateProdMetrics.scala:264-306`). Map a column
+        to ``sum`` / ``max`` / ``min`` to fold the new value into the
+        old INSIDE the merge join; unmapped columns replace. This is
+        the scale-correct streaming-upsert path: the caller never
+        pre-reads current state to compute the combined value — the
+        only state ever read is the affected buckets the merge
+        rewrites anyway."""
+        staged = self.staged_merge(updates, op_col, combine)
         self.commit(staged)
         return staged
 
-    def staged_merge(self, updates: DataFrame, op_col: str = "op") -> dict:
+    def staged_merge(
+        self, updates: DataFrame, op_col: str = "op", combine: dict[str, str] | None = None
+    ) -> dict:
         """Write the post-merge files for every affected bucket and
         return the NEW manifest — without publishing it. A crash here
-        (or a discarded stage) leaves readers on the old snapshot."""
+        (or a discarded stage) leaves readers on the old snapshot.
+        ``combine``: see merge()."""
         m = self._read_manifest()
         version = m["version"] + 1
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
@@ -519,15 +622,25 @@ class ParquetMergeTable:
             *[F.col(c).alias(f"__u_{c}") for c in data_cols if c != k],
         )
         joined = old.join(upd_named, old[k] == upd_named["__uk"], "full_outer")
+
+        def merged_value(c: str) -> Column:
+            o, u = F.col(c), F.col(f"__u_{c}")
+            how = (combine or {}).get(c)
+            if how is None:
+                new_val = u  # replace (full-row upsert)
+            elif how == "sum":  # null old state (insert / evolved) = identity
+                new_val = F.when(o.isNull(), u).otherwise(o + u)
+            elif how == "max":
+                new_val = F.greatest(o, u)  # greatest/least skip nulls
+            elif how == "min":
+                new_val = F.least(o, u)
+            else:
+                raise ValueError(f"combine[{c!r}] must be sum|max|min, got {how!r}")
+            return F.when(F.col("__uk").isNotNull(), new_val).otherwise(o).alias(c)
+
         merged_cols = [
             F.coalesce(F.col(k), F.col("__uk")).alias(k),
-            *[
-                F.when(F.col("__uk").isNotNull(), F.col(f"__u_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in data_cols
-                if c != k
-            ],
+            *[merged_value(c) for c in data_cols if c != k],
         ]
         merged = joined.filter(
             F.col("__op").isNull() | (F.col("__op") == OP_UPSERT)
@@ -588,6 +701,19 @@ class ParquetMergeTable:
         finally:
             os.close(fd)
             os.remove(lock)
+
+    def _manifest_types(self, manifest: dict, df: DataFrame) -> dict:
+        """col → DataType from the manifest's recorded schema
+        (authoritative for its version), falling back to the given
+        frame's schema for tables created before schemas were
+        recorded."""
+        from pyspark.sql import types as T
+
+        sj = manifest.get("schema")
+        if sj:
+            st = T.StructType.fromJson(json.loads(sj))
+            return {f.name: f.dataType for f in st.fields}
+        return {f.name: f.dataType for f in df.schema.fields}
 
     def _schema_of_empty(self, manifest: dict):
         import json as _json

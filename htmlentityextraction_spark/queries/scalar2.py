@@ -335,7 +335,7 @@ def mode_discount_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cms_heavy_hitters",
     """
-    SELECT l_partkey AS partkey, count(*) AS exact_n, true AS within_bounds
+    SELECT l_partkey AS partkey, count(*) AS exact_n, true AS overestimates
     FROM lineitem GROUP BY l_partkey
     ORDER BY exact_n DESC, partkey LIMIT 20
     """,
@@ -349,10 +349,29 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-table answer when the key space is too wide to hold
     exactly: the counter table is fixed-size regardless of input
     rows. DuckDB has no CMS, so like the HLL query the gated contract
-    is the ESTIMATE BOUNDS: for the top-20 exact heavy hitters,
-    exact <= estimate <= exact + 2N/w must hold (within_bounds all
-    true); exact counts ride along for the hash."""
-    W, D = 4096, 5
+    is a sketch invariant — but only the DETERMINISTIC one:
+    estimate >= exact holds by construction (every counter a key
+    hashes to counts at least that key), so ``overestimates`` is
+    gate-safe at any scale factor. The est <= exact + 2N/w accuracy
+    bound holds only w.h.p. over hash choice — with fixed salts a
+    different fixture could legitimately violate it — so it is
+    asserted in pytest against the fixed fixtures (deterministic
+    there), never in the oracle gate."""
+    est = cms_estimates(spark, sf_dir)
+    return est.select(
+        "partkey", "exact_n", (F.col("est") >= F.col("exact_n")).alias("overestimates")
+    ).orderBy(F.desc("exact_n"), F.asc("partkey"))
+
+
+CMS_W, CMS_D = 4096, 5
+
+
+def cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(partkey, exact_n, est, n_total) for the top-20 exact heavy
+    hitters — the raw sketch estimates behind cms_heavy_hitters, kept
+    separate so pytest can assert the probabilistic 2N/w accuracy
+    bound on the fixed fixtures."""
+    W, D = CMS_W, CMS_D
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
 
     def bucket(i: int):
@@ -387,14 +406,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     total = li.agg(F.count("*").alias("n_total"))
-    within = (F.col("est") >= F.col("exact_n")) & (
-        F.col("est") <= F.col("exact_n") + F.ceil(F.lit(2.0) * F.col("n_total") / F.lit(W))
-    )
-    return (
-        est.crossJoin(F.broadcast(total))
-        .select("partkey", "exact_n", within.alias("within_bounds"))
-        .orderBy(F.desc("exact_n"), F.asc("partkey"))
-    )
+    return est.crossJoin(F.broadcast(total))
 
 
 @register(

