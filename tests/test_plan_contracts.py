@@ -47,6 +47,16 @@ def test_semi_and_anti_joins_planned_as_such(spark):
     assert "LeftAnti" in anti
 
 
+def test_dau_wau_trailing_window_is_equi_not_nlj(spark):
+    # the trailing-7-day membership must be the explode+equi-groupBy
+    # shape; a non-equi range join would plan as BroadcastNestedLoopJoin
+    # (O(|days| x |user_days|) at scale)
+    plan = _plan(spark, "daily_weekly_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Explode" in plan or "Generate" in plan
+
+
 def test_whole_stage_codegen_present(spark):
     # the relational core must stay inside codegen (no interpreted
     # projections in the hot path)
