@@ -44,6 +44,11 @@ _DRIVER_UNCONFIRMED = (
     "revenue_contribution_by_nation", "variant_semistructured_extraction",
     "scd2_price_dimension", "winsorized_price_stats",
     "chisq_flag_status_independence",
+    # new in round 4 — no driver run yet
+    "asof_last_view_before_purchase", "asof_next_error_within_tolerance",
+    "interval_outage_click_attribution", "stratified_sample_by_lang",
+    "triangle_count_copurchase", "matview_join_incremental",
+    "stream_dedup_within_watermark",
 )
 
 
