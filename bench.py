@@ -41,6 +41,10 @@ EXTENDED = [
     "fuzzy_entity_match",            # trigram-blocked fuzzy join
     "sequence_packing_bins",         # token-budget packing
     "stream_merge_upsert_per_user",  # streaming MERGE sink
+    # Round-4 wave-5 families
+    "pagerank_copurchase_parts",     # iterative graph: 2 shuffles/round
+    "basket_brand_lift",             # basket-key pair join + lift
+    "gap_fill_user_purchase_value",  # distributed spine + forward fill
 ]
 
 

@@ -1,0 +1,94 @@
+"""Market-basket pair co-occurrence with support / confidence / lift.
+
+The association-rule primitive over (basket, item) facts: which item
+pairs co-occur more than chance. Per-basket pair generation is the
+classic quadratic trap — a degenerate basket with 10^5 items emits
+10^10 pairs. So, like the trigram blocking guard in
+`operators/entity.py` and `dedup.py`'s ``max_block_rows``, baskets
+above ``max_basket_items`` FAIL LOUDLY (or are dropped when
+``drop_oversize=True``) before the self-join; normal retail baskets
+are tiny, so per-basket C(n,2) is bounded and the join is an
+equi-join on the basket key — one shuffle, map-side combinable
+counts.
+
+Lift uses exact item frequencies from the same distinct
+(basket, item) set, so lift(a,b) = P(a,b) / (P(a)·P(b)) with P over
+baskets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class OversizeBasketError(ValueError):
+    pass
+
+
+def pair_cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket_items: int = 1000,
+    drop_oversize: bool = False,
+) -> DataFrame:
+    """(item_a, item_b, pair_count, count_a, count_b, n_baskets,
+    support, confidence_a_to_b, lift) for unordered pairs
+    item_a < item_b appearing in >= min_pair_count baskets."""
+    facts = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+
+    sizes = facts.groupBy("__b").agg(F.count("*").alias("__n"))
+    over = sizes.filter(F.col("__n") > max_basket_items)
+    if drop_oversize:
+        facts = facts.join(F.broadcast(over.select("__b")), "__b", "left_anti")
+    else:
+        hot = over.orderBy(F.desc("__n")).limit(1).collect()
+        if hot:
+            raise OversizeBasketError(
+                f"basket {hot[0]['__b']!r} has {hot[0]['__n']} items "
+                f"(max_basket_items={max_basket_items}); pair explosion refused — "
+                "raise the cap or pass drop_oversize=True"
+            )
+
+    n_baskets = facts.select("__b").distinct().count()
+    item_counts = facts.groupBy("__i").agg(F.count("*").alias("__cnt"))
+
+    a = facts.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = facts.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            item_counts.select(
+                F.col("__i").alias("item_a"), F.col("__cnt").alias("count_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("__i").alias("item_b"), F.col("__cnt").alias("count_b")
+            ),
+            "item_b",
+        )
+        .withColumn("n_baskets", F.lit(n_baskets))
+        .withColumn("support", F.col("pair_count") / F.col("n_baskets"))
+        .withColumn("confidence_a_to_b", F.col("pair_count") / F.col("count_a"))
+        .withColumn(
+            "lift",
+            (F.col("pair_count") * F.col("n_baskets"))
+            / (F.col("count_a") * F.col("count_b")),
+        )
+    )
+    return out.select(
+        "item_a", "item_b", "pair_count", "count_a", "count_b",
+        "n_baskets", "support", "confidence_a_to_b", "lift",
+    )

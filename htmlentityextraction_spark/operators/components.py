@@ -176,3 +176,70 @@ def bounded_bfs_bipartite(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
         )
         frontier, on_u = nxt, not on_u
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed (src, dst) edge list.
+
+    The power-iteration recurrence as pure DataFrame algebra: each
+    round every node sends rank/outdeg along its out-edges, and new
+    rank = (1-d)/n + d * sum(incoming). Returns (node, rank) after
+    ``iterations`` rounds from the uniform start.
+
+    Scale shape: one equi-join (edges x ranks, keyed on src) plus one
+    groupBy(dst) per round — the same two shuffles GraphX's Pregel
+    incarnation pays, with AQE free to broadcast the rank side when a
+    subgraph is small. ``localCheckpoint`` cuts lineage per round so
+    the plan stays O(1) in iterations (swap for durable ``checkpoint``
+    on a real cluster). At 100 TB the edge list should be bucketed by
+    src so the per-round join is co-located and only the slim
+    (node, rank) side moves. |V| and the driver-side ``count()`` for n
+    are node-scale scalars, not edge-scale.
+
+    Dangling nodes (no out-edges) are supported: their mass is
+    redistributed uniformly, the standard correction, computed as one
+    scalar aggregate per round. Fixed iteration count (not
+    convergence-tested) keeps the result deterministic and
+    SQL-expressible for the oracle.
+    """
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    verts = src_nodes.union(dst_nodes).distinct().localCheckpoint()
+    n = verts.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("__outdeg")).localCheckpoint()
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__outdeg")).alias("__c"),
+            )
+        )
+        # dangling mass: total rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        incoming = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            verts.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -19,7 +19,7 @@ space; blocking keys bound the verify joins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.text import text_only
@@ -390,4 +390,68 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(inter / union + 1e-9, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    block_prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: ids within ``window``
+    positions of each other in the sort order of a normalized
+    blocking key (Hernandez & Stolfo's merge/purge method).
+
+    Complements the hash-family blockers (minhash bands, simhash
+    pigeonhole, trigram df-capped blocking): sorted-neighborhood
+    catches near-keys that share a PREFIX but no complete hash
+    bucket, at a guaranteed O(w·n) pair budget — no hot-block
+    explosion is possible because each row pairs with at most w-1
+    successors by construction.
+
+    Scale shape: a truly global sort would funnel everything through
+    one window partition, so the sort order is blocked by the key's
+    first ``block_prefix_len`` chars — one shuffle on the prefix, a
+    per-block ordered window, and ``lead()`` columns exploded into
+    pairs. Neighborhoods spanning a block boundary are traded away
+    (standard multi-pass SNM recovers them by re-running with a
+    second, shifted key; compose two calls for that).
+
+    Returns (id_a, id_b, key_a, key_b) with id_a pairing to the next
+    ``window - 1`` rows in block order.
+    """
+    w = (
+        Window.partitionBy("__blk")
+        .orderBy(F.col(key_col), F.col(id_col))
+    )
+    blocked = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.substring(F.col(key_col), 1, block_prefix_len).alias("__blk"),
+    )
+    # window expressions cannot sit inside a generator's argument, so
+    # materialize the lead structs first, then explode
+    with_leads = blocked.select(
+        F.col(id_col),
+        F.col(key_col),
+        *[
+            F.struct(
+                F.lead(F.col(id_col), i).over(w).alias("id_b"),
+                F.lead(F.col(key_col), i).over(w).alias("key_b"),
+            ).alias(f"__lead{i}")
+            for i in range(1, window)
+        ],
+    )
+    leads = F.array(*[F.col(f"__lead{i}") for i in range(1, window)])
+    return (
+        with_leads.withColumn("__nbr", F.explode(leads))
+        .filter(F.col("__nbr.id_b").isNotNull())
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("__nbr.id_b").alias("id_b"),
+            F.col(key_col).alias("key_a"),
+            F.col("__nbr.key_b").alias("key_b"),
+        )
     )

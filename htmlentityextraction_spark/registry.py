@@ -49,6 +49,14 @@ _DRIVER_UNCONFIRMED = (
     "interval_outage_click_attribution", "stratified_sample_by_lang",
     "triangle_count_copurchase", "matview_join_incremental",
     "stream_dedup_within_watermark",
+    # wave-5 (round 4) — no driver run yet
+    "skyline_size_price_frontier", "dq_expectation_report",
+    "golden_user_record", "gap_fill_user_purchase_value",
+    "weighted_doc_sample", "basket_brand_lift",
+    "mad_price_outliers_per_brand", "pagerank_copurchase_parts",
+    "conversion_lag_quantiles", "sorted_neighborhood_doc_pairs",
+    "event_transition_matrix", "source_vocab_divergence",
+    "item_item_similarity_brands",
 )
 
 

@@ -1,0 +1,210 @@
+"""Wave-5 operator semantics: skyline, data-quality suite,
+survivorship, gap fill, weighted sampling, basket lift, PageRank,
+sorted-neighborhood blocking."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators.basket import (
+    OversizeBasketError,
+    pair_cooccurrence,
+)
+from htmlentityextraction_spark.operators.components import pagerank
+from htmlentityextraction_spark.operators.dataquality import (
+    check_suite,
+    completeness,
+    uniqueness,
+)
+from htmlentityextraction_spark.operators.dedup import sorted_neighborhood_pairs
+from htmlentityextraction_spark.operators.frontier import skyline_2d
+from htmlentityextraction_spark.operators.sampling import weighted_sample
+from htmlentityextraction_spark.operators.survivorship import (
+    golden_record,
+    latest_nonnull,
+)
+from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
+
+
+def _d(s):
+    return datetime.date.fromisoformat(s)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_keeps_only_nondominated(spark):
+    # minimize x, maximize y. (1,5) and (3,9) survive; (2,4) is
+    # dominated by (1,5); (3,5) folds into max-per-x with (3,9);
+    # (4,9) is dominated by (3,9) (equal y, larger x).
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 9.0), (3, 5.0), (4, 9.0)], "x int, y double"
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(1, 5.0), (3, 9.0)}
+
+
+def test_skyline_single_point(spark):
+    df = spark.createDataFrame([(7, 1.0)], "x int, y double")
+    assert skyline_2d(df, "x", "y").count() == 1
+
+
+# ------------------------------------------------------------- dataquality
+
+
+def test_check_suite_single_pass_and_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id int, s string"
+    )
+    rep = check_suite(
+        df,
+        [
+            ("id_complete", "id", completeness("id"), 1.0),
+            ("s_complete", "s", completeness("s"), 1.0),
+            ("id_unique", "id", uniqueness("id"), 1.0),
+        ],
+    ).collect()
+    by = {r.check: r for r in rep}
+    assert by["id_complete"].passed
+    assert not by["s_complete"].passed
+    assert by["s_complete"].metric == pytest.approx(2 / 3)
+    assert by["id_unique"].passed
+
+
+# ------------------------------------------------------------ survivorship
+
+
+def test_latest_nonnull_skips_newer_null(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "old@x", _ts("2024-01-01 00:00:00"), 1),
+            (1, None, _ts("2024-06-01 00:00:00"), 2),  # newer but null
+            (1, "new@x", _ts("2024-03-01 00:00:00"), 3),
+            (2, None, _ts("2024-01-01 00:00:00"), 4),  # all-null cluster
+        ],
+        "k int, email string, ts timestamp, id int",
+    )
+    out = golden_record(
+        df, "k", {"email": latest_nonnull("email", "ts", "id")}
+    ).collect()
+    by = {r.k: r.email for r in out}
+    assert by[1] == "new@x"  # latest NON-NULL, not latest row
+    assert by[2] is None
+
+
+# ---------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 10.0),
+            (1, _d("2024-01-04"), 40.0),  # 2 missing days between
+            (2, _d("2024-02-01"), 5.0),
+        ],
+        "k int, day date, v double",
+    )
+    out = gap_fill_forward(df, "k", "day", "v").collect()
+    k1 = sorted(
+        [(r.day.isoformat(), r.v, r.filled) for r in out if r.k == 1]
+    )
+    assert k1 == [
+        ("2024-01-01", 10.0, False),
+        ("2024-01-02", 10.0, True),
+        ("2024-01-03", 10.0, True),
+        ("2024-01-04", 40.0, False),
+    ]
+    assert [(r.v, r.filled) for r in out if r.k == 2] == [(5.0, False)]
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    rows = [(i, 1.0 if i % 10 else 1000.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = {r.id for r in weighted_sample(df, "id", "w", 50).collect()}
+    s2 = {r.id for r in weighted_sample(df, "id", "w", 50).collect()}
+    assert s1 == s2 and len(s1) == 50
+    # the 100 heavy ids (weight 1000x) should dominate the sample
+    heavy = sum(1 for i in s1 if i % 10 == 0)
+    assert heavy >= 40
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0), (4, 5.0)], "id long, w double"
+    )
+    got = {r.id for r in weighted_sample(df, "id", "w", 2).collect()}
+    assert got == {3, 4}
+
+
+# ------------------------------------------------------------------ basket
+
+
+def test_pair_cooccurrence_counts_and_lift(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "b int, i string",
+    )
+    out = {(r.item_a, r.item_b): r for r in pair_cooccurrence(df, "b", "i").collect()}
+    ab = out[("a", "b")]
+    assert ab.pair_count == 2 and ab.count_a == 3 and ab.count_b == 2
+    assert ab.n_baskets == 3
+    assert ab.support == pytest.approx(2 / 3)
+    assert ab.confidence_a_to_b == pytest.approx(2 / 3)
+    assert ab.lift == pytest.approx((2 * 3) / (3 * 2))
+    assert ("a", "c") in out and out[("a", "c")].pair_count == 1
+
+
+def test_pair_cooccurrence_oversize_guard(spark):
+    rows = [(1, f"i{j}") for j in range(30)] + [(2, "i0"), (2, "i1")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    with pytest.raises(OversizeBasketError, match="pair explosion refused"):
+        pair_cooccurrence(df, "b", "i", max_basket_items=10)
+    # drop_oversize keeps the small basket only
+    out = pair_cooccurrence(df, "b", "i", max_basket_items=10, drop_oversize=True)
+    assert [(r.item_a, r.item_b) for r in out.collect()] == [("i0", "i1")]
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_two_node_cycle_and_mass(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert ranks[1] == pytest.approx(0.5)
+    assert ranks[2] == pytest.approx(0.5)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 1 -> 2, 2 dangling: total rank must stay 1.0 per iteration
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    ranks = pagerank(edges, iterations=3)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0)
+    by = {r.node: r.rank for r in ranks.collect()}
+    assert by[2] > by[1]  # sink accumulates
+
+
+# ---------------------------------------------- sorted neighborhood
+
+
+def test_sorted_neighborhood_pair_budget_and_blocking(spark):
+    df = spark.createDataFrame(
+        [(i, f"aa{i:03d}") for i in range(5)] + [(99, "zz999")],
+        "id long, key string",
+    )
+    out = sorted_neighborhood_pairs(df, "id", "key", window=3).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    # each row pairs with <= 2 successors inside its block
+    assert pairs == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+    # no pair crosses the aa|zz block boundary
+    assert not any(99 in p for p in pairs)
