@@ -206,28 +206,41 @@ def pagerank(
     convergence-tested) keeps the result deterministic and
     SQL-expressible for the oracle.
     """
+    # materialize the (possibly expensive) edge derivation ONCE — the
+    # per-round joins must not replay the caller's edge-building plan
+    edges = edges.localCheckpoint()
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     verts = src_nodes.union(dst_nodes).distinct().localCheckpoint()
     n = verts.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("__outdeg")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
+    # fold the out-degree into the materialized edge list once, so
+    # each round is ONE join + ONE groupBy (the division stays
+    # rank/outdeg, bit-identical to the SQL oracle's recurrence)
+    edges_deg = edges.join(outdeg, "src").localCheckpoint()
+    # the dangling SET is static; detect it once so graphs without
+    # sinks (e.g. symmetrized edge lists) skip the per-round scalar job
+    dangling_nodes = verts.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.limit(1).count())
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("__outdeg")).alias("__c"),
-            )
+        # no broadcast hint: (node, rank) is node-scale and can be
+        # arbitrarily large — AQE broadcasts it when it is small
+        contribs = edges_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("__outdeg")).alias("__c"),
         )
         # dangling mass: total rank held by nodes with no out-edges
         dangling = (
-            ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
+            dangling_nodes.join(ranks, "node").agg(F.sum("rank")).collect()[0][0]
             or 0.0
+            if has_dangling
+            else 0.0
         )
         incoming = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (
