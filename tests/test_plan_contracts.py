@@ -62,3 +62,56 @@ def test_whole_stage_codegen_present(spark):
     # projections in the hot path)
     plan = _plan(spark, "scan_filter_project")
     assert "*(1)" in plan  # WholeStageCodegen stage marker
+
+
+def test_skyline_is_two_level_reduction_not_quadratic(spark):
+    # frontier must be groupBy + window — NEVER a self-join
+    plan = _plan(spark, "skyline_size_price_frontier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # no join of any kind
+    assert "Window" in plan
+
+
+def test_dq_suite_is_single_scan(spark):
+    # all five checks must ride ONE aggregation over ONE scan
+    plan = _plan(spark, "dq_expectation_report")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_golden_record_is_single_shuffle_no_window(spark):
+    # per-field survivorship folds into one groupBy: no window, no
+    # self-join back
+    plan = _plan(spark, "golden_user_record")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_gap_fill_spine_is_generated_not_crossjoined(spark):
+    # the calendar spine must come from explode(sequence(...)), not a
+    # cross join against a date dimension
+    plan = _plan(spark, "gap_fill_user_purchase_value")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan or "Explode" in plan
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    # global top-k must plan as TakeOrderedAndProject (partition-local
+    # heaps), never a full Sort + Limit
+    plan = _plan(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_neighborhood_window_is_blocked(spark):
+    # the window must be partitioned by the prefix block — a global
+    # (unpartitioned) window would single-thread the corpus
+    plan = _plan(spark, "sorted_neighborhood_doc_pairs")
+    assert "Window" in plan
+    # every Window operator carries a partition spec (the __blk prefix)
+    for line in plan.splitlines():
+        if line.strip().startswith(("Window ", "*(")) and "windowspecdefinition" in line:
+            assert "__blk" in line
+    assert "Join" not in plan  # pairs come from lead(), not a self-join
