@@ -61,3 +61,63 @@ def gap_fill_forward(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col("__filled").alias("filled"),
     )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify onto the per-key daily spine and LINEARLY interpolate
+    interior gaps (forward fill holds the last value; interpolation
+    draws the line between the surrounding observations — the right
+    choice for sampled continuous signals like prices or gauges).
+
+    v(day) = prev + (next - prev) * (day - prev_day)/(next_day - prev_day)
+
+    Shapes: the same one-shuffle spine join as
+    :func:`gap_fill_forward`, then ONE keyed window pass computing
+    both the last observation at-or-before (frame UNBOUNDED
+    PRECEDING) and the first at-or-after (frame UNBOUNDED FOLLOWING)
+    — no self-joins. Spine edges have both anchors by construction
+    (the spine spans min..max observed day), so interior gaps always
+    interpolate; observed days return their own value exactly.
+    """
+    spine = daily_spine(df, key_col, day_col)
+    dense = spine.join(df, on=[key_col, day_col], how="left").withColumn(
+        "__filled", F.col(value_col).isNull()
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(F.col("__filled"), None).otherwise(F.col(day_col))
+    with_anchors = dense.select(
+        key_col,
+        day_col,
+        value_col,
+        "__filled",
+        F.last(value_col, ignorenulls=True).over(back).alias("__pv"),
+        F.last(obs, ignorenulls=True).over(back).alias("__pd"),
+        F.first(value_col, ignorenulls=True).over(fwd).alias("__nv"),
+        F.first(obs, ignorenulls=True).over(fwd).alias("__nd"),
+    )
+    frac = F.datediff(F.col(day_col), F.col("__pd")) / F.datediff(
+        F.col("__nd"), F.col("__pd")
+    )
+    interp = F.when(~F.col("__filled"), F.col(value_col)).otherwise(
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    )
+    return with_anchors.select(
+        key_col,
+        day_col,
+        interp.alias(value_col),
+        F.col("__filled").alias("filled"),
+    )

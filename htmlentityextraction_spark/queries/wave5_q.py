@@ -701,3 +701,258 @@ def item_item_similarity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "linear_interp_user_value",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id),
+    dense AS (
+        SELECT s.user_id, s.day, d.v, d.v IS NULL AS filled
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day),
+    anch AS (
+        SELECT user_id, day, v, filled,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN filled THEN NULL ELSE day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN filled THEN NULL ELSE day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM dense)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(CASE WHEN NOT filled THEN v
+                      ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                             / CAST(nd - pd AS DOUBLE))
+                 END + 1e-9, 6) AS value,
+           filled
+    FROM anch
+    """,
+)
+def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior gaps in each user's daily
+    purchase series (`operators/timeseries.py:gap_fill_linear`) —
+    forward fill's continuous-signal sibling: missing days take the
+    straight line between the surrounding observations. Same
+    one-shuffle spine join, then ONE window pass carrying both
+    anchors (last-at-or-before via the preceding frame, first-at-or-
+    after via the following frame); no self-joins."""
+    from htmlentityextraction_spark.operators.timeseries import gap_fill_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    out = gap_fill_linear(daily, "user_id", "day", "v")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("v") + F.lit(1e-9), 6).alias("value"),
+        "filled",
+    )
+
+
+@register(
+    "max_drawdown_per_product",
+    """
+    WITH g AS (
+        SELECT l_partkey AS prodid,
+               list_transform(
+                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                                   'ln': l_linenumber,
+                                   'p': CAST(l_extendedprice AS DOUBLE)})),
+                   s -> s.p) AS ps
+        FROM lineitem GROUP BY 1),
+    e AS (SELECT prodid, len(ps) AS n, ps,
+                 unnest(generate_series(1, len(ps))) AS i
+          FROM g),
+    w AS (SELECT prodid, n,
+                 max(ps[i]) OVER (
+                     PARTITION BY prodid ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - ps[i] AS dd
+          FROM e)
+    SELECT prodid, CAST(any_value(n) AS BIGINT) AS n_obs,
+           round(max(dd) + 1e-9, 6) AS max_drawdown
+    FROM w GROUP BY prodid
+    """,
+)
+def max_drawdown_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum peak-to-trough decline of each product's price series
+    — a STRUCT-accumulator sequential fold (running peak + running
+    max drawdown in one pass), the second member of the ordered-fold
+    family after the scalar-state EMA. Same scale contract: one
+    shuffle on the group key, per-group state bounded by the series
+    length, and a reproducible op sequence over the identically-
+    sorted array. (The oracle expresses the same recurrence as
+    running-max-minus-current over unnested positions: DuckDB
+    1.0.0's list_reduce mis-evaluates struct accumulators when run
+    across many rows, so the fold form is Spark-side only; drawdown
+    is subtraction-then-max, so the window form is exactly
+    equivalent, float-op for float-op.)"""
+    from htmlentityextraction_spark.functions.temporal import epoch_seconds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        epoch_seconds("l_shipdate").alias("ts"),
+                        F.col("l_orderkey").alias("ok"),
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_extendedprice").cast("double").alias("p"),
+                    )
+                )
+            ),
+            lambda s: s.p,
+        ).alias("ps")
+    )
+    arr = F.col("ps")
+    dd = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(float("-inf")).alias("peak"), F.lit(0.0).alias("dd")
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(acc.peak, x).alias("peak"),
+            F.greatest(acc.dd, F.greatest(acc.peak, x) - x).alias("dd"),
+        ),
+        lambda acc: acc.dd,
+    )
+    return g.select(
+        "prodid",
+        F.size(arr).cast("long").alias("n_obs"),
+        F.round(dd + F.lit(1e-9), 6).alias("max_drawdown"),
+    )
+
+
+@register(
+    "gopher_repetition_filters",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    topw AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY doc_id),
+    bi AS (SELECT doc_id,
+                  CASE WHEN len(toks) > 1
+                       THEN list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])
+                       ELSE [] END AS bgs
+           FROM t)
+    SELECT topw.doc_id,
+           round(CAST(topw.mx AS DOUBLE) / topw.tot + 1e-9, 6)
+               AS top_word_ratio,
+           round(CASE WHEN len(bgs) > 0
+                      THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE)
+                                 / len(bgs)
+                      ELSE 0.0 END + 1e-9, 6) AS dup_bigram_frac,
+           (CAST(topw.mx AS DOUBLE) / topw.tot) <= 0.1 AND
+           (CASE WHEN len(bgs) > 0
+                 THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+                 ELSE 0.0 END) <= 0.5 AS passes
+    FROM topw JOIN bi ON bi.doc_id = topw.doc_id
+    """,
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: the
+    most-frequent-word mass ratio and the duplicate-bigram fraction,
+    plus the combined admission verdict — the repetition half of the
+    quality-filter battery (`hard_quality_filters` covers the
+    length/ratio half). Shapes: one (doc, token) count shuffle for
+    the top-word mass; the bigram stats are ARRAY-LOCAL (transform +
+    array_distinct on the already-tokenized row — no explode, no
+    shuffle)."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(tokenize(F.col("text")), lambda t: t != "").alias("toks")
+    )
+    wc = (
+        docs.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topw = wc.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    bgs = F.when(
+        F.size("toks") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("toks"), i),
+                F.lit(" "),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select("doc_id", bgs.alias("bgs"))
+    top_ratio = F.col("mx").cast("double") / F.col("tot")
+    dup_frac = F.when(
+        F.size("bgs") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("bgs")).cast("double") / F.size("bgs"),
+    ).otherwise(F.lit(0.0))
+    return (
+        topw.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_ratio + F.lit(1e-9), 6).alias("top_word_ratio"),
+            F.round(dup_frac + F.lit(1e-9), 6).alias("dup_bigram_frac"),
+            ((top_ratio <= 0.1) & (dup_frac <= 0.5)).alias("passes"),
+        )
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT window_start, event_type, n_events,
+                 row_number() OVER (
+                     PARTITION BY window_start
+                     ORDER BY n_events DESC, event_type) AS rk
+          FROM agg)
+    SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 2
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: tumbling 1h watermarked counts (the T7
+    streaming aggregate) with the per-window top-2 event types ranked
+    at the serving edge — the standard split, since rank-over-
+    aggregate is not an incremental streaming operator: the stream
+    maintains the additive state, the consumer ranks the (tiny)
+    window x type matrix."""
+    from htmlentityextraction_spark.streaming import pipeline as sp
+
+    enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
+    counts = sp.run_to_memory(spark, sp.windowed_counts(enriched), complete=True)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.select("window_start", "event_type", "n_events")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )

@@ -56,7 +56,9 @@ _DRIVER_UNCONFIRMED = (
     "mad_price_outliers_per_brand", "pagerank_copurchase_parts",
     "conversion_lag_quantiles", "sorted_neighborhood_doc_pairs",
     "event_transition_matrix", "source_vocab_divergence",
-    "item_item_similarity_brands",
+    "item_item_similarity_brands", "linear_interp_user_value",
+    "max_drawdown_per_product", "gopher_repetition_filters",
+    "stream_windowed_topk",
 )
 
 

@@ -208,3 +208,27 @@ def test_sorted_neighborhood_pair_budget_and_blocking(spark):
     assert pairs == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
     # no pair crosses the aa|zz block boundary
     assert not any(99 in p for p in pairs)
+
+
+def test_gap_fill_linear_interpolates_interior_gaps(spark):
+    from htmlentityextraction_spark.operators.timeseries import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 10.0),
+            (1, _d("2024-01-04"), 40.0),  # gap of 2 days: 20, 30
+            (1, _d("2024-01-05"), 20.0),
+        ],
+        "k int, day date, v double",
+    )
+    out = sorted(
+        [(r.day.isoformat(), r.v, r.filled) for r in
+         gap_fill_linear(df, "k", "day", "v").collect()]
+    )
+    assert out == [
+        ("2024-01-01", 10.0, False),
+        ("2024-01-02", 20.0, True),
+        ("2024-01-03", 30.0, True),
+        ("2024-01-04", 40.0, False),
+        ("2024-01-05", 20.0, False),
+    ]
