@@ -241,3 +241,56 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "score", "rnk")
     )
+
+
+@register(
+    "inverted_index_stats",
+    f"""
+    WITH posting AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM posting GROUP BY token, doc_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    idx AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               first(doc_id ORDER BY tf DESC, doc_id) AS top_doc
+        FROM tf GROUP BY token)
+    SELECT token, df, cf, top_doc,
+           round(ln((n.n_docs + 1.0) / (df + 1.0)) + 1e-9, 6) AS idf
+    FROM idx CROSS JOIN n
+    """,
+)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary statistics: per token its document
+    frequency, collection frequency, smoothed IDF, and the highest-tf
+    posting (ties to the lowest doc_id) — the IR primitive behind
+    both retrieval and the TF-IDF keyword extraction already in the
+    registry. Shapes: one (token, doc) count shuffle, one token-level
+    re-aggregate with ``max_by`` picking the top posting inside the
+    same pass, and the corpus size as a broadcast scalar — no join of
+    the posting list against itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != "")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idx = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("tf").alias("a"), (-F.col("doc_id")).alias("b"))
+        ).alias("top_doc"),
+    )
+    return idx.crossJoin(F.broadcast(n)).select(
+        "token", "df", "cf", "top_doc",
+        F.round(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1e-9),
+            6,
+        ).alias("idf"),
+    )

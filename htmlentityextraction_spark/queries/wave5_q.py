@@ -956,3 +956,113 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
     )
+
+
+@register(
+    "cusum_price_shift_per_product",
+    """
+    WITH g AS (
+        SELECT l_partkey AS prodid,
+               list_transform(
+                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                                   'ln': l_linenumber,
+                                   'p': CAST(l_extendedprice AS DOUBLE)})),
+                   s -> s.p) AS ps
+        FROM lineitem GROUP BY 1),
+    m AS (
+        SELECT prodid, ps, len(ps) AS n,
+               list_reduce(ps, (a, x) -> a + x) / len(ps) AS mean
+        FROM g)
+    SELECT prodid, CAST(n AS BIGINT) AS n_obs,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), ps),
+               (a, x) -> greatest(CAST(0.0 AS DOUBLE), a + x - mean))
+               + 1e-9, 6) AS cusum_pos,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), ps),
+               (a, x) -> greatest(CAST(0.0 AS DOUBLE), a + mean - x))
+               + 1e-9, 6) AS cusum_neg
+    FROM m
+    """,
+)
+def cusum_price_shift_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM statistics (upward and downward) of each
+    product's price series against its own mean — the sequential
+    change-point signal (Page's test) that windows cannot express.
+    Third member of the ordered-fold family: the MEAN itself is
+    computed by folding the sorted array (not avg()), so every float
+    op on both engines runs in the identical order — the
+    at-1000-executors reproducibility contract the EMA established.
+    list_reduce seeds from the first element, so a 0.0 is prepended
+    to make s_0 = 0 explicit on both sides."""
+    from htmlentityextraction_spark.functions.temporal import epoch_seconds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        epoch_seconds("l_shipdate").alias("ts"),
+                        F.col("l_orderkey").alias("ok"),
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_extendedprice").cast("double").alias("p"),
+                    )
+                )
+            ),
+            lambda s: s.p,
+        ).alias("ps")
+    )
+    arr = F.col("ps")
+    mean = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    withm = g.select("prodid", arr.alias("ps"), mean.alias("mean"))
+    pos = F.aggregate(
+        F.col("ps"),
+        F.lit(0.0),
+        lambda a, x: F.greatest(F.lit(0.0), a + x - F.col("mean")),
+    )
+    neg = F.aggregate(
+        F.col("ps"),
+        F.lit(0.0),
+        lambda a, x: F.greatest(F.lit(0.0), a + F.col("mean") - x),
+    )
+    return withm.select(
+        "prodid",
+        F.size("ps").cast("long").alias("n_obs"),
+        F.round(pos + F.lit(1e-9), 6).alias("cusum_pos"),
+        F.round(neg + F.lit(1e-9), 6).alias("cusum_neg"),
+    )
+
+
+@register(
+    "weighted_sample_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 8)) AS BIGINT) + 1.0)
+                               / 4294967296.0) / n_chars DESC,
+                            doc_id) AS rn
+        FROM documents WHERE n_chars > 0)
+    WHERE rn <= 20
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling: 20 docs per language with
+    probability ∝ n_chars (`operators/sampling.py:
+    weighted_sample_per_stratum`) — the A-Res key ranked INSIDE each
+    stratum by one window over one shuffle, composing the exact
+    stratified sampler with the weighted one. Same md5-derived
+    uniforms, so the per-language mix is reproducible across engines
+    and reruns."""
+    from htmlentityextraction_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample_per_stratum(docs, "doc_id", "n_chars", "lang", 20)
+    return out.select("doc_id", "lang")

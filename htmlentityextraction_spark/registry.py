@@ -58,7 +58,8 @@ _DRIVER_UNCONFIRMED = (
     "event_transition_matrix", "source_vocab_divergence",
     "item_item_similarity_brands", "linear_interp_user_value",
     "max_drawdown_per_product", "gopher_repetition_filters",
-    "stream_windowed_topk",
+    "stream_windowed_topk", "cusum_price_shift_per_product",
+    "weighted_sample_per_lang", "inverted_index_stats",
 )
 
 
