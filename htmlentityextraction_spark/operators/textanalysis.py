@@ -107,3 +107,48 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
         length >= window, F.transform(idx, lambda i: norm.substr(i, F.lit(window)))
     ).otherwise(F.array(norm))
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+def pmi_bigram_collocations(
+    docs: DataFrame,
+    tokens_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs —
+    collocation mining ("new york", "machine learning") over a corpus.
+
+    PMI(w1,w2) = ln( c(w1,w2) · N / (c_left(w1) · c_right(w2)) ) with
+    N = total bigram occurrences and the left/right marginals taken
+    over bigram positions, the standard collocation estimator
+    (Church & Hanks 1990). `min_count` suppresses the low-frequency
+    PMI explosion.
+
+    Scale shape: bigrams come from zipping each token array with its
+    tail (narrow, no window sort), then three vocabulary-sized
+    groupBys joined back — shuffles proportional to the *vocabulary*,
+    not the corpus; the total N is a one-row aggregate joined via
+    broadcast cross join.
+    """
+    n_pairs = F.greatest(F.size(F.col(tokens_col)) - 1, F.lit(0))
+    bg = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col(tokens_col), 1, n_pairs).alias("w1"),
+                F.slice(F.col(tokens_col), 2, n_pairs).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        c12.where(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi", F.log(F.col("c12") * F.col("nb") / (F.col("c1") * F.col("c2")))
+        )
+        .select("w1", "w2", "c12", "pmi")
+    )

@@ -60,6 +60,10 @@ _DRIVER_UNCONFIRMED = (
     "max_drawdown_per_product", "gopher_repetition_filters",
     "stream_windowed_topk", "cusum_price_shift_per_product",
     "weighted_sample_per_lang", "inverted_index_stats",
+    # wave-6 (round 4) — no driver run yet
+    "bloom_prefilter_join", "zorder_pruning_report",
+    "setsim_prefix_join_docs", "pmi_collocations",
+    "table_diff_reconciliation",
 )
 
 
