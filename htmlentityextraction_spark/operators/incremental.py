@@ -248,6 +248,14 @@ class ParquetMergeTable:
         required by streaming MERGE sinks that create the table
         before the first micro-batch arrives."""
         os.makedirs(self.path, exist_ok=True)
+        if not df.take(1):
+            # empty initial snapshot (the streaming-MERGE bootstrap
+            # path): no buckets to write — skip the partitioned write
+            # + stats jobs and publish a bucketless manifest directly
+            self._swap_manifest(
+                {"version": 1, "buckets": {}, "stats": {}, "schema": df.schema.json()}
+            )
+            return
         entries, stats = self._write_buckets(df, 1)
         self._swap_manifest(
             {"version": 1, "buckets": entries, "stats": stats, "schema": df.schema.json()}

@@ -265,9 +265,11 @@ def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
     from htmlentityextraction_spark.sources.tables import load_table
 
-    # 4-file topic dir → 4 micro-batches
+    # 4-file topic dir → 4 micro-batches; coalesce, not repartition:
+    # any 4-way cut is a valid micro-batch split (the merge combine is
+    # batch-boundary-independent), so don't pay a full shuffle for it
     topic = tempfile.mkdtemp(prefix="merge_topic_")
-    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(topic)
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(topic)
 
     tpath = tempfile.mkdtemp(prefix="stream_merge_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, tpath, key_col="user_id", num_buckets=8)
