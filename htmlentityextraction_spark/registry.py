@@ -64,6 +64,10 @@ _DRIVER_UNCONFIRMED = (
     "bloom_prefilter_join", "zorder_pruning_report",
     "setsim_prefix_join_docs", "pmi_collocations",
     "table_diff_reconciliation",
+    # wave-7 (round 4) — no driver run yet
+    "rolling_distinct_users_7d", "largest_remainder_allocation",
+    "sax_symbolization_events", "fpgrowth_brand_itemsets",
+    "rendezvous_shard_assignment",
 )
 
 
