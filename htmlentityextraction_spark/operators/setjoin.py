@@ -1,37 +1,46 @@
-"""Exact set-similarity join via prefix filtering (PPJoin-style
-candidate generation, exact Jaccard verification).
+"""Exact set-similarity join via prefix filtering + positional filter
+(PPJoin-style candidate generation, exact Jaccard verification).
 
 MinHash-LSH (`operators/dedup.py`) answers "probably similar" with
 tunable recall; this operator answers the EXACT question "token-set
-Jaccard ≥ t" without an all-pairs comparison, using the prefix-filter
-theorem (Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao et al. PPJoin,
-WWW 2008):
+Jaccard ≥ t" without an all-pairs comparison, using two theorems:
 
-    order every document's distinct tokens by a global total order
-    (ascending document frequency, ties on the token). If
-    |x ∩ y| / |x ∪ y| ≥ t, then x and y MUST share at least one token
-    within their first ``p = |x| - ceil(t * |x|) + 1`` tokens.
+1. **Prefix filter** (Chaudhuri, Ganti & Kaushik, ICDE 2006): order
+   every document's distinct tokens by a global total order
+   (ascending document frequency, ties on the token). If
+   |x ∩ y| / |x ∪ y| ≥ t, then x and y MUST share at least one token
+   within their first ``p = |x| - ceil(t·|x|) + 1`` tokens.
+2. **Positional filter** (Xiao et al., PPJoin, WWW 2008): let t0 be
+   the smallest (in the global order) token shared by both prefixes,
+   at per-doc sorted positions i and j. Every other shared token is
+   > t0 — if a shared token s were smaller, s would lie inside both
+   prefixes (a prefix holds ALL of a doc's tokens below its boundary)
+   and contradict t0's minimality. Hence
+   ``overlap ≤ 1 + min(|x| - i, |y| - j)``, and a pair whose bound
+   falls short of the required overlap
+   ``α = ceil(t·(|x|+|y|)/(1+t))`` cannot reach Jaccard t.
 
-So candidate generation joins only on *prefix* tokens — the rarest
-tokens of each document — instead of all tokens. Rare-first ordering
-makes the join's blocking keys the least-frequent tokens in the
-corpus, which is what keeps blocks small at scale; a loud guard
-(`HotPrefixTokenError`) still bounds the worst case, same contract as
-``dedup.ngram_jaccard_pairs``.
+The positional filter is what survives degenerate corpora: when the
+token vocabulary is tiny (every block hot), single-token blocking
+admits nearly all pairs, but unrelated documents meet deep in their
+prefixes (large i, j → small bound) and are cut BEFORE the expensive
+exact verification — only near-duplicates, which share their rarest
+tokens early, survive to the verify join.
 
-Scale shape: one groupBy for document frequencies (broadcast back —
-token vocabulary, not corpus, sized), one window per doc to rank
-tokens (single shuffle on doc_id), an equi self-join on prefix tokens,
-and an exact intersection count over candidates only. No UDFs, no
-cross join, recall = 1.0 by the theorem (exactness tested against a
-brute-force oracle).
+Scale shape: one groupBy for document frequencies (vocabulary-sized,
+broadcast back), one window per doc to rank tokens (single shuffle on
+doc id), an equi self-join on prefix tokens whose output feeds ONE
+per-pair aggregate (shared-prefix count + argmin positions), the
+positional cut, and an exact intersection count over survivors only.
+No UDFs, no cross join, recall = 1.0 by the theorems (machine-checked
+against a brute-force oracle in `setsim_prefix_join_docs`). A loud
+guard (`HotPrefixTokenError`) still bounds the candidate join's worst
+case, same contract as ``dedup.ngram_jaccard_pairs``.
 """
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,6 +64,11 @@ def prefix_jaccard_pairs(
         docs.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
+        # materialize ONCE: four downstream branches (frequencies,
+        # sizes, ranking, verify arrays) would each replay the
+        # caller's tokenization plan otherwise — the same
+        # lineage-cutting pagerank() does per round
+        .localCheckpoint()
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # global total order: rare tokens first (document frequency asc,
@@ -73,7 +87,7 @@ def prefix_jaccard_pairs(
     # prefix length p = |x| - ceil(t|x|) + 1
     prefix = ranked.where(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "tok", "sz")
+    ).select("id", "tok", "df", "pos", "sz")
 
     if max_block_rows is not None:
         hot = (
@@ -91,31 +105,56 @@ def prefix_jaccard_pairs(
             )
 
     left = prefix.select(
-        F.col("id").alias("id_a"), F.col("tok"), F.col("sz").alias("size_a")
+        F.col("id").alias("id_a"), "tok", "df",
+        F.col("pos").alias("pos_a"), F.col("sz").alias("size_a"),
     )
     right = prefix.select(
-        F.col("id").alias("id_b"), F.col("tok"), F.col("sz").alias("size_b")
+        F.col("id").alias("id_b"), F.col("tok").alias("tok"),
+        F.col("pos").alias("pos_b"), F.col("sz").alias("size_b"),
     )
-    cand = (
+    # positional filter applied PER PAIR-TOKEN ROW, inside the join
+    # stage: overlap ≤ 1 + min(|x|-i, |y|-j) must reach
+    # α = ceil(t(|x|+|y|)/(1+t)) (J ≥ t ⟺ overlap ≥ t(|x|+|y|)/(1+t)).
+    # The bound is largest at the pair's first shared prefix token t0
+    # (t0 minimizes BOTH positions, and the bound shrinks as positions
+    # grow), so "some row passes" ⟺ "the t0 row passes" — filtering
+    # rows is exactly the per-pair t0 test, with no per-pair aggregate
+    # and no shuffle of the full pair-token stream before the cut.
+    alpha = F.ceil(
+        F.lit(threshold) * (F.col("size_a") + F.col("size_b")) / F.lit(1.0 + threshold)
+    )
+    bound = 1 + F.least(
+        F.col("size_a") - F.col("pos_a"), F.col("size_b") - F.col("pos_b")
+    )
+    survivors = (
         left.join(right, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & (bound >= alpha))
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification: intersection size from the full token sets
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # exact verification on survivors only, via per-doc token ARRAYS
+    # and a hash-set array_intersect per pair — two doc-level joins
+    # (one shuffle each at scale; broadcast when the doc table is
+    # small), NOT a pair×token explosion: the verify cost is
+    # O(survivors · avg_tokens), independent of how the corpus
+    # distributes across blocks
+    arrs = toks.groupBy("id").agg(
+        F.collect_list("tok").alias("arr"), F.count(F.lit(1)).alias("sz")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    aa = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("__arr_a"),
+        F.col("sz").alias("size_a"),
+    )
+    ab = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("__arr_b"),
+        F.col("sz").alias("size_b"),
+    )
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        survivors.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("__arr_a", "__arr_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.col("n_shared")

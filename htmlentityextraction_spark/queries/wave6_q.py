@@ -167,12 +167,12 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN sz sa ON sa.id = p.id_a
     JOIN sz sb ON sb.id = p.id_b
-    WHERE p.n_shared / (sa.sz + sb.sz - p.n_shared) >= 0.7
+    WHERE p.n_shared / (sa.sz + sb.sz - p.n_shared) >= 0.9
     """,
 )
 def setsim_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (word-bigram shingle Jaccard ≥
-    0.7) via prefix filtering (`operators/setjoin.py`): candidates
+    0.9) via prefix filtering (`operators/setjoin.py`): candidates
     share a token among their rarest ``|x| - ceil(t|x|) + 1`` tokens,
     then exact verification. The oracle is the brute-force all-pairs
     join — hash equality proves the prefix filter's recall is 1.0 (a
@@ -196,7 +196,7 @@ def setsim_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ft, 1, n), F.slice(ft, 2, n), lambda x, y: F.concat(x, F.lit(" "), y)
     )
     toks = docs.select(F.col("doc_id"), shingles.alias("shingles"))
-    out = prefix_jaccard_pairs(toks, "doc_id", "shingles", 0.7)
+    out = prefix_jaccard_pairs(toks, "doc_id", "shingles", 0.9)
     return out.select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),
