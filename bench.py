@@ -45,6 +45,12 @@ EXTENDED = [
     "pagerank_copurchase_parts",     # iterative graph: 2 shuffles/round
     "basket_brand_lift",             # basket-key pair join + lift
     "gap_fill_user_purchase_value",  # distributed spine + forward fill
+    # Round-4 wave-6/7 families
+    "bloom_prefilter_join",          # runtime bloom cut before the join shuffle
+    "setsim_prefix_join_docs",       # exact set-similarity: prefix+positional filter
+    "table_diff_reconciliation",     # checksum-routed two-phase diff
+    "fpgrowth_brand_itemsets",       # distributed FP-Growth (ml.fpm)
+    "rolling_distinct_users_7d",     # mergeable HLL over trailing windows
 ]
 
 
