@@ -244,3 +244,43 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "mergetable_zorder_read",
+    """
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN 400 AND 700 AND l_suppkey BETWEEN 40 AND 70
+    GROUP BY l_partkey
+    """,
+)
+def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY, end to end: load lineitem into a merge
+    table, rewrite it z-ordered on (l_partkey, l_suppkey)
+    (`incremental.optimize(zorder_by=...)`), then run a BOTH-dim
+    range predicate over the optimized snapshot. The oracle is the
+    same query on the raw table — hash equality proves the clustered
+    rewrite is content-preserving; the row-group-skipping evidence
+    (tight parquet min/max after clustering, the reason to z-order at
+    100 TB) is measured from footer metadata in
+    tests/test_zorder_optimize.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_partkey", "l_suppkey", "l_extendedprice",
+    )
+    path = tempfile.mkdtemp(prefix="zorder_tbl_")
+    tbl = ParquetMergeTable(spark, path, key_col="rid", num_buckets=4)
+    tbl.create(li)
+    tbl.optimize(zorder_by=["l_partkey", "l_suppkey"], row_group_bytes=256 * 1024)
+    out = tbl.read().where(
+        F.col("l_partkey").between(400, 700) & F.col("l_suppkey").between(40, 70)
+    )
+    return out.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+    )

@@ -67,7 +67,7 @@ _DRIVER_UNCONFIRMED = (
     # wave-7 (round 4) — no driver run yet
     "rolling_distinct_users_7d", "largest_remainder_allocation",
     "sax_symbolization_events", "fpgrowth_brand_itemsets",
-    "rendezvous_shard_assignment",
+    "rendezvous_shard_assignment", "mergetable_zorder_read",
 )
 
 
