@@ -261,3 +261,107 @@ def daily_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "kaplan_meier_signup_to_purchase",
+    """
+    WITH su AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > su.s_ts
+        GROUP BY e.user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    obs AS (
+        SELECT su.user_id,
+               CASE WHEN pu.p_ts IS NOT NULL
+                    THEN date_diff('day', su.s_ts, pu.p_ts)
+                    ELSE date_diff('day', su.s_ts, mx.m) END AS t,
+               pu.p_ts IS NOT NULL AS ev
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+    ), allt AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY t
+    ), r AS (
+        SELECT t, CAST(sum(c) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk FROM allt
+    ), dt AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM obs WHERE ev GROUP BY t
+    )
+    SELECT CAST(dt.t AS BIGINT) AS t_days, dt.d AS d_events, r.at_risk,
+           round(CASE WHEN max(CASE WHEN dt.d >= r.at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY dt.t) = 1 THEN 0.0
+                 ELSE exp(sum(CASE WHEN dt.d < r.at_risk
+                                   THEN ln(1 - CAST(dt.d AS DOUBLE) / r.at_risk)
+                                   ELSE 0.0 END)
+                          OVER (ORDER BY dt.t)) END + 1e-9, 6) AS survival
+    FROM dt JOIN r ON dt.t = r.t
+    """,
+)
+def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of signup→first-purchase time
+    with right-censoring at the observation horizon: users who never
+    purchase contribute risk-set mass up to their censor time instead
+    of being dropped (the bias naive conversion-lag metrics have —
+    conversion_lag_quantiles reports the uncensored view). S(t) is
+    the running product of (1 − dᵢ/rᵢ), computed as exp(Σ ln ·) so it
+    is one ordered window over the DISTINCT event-time domain — all
+    heavy lifting is two groupBys over users; the survival curve
+    itself is duration-domain-sized."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    obs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(), F.datediff(F.col("p_ts"), F.col("s_ts"))
+            )
+            .otherwise(F.datediff(F.col("m"), F.col("s_ts")))
+            .alias("t"),
+            F.col("p_ts").isNotNull().alias("ev"),
+        )
+    )
+    from pyspark.sql import Window
+
+    allt = obs.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    r = allt.select(
+        "t",
+        F.sum("c")
+        .over(Window.orderBy(F.desc("t")).rangeBetween(Window.unboundedPreceding, 0))
+        .alias("at_risk"),
+    )
+    dt = obs.where(F.col("ev")).groupBy("t").agg(F.count(F.lit(1)).alias("d"))
+    km = dt.join(r, "t")
+    w = Window.orderBy("t").rangeBetween(Window.unboundedPreceding, 0)
+    # the terminal point can have d == at_risk (everyone left fails)
+    # — survival hits exactly 0 there and stays 0: carry it as a flag
+    # instead of ln(0), identically on both engines
+    dead = F.max(F.when(F.col("d") >= F.col("at_risk"), 1).otherwise(0)).over(w)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("at_risk"),
+                    F.log(1 - F.col("d").cast("double") / F.col("at_risk")),
+                ).otherwise(F.lit(0.0))
+            ).over(w)
+        )
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").alias("d_events"),
+        F.col("at_risk"),
+        F.round(surv + F.lit(1e-9), 6).alias("survival"),
+    )

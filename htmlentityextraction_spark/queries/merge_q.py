@@ -284,3 +284,88 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+@register(
+    "matview_variance_incremental",
+    """
+    WITH final AS (
+        SELECT o_orderkey, price FROM (
+            WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+            SELECT k AS o_orderkey,
+                   CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
+                        WHEN k % 14 = 2 THEN 1.0
+                        WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                        ELSE p END AS price
+            FROM o WHERE k % 14 <> 9
+            UNION ALL
+            SELECT k + 10000000, 5.0 FROM o WHERE k % 50 = 0
+        )
+    ), agg AS (
+        SELECT o_orderkey % 100 AS price_group,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)
+                        * CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        FROM final GROUP BY price_group
+    )
+    SELECT price_group, n_orders, s AS sum_cents, s2 AS sum_sq_cents FROM agg
+    """,
+)
+def matview_variance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VARIANCE maintenance: per-group population variance
+    kept fresh from the CDC delta alone, via the classic sufficient
+    statistics (n, Σx, Σx²) — each is additive, so inserts add,
+    deletes subtract, updates contribute the difference, and
+    variance is Σx²/n − (Σx/n)² at read time. The matview's
+    deliverable IS the exact integer statistics (Σx² reaches ~1e17,
+    past double's 2^53, so ANY float derivation is engine-unstable —
+    the gate hashes the BIGINTs and the final divide belongs to the
+    reader). The oracle recomputes the statistics from the final
+    snapshot; hash equality proves base + delta == recompute for a
+    beyond-count/sum statistic. Only |changes| rows are touched per
+    refresh."""
+    tbl = _merged_orders_table(spark, sf_dir)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
+
+    base = (
+        tbl.read(1)
+        .groupBy(grp(F.col("o_orderkey")))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("price"))).alias("s"),
+            F.sum(cents(F.col("price")) * cents(F.col("price"))).alias("s2"),
+        )
+    )
+    cdc = tbl.table_changes(1)
+    is_ins = F.col("change_type") == "insert"
+    is_del = F.col("change_type") == "delete"
+    new_c = cents(F.col("new_price"))
+    old_c = cents(F.col("old_price"))
+    d_n = F.when(is_ins, 1).when(is_del, -1).otherwise(0)
+    d_s = F.coalesce(F.when(~is_del, new_c), F.lit(0)) - F.coalesce(
+        F.when(~is_ins, old_c), F.lit(0)
+    )
+    d_s2 = F.coalesce(F.when(~is_del, new_c * new_c), F.lit(0)) - F.coalesce(
+        F.when(~is_ins, old_c * old_c), F.lit(0)
+    )
+    delta = cdc.groupBy(grp(F.col("o_orderkey"))).agg(
+        F.sum(d_n).alias("d_n"), F.sum(d_s).alias("d_s"), F.sum(d_s2).alias("d_s2")
+    )
+    fresh = (
+        base.join(delta, "price_group", "full_outer")
+        .select(
+            "price_group",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("d_s", F.lit(0))).alias("s"),
+            (F.coalesce("s2", F.lit(0)) + F.coalesce("d_s2", F.lit(0))).alias("s2"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return fresh.select(
+        "price_group",
+        "n_orders",
+        F.col("s").alias("sum_cents"),
+        F.col("s2").alias("sum_sq_cents"),
+    )

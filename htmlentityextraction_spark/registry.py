@@ -68,6 +68,7 @@ _DRIVER_UNCONFIRMED = (
     "rolling_distinct_users_7d", "largest_remainder_allocation",
     "sax_symbolization_events", "fpgrowth_brand_itemsets",
     "rendezvous_shard_assignment", "mergetable_zorder_read",
+    "matview_variance_incremental", "kaplan_meier_signup_to_purchase",
 )
 
 
