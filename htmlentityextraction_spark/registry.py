@@ -69,6 +69,7 @@ _DRIVER_UNCONFIRMED = (
     "sax_symbolization_events", "fpgrowth_brand_itemsets",
     "rendezvous_shard_assignment", "mergetable_zorder_read",
     "matview_variance_incremental", "kaplan_meier_signup_to_purchase",
+    "kanonymous_user_value_release", "top_event_paths",
 )
 
 
