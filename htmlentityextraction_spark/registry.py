@@ -70,6 +70,7 @@ _DRIVER_UNCONFIRMED = (
     "rendezvous_shard_assignment", "mergetable_zorder_read",
     "matview_variance_incremental", "kaplan_meier_signup_to_purchase",
     "kanonymous_user_value_release", "top_event_paths",
+    "embedding_dimension_profile", "psi_value_drift",
 )
 
 
