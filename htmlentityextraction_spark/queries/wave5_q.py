@@ -422,13 +422,19 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
+    # the graph is symmetric: generate each undirected edge ONCE
+    # (src < dst), dedup half the pair volume, then mirror — the
+    # distinct is the expensive shuffle and this halves its input
+    half = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select(
