@@ -115,3 +115,44 @@ def test_sorted_neighborhood_window_is_blocked(spark):
         if line.strip().startswith(("Window ", "*(")) and "windowspecdefinition" in line:
             assert "__blk" in line
     assert "Join" not in plan  # pairs come from lead(), not a self-join
+
+
+def test_bloom_prefilter_is_broadcast_only_before_join(spark):
+    # the bloom probes are k broadcast hash joins of the tiny word
+    # table; the fact side must not hit a SortMergeJoin or a
+    # nested-loop anywhere in the pre-filter
+    plan = _plan(spark, "bloom_prefilter_join")
+    assert plan.count("BroadcastHashJoin") >= 5  # k probes (+ exact join)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_report_is_pure_aggregation(spark):
+    # bit interleave + zone maps = scans, projections, aggregates;
+    # no join of any kind beyond the broadcast stats row
+    plan = _plan(spark, "zorder_pruning_report")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tablediff_drilldown_prunes_via_broadcast_semi(spark):
+    # phase 2 must reach the row-level join through broadcast
+    # LeftSemi on the changed-bucket list, not a full-table shuffle
+    plan = _plan(spark, "table_diff_reconciliation")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_hll_no_nlj(spark):
+    # the trailing window is the 7-offset sketch explode + equi
+    # groupBy, never a range join
+    plan = _plan(spark, "rolling_distinct_users_7d")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan or "Explode" in plan
+
+
+def test_rendezvous_is_shuffle_free(spark):
+    plan = _plan(spark, "rendezvous_shard_assignment")
+    assert "Exchange" not in plan  # pure per-row expression
