@@ -146,6 +146,17 @@ class ParquetMergeTable:
         self.stats_cols = list(stats_cols) if stats_cols else [key_col]
         self.align_writes = align_writes
         self.max_records_per_file = max_records_per_file
+        # the bucket SPEC belongs to the table, not the client
+        # (Iceberg partition-spec semantics): an existing manifest's
+        # recorded spec overrides constructor defaults, so a table
+        # rebucketed by one writer prunes correctly for every later
+        # opener regardless of the arguments they pass
+        if os.path.exists(self._manifest_file):
+            spec = self._read_manifest().get("spec")
+            if spec:
+                self.num_buckets = spec.get("num_buckets", self.num_buckets)
+                self.bucketing = spec.get("bucketing", self.bucketing)
+                self.range_width = spec.get("range_width", self.range_width)
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -164,6 +175,16 @@ class ParquetMergeTable:
         # Iceberg log entries. Copy-on-write already keeps old bucket
         # dirs, so a historical manifest's files all still exist
         # (until vacuum drops them).
+        # every snapshot records the spec it was written under, so a
+        # fresh opener adopts the table's current layout (see __init__)
+        manifest.setdefault(
+            "spec",
+            {
+                "num_buckets": self.num_buckets,
+                "bucketing": self.bucketing,
+                "range_width": self.range_width,
+            },
+        )
         vfile = os.path.join(self.path, f"manifest-v{manifest['version']}.json")
         with open(vfile, "w") as f:
             json.dump(manifest, f)
@@ -478,6 +499,53 @@ class ParquetMergeTable:
             }
         )
         return {"version": version, "compacted": compacted}
+
+    def rebucket(
+        self,
+        num_buckets: int | None = None,
+        bucketing: str | None = None,
+        range_width: int | None = None,
+    ) -> dict:
+        """Partition-spec evolution (Iceberg's evolve-the-spec,
+        materialized): rewrite the CURRENT snapshot under a new
+        bucket transform — more buckets for a table that outgrew its
+        layout, or hash→range to turn key-range predicates into
+        bucket pruning — as ONE copy-on-write commit. Historical
+        snapshots keep their old layout and stay time-travel-readable
+        (``read()`` only follows manifest paths); the new spec is
+        recorded in the manifest, so every later opener adopts it
+        (``__init__``) and point/range pruning uses the right
+        transform. One full-table rewrite — the same cost class as
+        OPTIMIZE ZORDER; at production scale schedule it like any
+        table-maintenance job."""
+        cur = self.read().localCheckpoint()  # materialize BEFORE the spec flips
+        m = self._read_manifest()
+        if bucketing is not None:
+            if bucketing not in ("hash", "range"):
+                raise ValueError(f"bucketing must be hash|range, got {bucketing!r}")
+            self.bucketing = bucketing
+        if num_buckets is not None:
+            self.num_buckets = num_buckets
+        if range_width is not None:
+            self.range_width = range_width
+        if self.bucketing == "range" and not self.range_width:
+            raise ValueError("range bucketing requires range_width")
+        version = m["version"] + 1
+        entries, stats = self._write_buckets(cur, version)
+        self.commit(
+            {
+                "version": version,
+                "buckets": entries,
+                "stats": stats,
+                "schema": m.get("schema"),
+                "spec": {
+                    "num_buckets": self.num_buckets,
+                    "bucketing": self.bucketing,
+                    "range_width": self.range_width,
+                },
+            }
+        )
+        return {"version": version, "n_buckets": len(entries)}
 
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two published snapshots (Delta's
