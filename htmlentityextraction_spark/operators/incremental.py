@@ -212,17 +212,22 @@ class ParquetMergeTable:
         return str(v)
 
     def _bucket_stats(self, out: DataFrame) -> dict:
-        """Per-bucket min/max zone maps for stats_cols; ≤ one row per
-        bucket, so the collect is bounded by the bucket count."""
-        aggs = []
+        """Per-bucket min/max zone maps for stats_cols plus a
+        ``__rows`` count (the integrity-audit expectation —
+        ``verify_integrity`` recounts storage against it); ≤ one row
+        per bucket, so the collect is bounded by the bucket count."""
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in self.stats_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
         rows = out.groupBy("__bucket").agg(*aggs).collect()
         return {
             str(r["__bucket"]): {
-                c: [self._json_scalar(r[f"__mn_{c}"]), self._json_scalar(r[f"__mx_{c}"])]
-                for c in self.stats_cols
+                "__rows": int(r["__rows"]),
+                **{
+                    c: [self._json_scalar(r[f"__mn_{c}"]), self._json_scalar(r[f"__mx_{c}"])]
+                    for c in self.stats_cols
+                },
             }
             for r in rows
         }
@@ -499,6 +504,44 @@ class ParquetMergeTable:
             }
         )
         return {"version": version, "compacted": compacted}
+
+    def verify_integrity(self, version: int | None = None) -> dict:
+        """Storage-vs-manifest audit of a snapshot: every referenced
+        bucket dir must exist with data files, and its row count must
+        equal the manifest's recorded ``__rows`` expectation. Returns
+        ``{"ok", "missing", "mismatched", "unverified"}`` — missing =
+        path gone (premature vacuum, partial copy), mismatched =
+        count drift (corruption, manual edits), unverified = buckets
+        from manifests written before counts were recorded. One
+        bounded read per bucket (a count over one dir); at production
+        bucket counts run the recount as one job over all paths.
+        This is the routine a migration/replication pipeline runs
+        before flipping readers to a copied table — the audit-side
+        complement of ``tablediff.checksum_diff``."""
+        m = self._manifest_for(version)
+        missing: list[str] = []
+        mismatched: list[dict] = []
+        unverified: list[str] = []
+        for b, rel in sorted(m["buckets"].items()):
+            full = os.path.join(self.path, rel)
+            if not os.path.isdir(full) or not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                missing.append(b)
+                continue
+            expect = (m.get("stats") or {}).get(b, {}).get("__rows")
+            if expect is None:
+                unverified.append(b)
+                continue
+            actual = self.spark.read.parquet(full).count()
+            if actual != expect:
+                mismatched.append({"bucket": b, "expected": expect, "actual": actual})
+        return {
+            "ok": not missing and not mismatched,
+            "missing": missing,
+            "mismatched": mismatched,
+            "unverified": unverified,
+        }
 
     def rebucket(
         self,
