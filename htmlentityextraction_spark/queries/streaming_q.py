@@ -279,3 +279,55 @@ def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sp.read_events_stream(spark, sf_dir, events_dir=topic, max_files_per_trigger=1)
     sp.stream_merge_into(stream, tbl, key="user_id").await_done()
     return tbl.read()
+
+
+@register(
+    "stream_bloom_prefilter_route",
+    """
+    WITH vip AS (
+        SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 75000
+    )
+    SELECT e.event_id, e.user_id, vip.spend_cents
+    FROM events e JOIN vip ON e.user_id = vip.user_id
+    WHERE e.event_type = 'click'
+    """,
+)
+def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the wave-6 Bloom pre-filter with the streaming
+    layer: a batch job derives the high-spend user set, builds its
+    Bloom bit-set ONCE, and the click stream is cut by broadcast bit
+    tests inside every micro-batch BEFORE the exact stream-static
+    join — the shape a 100 TB clickstream needs when the dim is too
+    large to ship but its Bloom is kilobytes. The oracle is the plain
+    batch join; hash equality proves the bloom stage admits a
+    superset per micro-batch and the exact join removes the rest,
+    independent of batch boundaries."""
+    from htmlentityextraction_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    vip = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "spend_cents"
+            )
+        )
+        .where(F.col("spend_cents") >= 75000)
+    )
+    words = bloom_build(vip, "user_id", num_bits=1 << 14, num_hashes=5)
+    words.cache().count()  # build once, reuse across micro-batches
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    clicks = stream.where(F.col("event_type") == "click")
+    pruned = bloom_prefilter(clicks, "user_id", words, num_bits=1 << 14, num_hashes=5)
+    joined = pruned.join(F.broadcast(vip), "user_id", "inner")
+    out = sp.run_to_memory(spark, joined)
+    return out.select("event_id", "user_id", "spend_cents")
