@@ -505,6 +505,56 @@ class ParquetMergeTable:
         )
         return {"version": version, "compacted": compacted}
 
+    def snapshots(self) -> DataFrame:
+        """Metadata table (Iceberg's ``snapshots``, Delta's DESCRIBE
+        HISTORY — distinct from the driver-side ``history()`` list):
+        one row per retained snapshot — version, bucket count, total
+        rows (from the manifest's ``__rows`` stats; null for
+        pre-count manifests), and the bucket spec it was written
+        under. Reads only manifests (kilobytes), never data files."""
+        rows = []
+        v = 1
+        while True:
+            vfile = os.path.join(self.path, f"manifest-v{v}.json")
+            if not os.path.exists(vfile):
+                break
+            with open(vfile) as f:
+                m = json.load(f)
+            stats = m.get("stats") or {}
+            counts = [stats.get(b, {}).get("__rows") for b in m["buckets"]]
+            total = sum(c for c in counts if c is not None) if counts else 0
+            spec = m.get("spec") or {}
+            rows.append(
+                (
+                    v,
+                    len(m["buckets"]),
+                    None if any(c is None for c in counts) else total,
+                    spec.get("bucketing"),
+                    spec.get("num_buckets"),
+                )
+            )
+            v += 1
+        return self.spark.createDataFrame(
+            rows,
+            "version int, n_buckets int, total_rows long, bucketing string, num_buckets int",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``files``): one row per data
+        file of a snapshot — bucket, path, size in bytes. Local
+        listing of only the referenced dirs."""
+        m = self._manifest_for(version)
+        rows = []
+        for b, rel in sorted(m["buckets"].items()):
+            full = os.path.join(self.path, rel)
+            for fname in sorted(os.listdir(full)):
+                if fname.endswith(".parquet"):
+                    p = os.path.join(full, fname)
+                    rows.append((b, os.path.relpath(p, self.path), os.path.getsize(p)))
+        return self.spark.createDataFrame(
+            rows, "bucket string, rel_path string, size_bytes long"
+        )
+
     def verify_integrity(self, version: int | None = None) -> dict:
         """Storage-vs-manifest audit of a snapshot: every referenced
         bucket dir must exist with data files, and its row count must

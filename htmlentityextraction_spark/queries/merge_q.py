@@ -369,3 +369,37 @@ def matview_variance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("sum_cents"),
         F.col("s2").alias("sum_sq_cents"),
     )
+
+
+@register(
+    "mergetable_history_rows",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    v1 AS (SELECT count(*) AS n FROM o),
+    v2 AS (
+        -- batch 1 deletes ALL k%7==2 (the k%14==2 half returns only
+        -- in batch 2's re-insert)
+        SELECT (SELECT count(*) FROM o WHERE k % 7 <> 2) AS n
+    ), v3 AS (
+        SELECT (SELECT count(*) FROM o WHERE k % 14 <> 9)
+             + (SELECT count(*) FROM o WHERE k % 50 = 0) AS n
+    )
+    SELECT 1 AS version, CAST((SELECT n FROM v1) AS BIGINT) AS total_rows
+    UNION ALL SELECT 2, CAST((SELECT n FROM v2) AS BIGINT)
+    UNION ALL SELECT 3, CAST((SELECT n FROM v3) AS BIGINT)
+    """,
+)
+def mergetable_history_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history metadata table (Iceberg's ``history`` /
+    Delta's ``DESCRIBE HISTORY``): per retained version, the total
+    row count straight from manifest statistics — no data files are
+    read. The oracle derives each version's expected cardinality from
+    the merge scenario in closed form (v1 = raw orders, v2 = after
+    the update/delete batch, v3 = after re-inserts + new keys), so
+    the hash match proves the manifest row accounting tracks the
+    actual merge history exactly."""
+    tbl = _merged_orders_table(spark, sf_dir)
+    return tbl.snapshots().select(
+        F.col("version").cast("bigint").alias("version"),
+        F.col("total_rows").alias("total_rows"),
+    )

@@ -71,7 +71,7 @@ _DRIVER_UNCONFIRMED = (
     "matview_variance_incremental", "kaplan_meier_signup_to_purchase",
     "kanonymous_user_value_release", "top_event_paths",
     "embedding_dimension_profile", "psi_value_drift",
-    "stream_bloom_prefilter_route",
+    "stream_bloom_prefilter_route", "mergetable_history_rows",
 )
 
 
