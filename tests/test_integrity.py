@@ -56,3 +56,16 @@ def test_row_drift_detected(spark):
     rep = tbl.verify_integrity()
     assert not rep["ok"]
     assert rep["mismatched"] and rep["mismatched"][0]["actual"] > rep["mismatched"][0]["expected"]
+
+
+def test_snapshots_and_files_metadata_tables(spark):
+    tbl = _table(spark, tempfile.mkdtemp(prefix="meta_"))
+    upd = spark.createDataFrame([(1, 99, OP_UPSERT)], "k long, v long, op string")
+    tbl.merge(upd)
+    snaps = {r["version"]: r for r in tbl.snapshots().collect()}
+    assert set(snaps) == {1, 2}
+    assert snaps[1]["total_rows"] == 400 and snaps[2]["total_rows"] == 400
+    assert snaps[2]["num_buckets"] == 4 and snaps[2]["bucketing"] == "hash"
+    files = tbl.files().collect()
+    assert files and all(r["size_bytes"] > 0 for r in files)
+    assert {r["bucket"] for r in files} == set(tbl._read_manifest()["buckets"])
