@@ -1,0 +1,126 @@
+"""Wave-11 queries: Benford first-digit conformance audit and daily
+autocorrelation profiling.
+
+Both close out the statistics family: Benford's law is the classic
+anomaly screen for financial-looking magnitude data (a fabricated or
+truncated feed drifts from log10(1+1/d)); the autocorrelation
+function is the standard memory diagnostic for a daily series — the
+input to choosing seasonal windows and change-point sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "benford_first_digit_audit",
+    """
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tot FROM c)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / tot + 1e-9, 6) AS p_obs,
+           round(log10(1 + 1.0 / digit) + 1e-9, 6) AS p_benford,
+           round(power(CAST(n_obs AS DOUBLE) / tot - log10(1 + 1.0 / digit), 2)
+                 / log10(1 + 1.0 / digit) + 1e-9, 6) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    share vs the log10(1 + 1/d) expectation, with per-digit chi-square
+    contributions — the screen an audit pipeline runs over any
+    magnitude-distributed feed (fabricated, truncated, or clipped
+    data bends these nine numbers). One aggregate over a 9-value
+    domain; the first digit is pure columnar arithmetic (no string
+    casts)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("tot"))
+    p_obs = F.col("n_obs").cast("double") / F.col("tot")
+    p_ben = F.log10(1 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(p_obs + F.lit(1e-9), 6).alias("p_obs"),
+        F.round(p_ben + F.lit(1e-9), 6).alias("p_benford"),
+        F.round(F.pow(p_obs - p_ben, 2) / p_ben + F.lit(1e-9), 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "daily_value_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), mu AS (
+        SELECT event_type, avg(v) AS mu FROM daily GROUP BY event_type
+    ), c AS (
+        SELECT d.event_type, d.d, d.v - mu.mu AS c
+        FROM daily d JOIN mu ON mu.event_type = d.event_type
+    ), ss AS (
+        SELECT event_type, sum(c * c) AS ss FROM c GROUP BY event_type
+    ), num AS (
+        SELECT a.event_type, g.g AS lag_days, sum(a.c * b.c) AS num
+        FROM c a
+        JOIN generate_series(1, 7) g(g) ON TRUE
+        JOIN c b ON b.event_type = a.event_type AND b.d = a.d + g.g
+        GROUP BY a.event_type, g.g
+    )
+    SELECT n.event_type, CAST(n.lag_days AS BIGINT) AS lag_days,
+           round(n.num / ss.ss + 1e-9, 6) AS acf
+    FROM num n JOIN ss ON ss.event_type = n.event_type
+    """,
+)
+def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–7) of each event type's daily
+    mean value: ACF(k) = Σ(vₜ−μ)(vₜ₊ₖ−μ) / Σ(vₜ−μ)² — the standard
+    series-memory diagnostic (weekly seasonality shows as an ACF(7)
+    spike). The series collapses to |types|×|days| rows first, so the
+    lag joins and moment sums run on a day-domain-sized table; at
+    100 TB of raw events the only corpus-sized step is the daily
+    pre-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    m = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"),
+    )
+    centered = daily.join(m, "event_type").select(
+        "event_type", "d", (F.col("v") - F.col("mu")).alias("c")
+    )
+    ss = centered.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_days"))
+    a = centered.crossJoin(F.broadcast(lags))
+    b = centered.select(
+        F.col("event_type").alias("b_et"), F.col("d").alias("bd"), F.col("c").alias("bc")
+    )
+    num = (
+        a.join(b, (F.col("b_et") == F.col("event_type")) & (F.col("bd") == F.col("d") + F.col("lag_days")))
+        .groupBy("event_type", "lag_days")
+        .agg(F.sum(F.col("c") * F.col("bc")).alias("num"))
+    )
+    return num.join(ss, "event_type").select(
+        "event_type",
+        F.col("lag_days").cast("long").alias("lag_days"),
+        F.round(F.col("num") / F.col("ss") + F.lit(1e-9), 6).alias("acf"),
+    )

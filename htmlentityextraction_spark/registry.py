@@ -72,6 +72,7 @@ _DRIVER_UNCONFIRMED = (
     "kanonymous_user_value_release", "top_event_paths",
     "embedding_dimension_profile", "psi_value_drift",
     "stream_bloom_prefilter_route", "mergetable_history_rows",
+    "benford_first_digit_audit", "daily_value_autocorrelation",
 )
 
 
