@@ -443,7 +443,7 @@ class ParquetMergeTable:
         ``row_group_bytes`` sets ``parquet.block.size`` for the
         rewrite so row-group granularity (the skipping unit) can be
         tuned to the scan pattern."""
-        from htmlentityextraction_spark.operators.zorder import scale_to_bits, zvalue
+        from htmlentityextraction_spark.operators.zorder import scale_to_bits, zvalue_n
 
         m = self._read_manifest()
         version = m["version"] + 1
@@ -451,18 +451,16 @@ class ParquetMergeTable:
         entries = dict(m["buckets"])
         compacted: list[str] = []
         zbounds = None
+        zbits = 8
         if zorder_by is not None:
-            if len(zorder_by) != 2:
-                raise ValueError("zorder_by takes exactly two columns")
-            ca, cb = zorder_by
-            zbounds = (
-                self.read()
-                .agg(
-                    F.min(ca).alias("alo"), F.max(ca).alias("ahi"),
-                    F.min(cb).alias("blo"), F.max(cb).alias("bhi"),
-                )
-                .collect()[0]
-            )
+            if len(zorder_by) < 2:
+                raise ValueError("zorder_by takes at least two columns")
+            zbits = min(8, 63 // len(zorder_by))
+            aggs = []
+            for i, c in enumerate(zorder_by):
+                aggs.append(F.min(c).alias(f"lo{i}"))
+                aggs.append(F.max(c).alias(f"hi{i}"))
+            zbounds = self.read().agg(*aggs).collect()[0]
         for b, rel in sorted(m["buckets"].items()):
             full = os.path.join(self.path, rel)
             n_files = sum(1 for f in os.listdir(full) if f.startswith("part-"))
@@ -471,11 +469,17 @@ class ParquetMergeTable:
             out_rel = os.path.join(vdir, f"__bucket={b}")
             df = self.spark.read.parquet(full)
             if zorder_by is not None:
-                ca, cb = zorder_by
-                z = zvalue(
-                    scale_to_bits(F.col(ca), F.lit(zbounds["alo"]), F.lit(zbounds["ahi"]), 8),
-                    scale_to_bits(F.col(cb), F.lit(zbounds["blo"]), F.lit(zbounds["bhi"]), 8),
-                    8,
+                z = zvalue_n(
+                    [
+                        scale_to_bits(
+                            F.col(c),
+                            F.lit(zbounds[f"lo{i}"]),
+                            F.lit(zbounds[f"hi{i}"]),
+                            zbits,
+                        )
+                        for i, c in enumerate(zorder_by)
+                    ],
+                    zbits,
                 )
                 df = (
                     df.withColumn("__z", z)

@@ -41,10 +41,23 @@ def zvalue(a: Column, b: Column, bits: int) -> Column:
     bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
     Pure integer expression — 2*bits shift/mask terms fused by
     codegen."""
+    return zvalue_n([a, b], bits)
+
+
+def zvalue_n(cols: list[Column], bits: int) -> Column:
+    """Morton interleave of k ``bits``-wide non-negative ints,
+    round-robin: bit i of column j lands at position i*k + j. The
+    result needs k*bits bits — keep that ≤ 63 (e.g. 4 columns × 15
+    bits). Still one flat integer expression for codegen."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zvalue_n needs at least two columns")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a signed long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
-        z = z + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        for j, c in enumerate(cols):
+            z = z + F.shiftleft(F.shiftright(c, i) % 2, i * k + j)
     return z
 
 

@@ -80,3 +80,32 @@ def test_plain_optimize_unaffected(spark):
     res = tbl.optimize(target_files_per_bucket=1)
     # create() wrote one file per bucket already -> nothing to compact
     assert res["compacted"] == []
+
+
+def test_zvalue_n_three_columns(spark):
+    from htmlentityextraction_spark.operators.zorder import zvalue_n
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0b11, 0b01, 0b10)], "a long, b long, c long").select(
+        zvalue_n([F.col("a"), F.col("b"), F.col("c")], 2).alias("z")
+    )
+    # bit layout: pos = i*3 + j -> a0=1@0, b0=1@1, c0=0@2, a1=1@3, b1=0@4, c1=1@5
+    assert df.collect()[0]["z"] == 0b101011
+
+
+def test_zorder_optimize_three_columns(spark):
+    path = tempfile.mkdtemp(prefix="zopt4_")
+    li = spark.read.parquet(os.path.join(SF_DENSE, "lineitem.parquet")).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_partkey", "l_suppkey", "l_quantity",
+    )
+    tbl = ParquetMergeTable(spark, path, key_col="rid", num_buckets=2)
+    tbl.create(li)
+    before_a, _ = _avg_span(path, tbl._read_manifest()["buckets"], "l_partkey")
+    res = tbl.optimize(
+        zorder_by=["l_partkey", "l_suppkey", "l_quantity"], row_group_bytes=64 * 1024
+    )
+    assert res["compacted"]
+    after_a, n = _avg_span(path, tbl._read_manifest()["buckets"], "l_partkey")
+    assert n >= 4 and after_a < before_a
+    assert tbl.read().count() == li.count()
