@@ -73,6 +73,7 @@ _DRIVER_UNCONFIRMED = (
     "embedding_dimension_profile", "psi_value_drift",
     "stream_bloom_prefilter_route", "mergetable_history_rows",
     "benford_first_digit_audit", "daily_value_autocorrelation",
+    "ks_two_sample_value_drift", "theil_sen_price_trend",
 )
 
 
