@@ -74,6 +74,7 @@ _DRIVER_UNCONFIRMED = (
     "stream_bloom_prefilter_route", "mergetable_history_rows",
     "benford_first_digit_audit", "daily_value_autocorrelation",
     "ks_two_sample_value_drift", "theil_sen_price_trend",
+    "bm25_doc_ranking", "quantile_normalize_chars_by_source",
 )
 
 
