@@ -156,3 +156,22 @@ def test_rolling_hll_no_nlj(spark):
 def test_rendezvous_is_shuffle_free(spark):
     plan = _plan(spark, "rendezvous_shard_assignment")
     assert "Exchange" not in plan  # pure per-row expression
+
+
+def test_theil_sen_pairs_are_equi_blocked(spark):
+    # pairwise slopes must join per product key, never data x data
+    plan = _plan(spark, "theil_sen_price_trend")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_cdf_windows_are_partitioned(spark):
+    plan = _plan(spark, "ks_two_sample_value_drift")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kanonymity_release_no_nlj(spark):
+    plan = _plan(spark, "kanonymous_user_value_release")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" in plan  # a real aggregate, not a collect
