@@ -176,3 +176,61 @@ def sql_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "pareto_revenue_concentration",
+    """
+    WITH r AS (
+        SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n FROM r),
+    c AS (
+        SELECT o_custkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS top_customers,
+           (SELECT n FROM t) AS all_customers,
+           round(CAST(count(*) AS DOUBLE) / (SELECT n FROM t) + 1e-9, 6)
+               AS customer_share,
+           round(CAST(max(thresh_cum) AS DOUBLE) / (SELECT tot FROM t) + 1e-9, 6)
+               AS revenue_share
+    FROM (
+        SELECT cum AS thresh_cum FROM c CROSS JOIN t
+        WHERE cum - cents < CAST(0.8 * tot AS BIGINT)
+    )
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: the smallest customer set (by
+    descending revenue) covering ≥80% of total revenue — the
+    concentration diagnostic behind account prioritization and
+    revenue-risk reporting. A customer is in the set iff the
+    cumulative revenue BEFORE them is still under the 80% line
+    (exact integer cents, deterministic tie-break), so the answer is
+    one ranked window over the customer-domain aggregate plus a
+    scalar broadcast — no iteration, no collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    t = r.agg(F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n"))
+    c = r.withColumn("cum", F.sum("cents").over(
+        Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    ))
+    picked = c.crossJoin(F.broadcast(t)).where(
+        F.col("cum") - F.col("cents") < (F.lit(0.8) * F.col("tot")).cast("long")
+    )
+    return picked.agg(
+        F.count(F.lit(1)).alias("top_customers"),
+        F.first("n").alias("all_customers"),
+        F.round(F.count(F.lit(1)).cast("double") / F.first("n") + F.lit(1e-9), 6).alias(
+            "customer_share"
+        ),
+        F.round(F.max("cum").cast("double") / F.first("tot") + F.lit(1e-9), 6).alias(
+            "revenue_share"
+        ),
+    )

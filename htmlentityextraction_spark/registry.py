@@ -75,7 +75,7 @@ _DRIVER_UNCONFIRMED = (
     "benford_first_digit_audit", "daily_value_autocorrelation",
     "ks_two_sample_value_drift", "theil_sen_price_trend",
     "bm25_doc_ranking", "quantile_normalize_chars_by_source",
-    "sql_lateral_topn_per_customer",
+    "sql_lateral_topn_per_customer", "pareto_revenue_concentration",
 )
 
 
