@@ -1,0 +1,82 @@
+"""Wave-14: Mann–Whitney U rank test — the rank-based two-sample
+location test completing the drift-testing family (PSI = binned
+divergence, KS = max CDF gap, MW = rank-sum shift; each detects a
+different alternative)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.sources.tables import load_table
+
+
+@register(
+    "mann_whitney_value_shift",
+    """
+    WITH s AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), c AS (
+        SELECT event_type, value,
+               CAST(sum(in_a) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM s GROUP BY event_type, value
+    ), r AS (
+        SELECT event_type, value, ca, cnt,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM c
+    ), n AS (
+        SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cnt) - sum(ca) AS BIGINT) AS nb
+        FROM c GROUP BY event_type
+    ), ranks AS (
+        SELECT r.event_type,
+               sum(r.ca * (r.cum_before + (r.cnt + 1) / 2.0)) AS ra
+        FROM r GROUP BY r.event_type
+    )
+    SELECT n.event_type, n.na, n.nb,
+           round(ranks.ra - n.na * (n.na + 1) / 2.0 + 1e-9, 6) AS u_stat,
+           round(((ranks.ra - n.na * (n.na + 1) / 2.0) - n.na * n.nb / 2.0)
+                 / sqrt(n.na * n.nb * (n.na + n.nb + 1) / 12.0) + 1e-9, 6) AS z_approx
+    FROM ranks JOIN n ON n.event_type = ranks.event_type
+    """,
+)
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per event type, reference
+    half-month vs current: ranks come from grouped value counts with
+    midrank tie handling (avg rank = count-before + (ties+1)/2), so
+    the ranking costs one grouped count and one ordered window over
+    the DISTINCT value domain — never a global sort of raw rows. The
+    normal approximation z is reported without tie correction (ties
+    are fixture-rare; the U statistic itself is exact). Completes the
+    drift suite: PSI (binned), KS (shape), MW (location)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("int")
+    s = ev.select("event_type", "value", ref.alias("in_a"))
+    c = s.groupBy("event_type", "value").agg(
+        F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = c.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    n = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), (F.sum("cnt") - F.sum("ca")).alias("nb")
+    )
+    ranks = r.groupBy("event_type").agg(
+        F.sum(F.col("ca") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)).alias("ra")
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0
+    z = (u - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1) / 12.0
+    )
+    return ranks.join(n, "event_type").select(
+        "event_type", "na", "nb",
+        F.round(u + F.lit(1e-9), 6).alias("u_stat"),
+        F.round(z + F.lit(1e-9), 6).alias("z_approx"),
+    )
