@@ -80,3 +80,61 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u + F.lit(1e-9), 6).alias("u_stat"),
         F.round(z + F.lit(1e-9), 6).alias("z_approx"),
     )
+
+
+@register(
+    "match_recognize_lite_funnel",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), seq AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, '' ORDER BY rn) AS s
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id,
+           regexp_matches(s, 'v[^p]*c[^p]*p') AS strict_funnel,
+           regexp_matches(s, 'vc*p') AS adjacent_funnel,
+           CAST((length(s) - length(regexp_replace(s, 'vc', '', 'g'))) // 2 AS BIGINT)
+               AS n_view_click_adjacent
+    FROM seq
+    """,
+)
+def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event sequences compiled to a
+    symbol string (one ordered window + string_agg), then SQL
+    row-pattern semantics expressed as regular expressions over it —
+    view→click→purchase with no intervening purchase (the SQL:2016
+    PATTERN (V X*? C Y*? P) shape), strictly-adjacent variants, and
+    adjacent-pair counts. Spark has no MATCH_RECOGNIZE; this is the
+    scale-correct encoding: the pattern engine runs per user on a
+    bounded string, and the only shuffle is the per-user window.
+    Symbols are single chars so regex positions = event positions."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn("sym", sym)
+    seq = r.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("rn", "sym"))).getField("sym")
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.col("s").rlike("v[^p]*c[^p]*p").alias("strict_funnel"),
+        F.col("s").rlike("vc*p").alias("adjacent_funnel"),
+        (
+            (F.length("s") - F.length(F.regexp_replace("s", "vc", ""))) / 2
+        ).cast("long").alias("n_view_click_adjacent"),
+    )

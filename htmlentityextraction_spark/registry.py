@@ -76,7 +76,7 @@ _DRIVER_UNCONFIRMED = (
     "ks_two_sample_value_drift", "theil_sen_price_trend",
     "bm25_doc_ranking", "quantile_normalize_chars_by_source",
     "sql_lateral_topn_per_customer", "pareto_revenue_concentration",
-    "mann_whitney_value_shift",
+    "mann_whitney_value_shift", "match_recognize_lite_funnel",
 )
 
 
