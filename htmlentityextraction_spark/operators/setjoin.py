@@ -84,9 +84,16 @@ def prefix_jaccard_pairs(
             ),
         )
     )
-    # prefix length p = |x| - ceil(t|x|) + 1
+    # prefix length p = |x| - ceil(t|x|) + 1. The ceil runs on FLOAT
+    # arithmetic, and t·|x| can land one ulp ABOVE an exact integer
+    # (0.9·10 → 9.000000000000002 → ceil 10, truth 9), silently
+    # shortening the prefix below the theorem's length — a recall
+    # hole. Nudge down by an epsilon before ceil: overshoot is
+    # corrected, and a spurious undershoot merely lengthens the
+    # prefix by one (more candidates, recall-safe).
     prefix = ranked.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     ).select("id", "tok", "df", "pos", "sz")
 
     if max_block_rows is not None:
@@ -120,8 +127,13 @@ def prefix_jaccard_pairs(
     # grow), so "some row passes" ⟺ "the t0 row passes" — filtering
     # rows is exactly the per-pair t0 test, with no per-pair aggregate
     # and no shuffle of the full pair-token stream before the cut.
+    # same epsilon guard as the prefix ceil: a one-ulp overshoot of
+    # t(|x|+|y|)/(1+t) would raise α past the true requirement and
+    # drop pairs sitting EXACTLY at the threshold (J = 0.9 pairs
+    # with overlap 9 of sizes 10+9 — caught by the sf0.1 gate)
     alpha = F.ceil(
         F.lit(threshold) * (F.col("size_a") + F.col("size_b")) / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
     )
     bound = 1 + F.least(
         F.col("size_a") - F.col("pos_a"), F.col("size_b") - F.col("pos_b")
