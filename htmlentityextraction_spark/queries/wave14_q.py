@@ -138,3 +138,96 @@ def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("s") - F.length(F.regexp_replace("s", "vc", ""))) / 2
         ).cast("long").alias("n_view_click_adjacent"),
     )
+
+
+@register(
+    "ewma_control_chart",
+    """
+    WITH obs AS (
+        SELECT l_partkey AS prodid, l_suppkey AS store, l_extendedprice AS p,
+               row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t
+        FROM lineitem WHERE l_partkey % 25 = 7
+    ), stats AS (
+        SELECT prodid, store, stddev_pop(p) AS sigma
+        FROM obs GROUP BY prodid, store
+    ), ewma AS (
+        SELECT a.prodid, a.store, a.t,
+               sum(CASE WHEN b.t = 1 THEN power(0.7, a.t - 1) * b.p
+                        ELSE 0.3 * power(0.7, a.t - b.t) * b.p END) AS e
+        FROM obs a JOIN obs b
+          ON b.prodid = a.prodid AND b.store = a.store AND b.t <= a.t
+        GROUP BY a.prodid, a.store, a.t
+    )
+    SELECT o.prodid, o.store, CAST(o.t AS BIGINT) AS t,
+           round(o.p + 1e-9, 6) AS price,
+           round(prev.e + 1e-9, 6) AS ewma_prev,
+           CASE WHEN s.sigma = 0 THEN false
+                ELSE abs(o.p - prev.e)
+                     > 3 * s.sigma * sqrt(0.3 / 1.7) END AS flagged
+    FROM obs o
+    JOIN ewma prev ON prev.prodid = o.prodid AND prev.store = o.store
+                  AND prev.t = o.t - 1
+    JOIN stats s ON s.prodid = o.prodid AND s.store = o.store
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.3) per (product, store) price series —
+    the SPC anomaly monitor complementing CUSUM (mean-shift memory)
+    and z-score (memoryless): each observation is compared against
+    the EWMA of its PREDECESSORS with ±3σ√(λ/(2−λ)) asymptotic
+    limits. The recursion is expanded in closed form
+    (e_t = (1−λ)^{t−1}x₁ + λΣ(1−λ)^{t−j}x_j), so the per-group cost
+    is C(depth,2) weighted terms — bounded by the series depth like
+    the reference's per-product delta walks, never corpus-quadratic
+    (a 1/25th part sample keeps the gate fast). First observations
+    have no predecessor and are excluded (they seed the chart)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    obs = li.select(
+        F.col("l_partkey").alias("prodid"), F.col("l_suppkey").alias("store"),
+        F.col("l_extendedprice").alias("p"), F.row_number().over(w).alias("t"),
+    )
+    stats = obs.groupBy("prodid", "store").agg(F.stddev_pop("p").alias("sigma"))
+    b = obs.select(
+        F.col("prodid").alias("bp"), F.col("store").alias("bs"),
+        F.col("t").alias("bt"), F.col("p").alias("bv"),
+    )
+    lam = 0.3
+    wgt = F.when(
+        F.col("bt") == 1, F.pow(F.lit(1 - lam), F.col("t") - 1)
+    ).otherwise(F.lit(lam) * F.pow(F.lit(1 - lam), F.col("t") - F.col("bt")))
+    ewma = (
+        obs.join(
+            b,
+            (F.col("bp") == F.col("prodid"))
+            & (F.col("bs") == F.col("store"))
+            & (F.col("bt") <= F.col("t")),
+        )
+        .groupBy("prodid", "store", "t")
+        .agg(F.sum(wgt * F.col("bv")).alias("e"))
+    )
+    prev = ewma.select(
+        F.col("prodid").alias("pp"), F.col("store").alias("ps"),
+        (F.col("t") + 1).alias("pt"), F.col("e").alias("e_prev"),
+    )
+    out = (
+        obs.join(
+            prev,
+            (F.col("pp") == F.col("prodid"))
+            & (F.col("ps") == F.col("store"))
+            & (F.col("pt") == F.col("t")),
+        )
+        .join(stats, ["prodid", "store"])
+    )
+    limit = 3 * F.col("sigma") * F.sqrt(F.lit(lam / (2 - lam)))
+    return out.select(
+        "prodid", "store", F.col("t").cast("long").alias("t"),
+        F.round(F.col("p") + F.lit(1e-9), 6).alias("price"),
+        F.round(F.col("e_prev") + F.lit(1e-9), 6).alias("ewma_prev"),
+        F.when(F.col("sigma") == 0, F.lit(False))
+        .otherwise(F.abs(F.col("p") - F.col("e_prev")) > limit)
+        .alias("flagged"),
+    )
