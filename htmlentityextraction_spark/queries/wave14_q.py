@@ -231,3 +231,50 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("p") - F.col("e_prev")) > limit)
         .alias("flagged"),
     )
+
+
+@register(
+    "weighted_median_price_per_flag",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS p,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ), t AS (
+        SELECT flag, CAST(sum(wt) AS BIGINT) AS tot FROM c GROUP BY flag
+    ), r AS (
+        SELECT c.flag, c.p, c.wt,
+               CAST(sum(c.wt) OVER (PARTITION BY c.flag ORDER BY c.p) AS BIGINT) AS cum
+        FROM c
+    )
+    SELECT r.flag, t.tot AS total_weight,
+           round(min(r.p) + 1e-9, 6) AS weighted_median
+    FROM r JOIN t ON t.flag = r.flag
+    WHERE r.cum * 2 >= t.tot
+    GROUP BY r.flag, t.tot
+    """,
+)
+def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total —
+    the inventory-weighted central price a plain median misstates
+    when cheap items ship in bulk. Weights are grouped per distinct
+    price FIRST, so the ordered window runs over the (flag, price)
+    domain, not raw line items; integer cum×2 ≥ tot avoids any
+    float threshold. One grouped count + one window + one min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("p")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    t = c.groupBy("flag").agg(F.sum("wt").alias("tot"))
+    w = Window.partitionBy("flag").orderBy("p").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = c.withColumn("cum", F.sum("wt").over(w))
+    return (
+        r.join(t, "flag")
+        .where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("flag", F.col("tot").alias("total_weight"))
+        .agg(F.round(F.min("p") + F.lit(1e-9), 6).alias("weighted_median"))
+        .select("flag", "total_weight", "weighted_median")
+    )

@@ -77,7 +77,7 @@ _DRIVER_UNCONFIRMED = (
     "bm25_doc_ranking", "quantile_normalize_chars_by_source",
     "sql_lateral_topn_per_customer", "pareto_revenue_concentration",
     "mann_whitney_value_shift", "match_recognize_lite_funnel",
-    "ewma_control_chart",
+    "ewma_control_chart", "weighted_median_price_per_flag",
 )
 
 
