@@ -278,3 +278,102 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.round(F.min("p") + F.lit(1e-9), 6).alias("weighted_median"))
         .select("flag", "total_weight", "weighted_median")
     )
+
+
+@register(
+    "gini_coefficient_revenue",
+    """
+    WITH r AS (
+        SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), rk AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM r
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS tot,
+               CAST(sum(i * cents) AS BIGINT) AS iws
+        FROM rk
+    )
+    SELECT n AS n_customers,
+           round(2.0 * iws / (n * CAST(tot AS DOUBLE)) - (n + 1.0) / n + 1e-9, 6)
+               AS gini
+    FROM agg
+    """,
+)
+def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality summary
+    behind the Pareto curve (pareto_revenue_concentration picks a
+    point on it; Gini integrates it): G = 2Σi·xᵢ/(nΣx) − (n+1)/n over
+    ascending-sorted revenues, computed exactly from integer cents
+    and one ranked window over the CUSTOMER domain (already an
+    aggregate — at 100 TB the raw orders never sort, only the
+    customer rollup does)."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    rk = r.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i")
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("iws"),
+    )
+    gini = (
+        2.0 * F.col("iws") / (F.col("n") * F.col("tot").cast("double"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(gini + F.lit(1e-9), 6).alias("gini"),
+    )
+
+
+@register(
+    "herfindahl_supplier_concentration",
+    """
+    WITH s AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ), t AS (
+        SELECT nation, CAST(sum(cents) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM s GROUP BY nation
+    )
+    SELECT t.nation, t.n_suppliers,
+           round(sum(power(CAST(s.cents AS DOUBLE) / t.tot, 2)) + 1e-9, 6) AS hhi
+    FROM s JOIN t ON t.nation = s.nation
+    GROUP BY t.nation, t.n_suppliers
+    """,
+)
+def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    per nation: Σ (market share)² — the antitrust-style concentration
+    screen (1/n_suppliers when even, →1 when monopolized). Two
+    grouped aggregates (supplier rollup, nation totals) and a
+    broadcast-sized join — the raw lineitem rows are touched once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+        )
+    )
+    t = s.groupBy("nation").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        s.join(t, "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("cents").cast("double") / F.col("tot"), 2)) + F.lit(1e-9), 6
+            ).alias("hhi")
+        )
+        .select("nation", "n_suppliers", "hhi")
+    )

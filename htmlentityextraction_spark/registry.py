@@ -78,6 +78,7 @@ _DRIVER_UNCONFIRMED = (
     "sql_lateral_topn_per_customer", "pareto_revenue_concentration",
     "mann_whitney_value_shift", "match_recognize_lite_funnel",
     "ewma_control_chart", "weighted_median_price_per_flag",
+    "gini_coefficient_revenue", "herfindahl_supplier_concentration",
 )
 
 
