@@ -377,3 +377,140 @@ def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataF
         )
         .select("nation", "n_suppliers", "hhi")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH su AS (
+        SELECT user_id,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('day', min(ts))) AS cohort_d
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+        SELECT e.user_id,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('day', e.ts)) - su.cohort_d AS age_d,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('day', e.ts)) >= su.cohort_d
+    ), sz AS (
+        SELECT cohort_d, CAST(count(*) AS BIGINT) AS cohort_users FROM su GROUP BY cohort_d
+    ), rev AS (
+        SELECT su.user_id, su.cohort_d, pu2.age_d,
+               CAST(sum(pu2.cents) AS BIGINT) AS cents
+        FROM su JOIN pu pu2 ON pu2.user_id = su.user_id
+        GROUP BY su.user_id, su.cohort_d, pu2.age_d
+    ), byage AS (
+        SELECT cohort_d, age_d, CAST(sum(cents) AS BIGINT) AS cents
+        FROM rev GROUP BY cohort_d, age_d
+    )
+    SELECT b.cohort_d AS cohort_epoch_day, CAST(b.age_d AS BIGINT) AS age_days,
+           sz.cohort_users,
+           CAST(sum(b.cents) OVER (PARTITION BY b.cohort_d ORDER BY b.age_d)
+                AS BIGINT) AS cum_cents,
+           round(CAST(sum(b.cents) OVER (PARTITION BY b.cohort_d ORDER BY b.age_d)
+                      AS DOUBLE) / sz.cohort_users + 1e-9, 6) AS ltv_per_user
+    FROM byage b JOIN sz ON sz.cohort_d = b.cohort_d
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: per signup-day cohort, cumulative
+    purchase cents by account age, normalized per cohort user — the
+    payback-curve companion to retention_cohort_matrix (activity) and
+    kaplan_meier (time-to-first). Exact integer cents; the cumulative
+    window runs over the (cohort × age) domain, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = lambda c: F.datediff(F.date_trunc("DAY", c), F.lit("1970-01-01").cast("date"))  # noqa: E731
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select("user_id", day(F.col("s_ts")).alias("cohort_d"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(day(F.col("ts")) >= F.col("cohort_d"))
+        .select(
+            "user_id", "cohort_d",
+            (day(F.col("ts")) - F.col("cohort_d")).alias("age_d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    sz = su.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("cohort_users"))
+    byage = pu.groupBy("cohort_d", "age_d").agg(F.sum("cents").alias("cents"))
+    w = Window.partitionBy("cohort_d").orderBy("age_d").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("cents").over(w)
+    return (
+        byage.join(sz, "cohort_d")
+        .select(
+            F.col("cohort_d").alias("cohort_epoch_day"),
+            F.col("age_d").cast("long").alias("age_days"),
+            "cohort_users",
+            cum.cast("long").alias("cum_cents"),
+            F.round(cum.cast("double") / F.col("cohort_users") + F.lit(1e-9), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+@register(
+    "forecast_backtest_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), preds AS (
+        SELECT a.event_type, a.d, a.v,
+               n1.v AS naive_pred, n7.v AS snaive_pred
+        FROM daily a
+        JOIN daily n1 ON n1.event_type = a.event_type AND n1.d = a.d - 1
+        JOIN daily n7 ON n7.event_type = a.event_type AND n7.d = a.d - 7
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(v - naive_pred)) + 1e-9, 6) AS mae_naive,
+           round(avg(abs(v - snaive_pred)) + 1e-9, 6) AS mae_seasonal_naive,
+           avg(abs(v - snaive_pred)) < avg(abs(v - naive_pred)) AS seasonal_wins
+    FROM preds GROUP BY event_type
+    """,
+)
+def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest on the daily series: one-step-ahead MAE of
+    the naive (yesterday) vs seasonal-naive (same weekday last week)
+    baselines — the sanity floor every forecasting deployment must
+    beat, and the check that tells you whether the series has weekly
+    structure worth modeling (pairs with daily_value_autocorrelation's
+    ACF(7)). Equi self-joins on (type, day−k) over the day-domain
+    aggregate; only days with both predecessors score, so both models
+    are compared on the identical test set."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    n1 = daily.select(
+        F.col("event_type").alias("e1"), (F.col("d") + 1).alias("d1"), F.col("v").alias("naive_pred")
+    )
+    n7 = daily.select(
+        F.col("event_type").alias("e7"), (F.col("d") + 7).alias("d7"), F.col("v").alias("snaive_pred")
+    )
+    preds = (
+        daily.join(n1, (F.col("e1") == F.col("event_type")) & (F.col("d1") == F.col("d")))
+        .join(n7, (F.col("e7") == F.col("event_type")) & (F.col("d7") == F.col("d")))
+    )
+    mae_n = F.avg(F.abs(F.col("v") - F.col("naive_pred")))
+    mae_s = F.avg(F.abs(F.col("v") - F.col("snaive_pred")))
+    return preds.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(mae_n + F.lit(1e-9), 6).alias("mae_naive"),
+        F.round(mae_s + F.lit(1e-9), 6).alias("mae_seasonal_naive"),
+        (mae_s < mae_n).alias("seasonal_wins"),
+    )

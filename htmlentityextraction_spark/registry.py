@@ -79,6 +79,7 @@ _DRIVER_UNCONFIRMED = (
     "mann_whitney_value_shift", "match_recognize_lite_funnel",
     "ewma_control_chart", "weighted_median_price_per_flag",
     "gini_coefficient_revenue", "herfindahl_supplier_concentration",
+    "cohort_ltv_curve", "forecast_backtest_daily",
 )
 
 
