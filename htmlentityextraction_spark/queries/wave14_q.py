@@ -514,3 +514,79 @@ def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae_s + F.lit(1e-9), 6).alias("mae_seasonal_naive"),
         (mae_s < mae_n).alias("seasonal_wins"),
     )
+
+
+@register(
+    "markov_next_event_accuracy",
+    """
+    WITH seqd AS (
+        SELECT user_id, ts, event_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type,
+               ts < TIMESTAMP '2024-01-16 00:00:00' AS is_train
+        FROM events
+    ), trans AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+        FROM seqd WHERE next_type IS NOT NULL AND is_train
+        GROUP BY event_type, next_type
+    ), pred AS (
+        SELECT event_type, next_type AS predicted,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, next_type) AS rk
+        FROM trans
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s.next_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN s.next_type = p.predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) AS accuracy
+    FROM seqd s
+    JOIN pred p ON p.event_type = s.event_type AND p.rk = 1
+    WHERE s.next_type IS NOT NULL AND NOT s.is_train
+    GROUP BY s.event_type
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested next-event prediction: a first-order Markov model
+    (argmax transition from the TRAIN half-month, deterministic
+    tie-break) scored on the TEST half's actual transitions — the
+    evaluation loop event_transition_matrix feeds, as one query.
+    Temporal split avoids leakage; the model table is |types|² and
+    broadcasts; the only corpus-scale work is the per-user lead()
+    window both halves share."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_train"),
+    ).where(F.col("next_type").isNotNull())
+    trans = (
+        seqd.where("is_train")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = (
+        trans.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("next_type"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    test = seqd.where(~F.col("is_train"))
+    hit = (F.col("next_type") == F.col("predicted")).cast("long")
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
