@@ -331,3 +331,90 @@ def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = pruned.join(F.broadcast(vip), "user_id", "inner")
     out = sp.run_to_memory(spark, joined)
     return out.select("event_id", "user_id", "spend_cents")
+
+
+@register(
+    "stream_dq_quarantine",
+    """
+    WITH checked AS (
+        SELECT event_id,
+               (value >= 0 AND value <= 400) AS ok_value,
+               event_type IN ('view','click','purchase','signup','error') AS ok_type,
+               user_id IS NOT NULL AS ok_user
+        FROM events
+    )
+    SELECT 'passed' AS sink, CAST(count(*) AS BIGINT) AS n
+    FROM checked WHERE ok_value AND ok_type AND ok_user
+    UNION ALL
+    SELECT 'quarantined', CAST(count(*) AS BIGINT)
+    FROM checked WHERE NOT (ok_value AND ok_type AND ok_user)
+    UNION ALL
+    SELECT 'viol_value', CAST(count(*) AS BIGINT) FROM checked WHERE NOT ok_value
+    UNION ALL
+    SELECT 'viol_type', CAST(count(*) AS BIGINT) FROM checked WHERE NOT ok_type
+    """,
+)
+def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data contract: every micro-batch applies row-level
+    expectations (value range, enum membership, key presence) and
+    routes violators to a quarantine sink instead of failing the
+    pipeline or silently passing bad rows downstream — the streaming
+    face of dq_expectation_report's declared checks, composed with
+    the multiplexed-sink machinery (T5/T6). The oracle recomputes
+    every sink's cardinality in batch; the hash match proves routing
+    is exhaustive and exclusive (passed + quarantined = all) across
+    arbitrary batch boundaries."""
+    import tempfile as _tf
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    ok_value = F.col("value").between(0, 400)
+    ok_type = F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+    ok_user = F.col("user_id").isNotNull()
+    checked = stream.withColumn("__pass", ok_value & ok_type & ok_user).withColumn(
+        "__viol_value", ~ok_value
+    ).withColumn("__viol_type", ~ok_type)
+
+    out_dir = _tf.mkdtemp(prefix="dqq_")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.where("__pass").drop("__pass", "__viol_value", "__viol_type").write.mode(
+                "append"
+            ).parquet(f"{out_dir}/passed")
+            batch.where(~F.col("__pass")).drop("__pass").write.mode("append").parquet(
+                f"{out_dir}/quarantined"
+            )
+        finally:
+            batch.unpersist()
+
+    import os as _os
+    import uuid as _uuid
+
+    ckpt = _os.path.join(_tf.gettempdir(), "ckpt_dqq_" + _uuid.uuid4().hex[:12])
+    (
+        checked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    passed = spark.read.parquet(f"{out_dir}/passed")
+    try:
+        quarantined = spark.read.parquet(f"{out_dir}/quarantined")
+    except Exception:  # no violators -> sink dir never created
+        quarantined = spark.createDataFrame([], checked.drop("__pass").schema)
+    parts = [
+        passed.agg(F.lit("passed").alias("sink"), F.count(F.lit(1)).alias("n")),
+        quarantined.agg(F.lit("quarantined").alias("sink"), F.count(F.lit(1)).alias("n")),
+        quarantined.where("__viol_value").agg(
+            F.lit("viol_value").alias("sink"), F.count(F.lit(1)).alias("n")
+        ),
+        quarantined.where("__viol_type").agg(
+            F.lit("viol_type").alias("sink"), F.count(F.lit(1)).alias("n")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -80,7 +80,7 @@ _DRIVER_UNCONFIRMED = (
     "ewma_control_chart", "weighted_median_price_per_flag",
     "gini_coefficient_revenue", "herfindahl_supplier_concentration",
     "cohort_ltv_curve", "forecast_backtest_daily",
-    "markov_next_event_accuracy",
+    "markov_next_event_accuracy", "stream_dq_quarantine",
 )
 
 
