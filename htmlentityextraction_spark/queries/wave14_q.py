@@ -590,3 +590,44 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "user_behavior_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ), t AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, t.tot AS n_events,
+           round(-sum((CAST(c.n AS DOUBLE) / t.tot)
+                      * ln(CAST(c.n AS DOUBLE) / t.tot)) + 1e-9, 6) AS entropy,
+           -sum((CAST(c.n AS DOUBLE) / t.tot) * ln(CAST(c.n AS DOUBLE) / t.tot))
+               < 0.5 AS low_diversity
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id, t.tot
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score that separates organic users (high entropy) from
+    single-action bots and scrapers (entropy → 0), a standard abuse /
+    data-quality signal over clickstreams. Two grouped aggregates
+    over (user, type); the flag threshold rides the unrounded value
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    ent = -F.sum(p * F.log(p))
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", F.col("tot").alias("n_events"))
+        .agg(
+            F.round(ent + F.lit(1e-9), 6).alias("entropy"),
+            (ent < 0.5).alias("low_diversity"),
+        )
+        .select("user_id", "n_events", "entropy", "low_diversity")
+    )
