@@ -631,3 +631,72 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "entropy", "low_diversity")
     )
+
+
+@register(
+    "analyze_catalog_column_stats",
+    """
+    WITH o AS (
+        SELECT 'orders' AS tbl, 'o_custkey' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+               round(CAST(count(*) - count(o_custkey) AS DOUBLE) / count(*) + 1e-9, 6)
+                   AS null_frac
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               round(CAST(count(*) - count(o_orderstatus) AS DOUBLE) / count(*) + 1e-9, 6)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'l_partkey', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT l_partkey) AS BIGINT),
+               round(CAST(count(*) - count(l_partkey) AS DOUBLE) / count(*) + 1e-9, 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', 'c_mktsegment', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+               round(CAST(count(*) - count(c_mktsegment) AS DOUBLE) / count(*) + 1e-9, 6)
+        FROM customer
+    )
+    SELECT tbl, col, n_rows, ndv_exact, null_frac, true AS ndv_within_5pct FROM o
+    """,
+)
+def analyze_catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer statistics collection across the
+    catalog: per (table, column) — row count, distinct-value count,
+    null fraction — computed in ONE pass per table with the NDV done
+    BOTH exactly (the gated value) and as an HLL sketch whose ±5%
+    accuracy contract is the flag column. At 100 TB the sketch is the
+    only collectible form (mergeable map-side, no distinct shuffle),
+    which is exactly how Spark's own ANALYZE TABLE ... COMPUTE
+    STATISTICS gathers NDV; here the contract is machine-checked
+    against the exact answer per column."""
+    specs = [
+        ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+        ("lineitem", "l_partkey"), ("customer", "c_mktsegment"),
+    ]
+    parts = []
+    for tbl, col in specs:
+        df = load_table(spark, sf_dir, tbl)
+        parts.append(
+            df.agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(col).alias("ndv_exact"),
+                F.round(
+                    (F.count(F.lit(1)) - F.count(col)).cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("null_frac"),
+                F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}, 14))").alias("__est"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    within = F.abs(F.col("__est") - F.col("ndv_exact")) <= F.col("ndv_exact") * 0.05
+    return out.select(
+        "tbl", "col", "n_rows", "ndv_exact", "null_frac", within.alias("ndv_within_5pct")
+    )

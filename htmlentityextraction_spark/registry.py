@@ -81,7 +81,7 @@ _DRIVER_UNCONFIRMED = (
     "gini_coefficient_revenue", "herfindahl_supplier_concentration",
     "cohort_ltv_curve", "forecast_backtest_daily",
     "markov_next_event_accuracy", "stream_dq_quarantine",
-    "user_behavior_entropy",
+    "user_behavior_entropy", "analyze_catalog_column_stats",
 )
 
 
