@@ -700,3 +700,56 @@ def analyze_catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "tbl", "col", "n_rows", "ndv_exact", "null_frac", within.alias("ndv_within_5pct")
     )
+
+
+@register(
+    "fulfillment_lead_time_sla",
+    """
+    WITH lt AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(lead_days) + 1e-9, 6) AS avg_days,
+           round(quantile_cont(lead_days, 0.5) + 1e-9, 6) AS p50_days,
+           round(quantile_cont(lead_days, 0.9) + 1e-9, 6) AS p90_days,
+           round(CAST(sum(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS within_60d
+    FROM lt GROUP BY priority
+    """,
+)
+def fulfillment_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA report: order-to-ship lead time per order
+    priority — count, mean, exact p50/p90 (Spark's `percentile` and
+    DuckDB's `quantile_cont` share the linear-interpolation
+    definition), and the share meeting a 60-day SLA. The operational
+    report every order pipeline publishes; one join + one grouped
+    aggregate, with exact percentiles per priority bucket (at 100 TB
+    swap `percentile` for the mergeable `approx_percentile`, the
+    contract approx_percentile_accuracy already gates)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lead_days"),
+        )
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("lead_days") + F.lit(1e-9), 6).alias("avg_days"),
+        F.round(F.expr("percentile(lead_days, 0.5)") + F.lit(1e-9), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.9)") + F.lit(1e-9), 6).alias("p90_days"),
+        F.round(
+            F.sum((F.col("lead_days") <= 60).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("within_60d"),
+    )
