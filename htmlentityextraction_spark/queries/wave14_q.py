@@ -753,3 +753,70 @@ def fulfillment_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("within_60d"),
     )
+
+
+@register(
+    "seasonal_decomposition_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT event_type, d, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily
+    ), det AS (
+        SELECT event_type, d, v, trend, v - trend AS detrended,
+               (d + 4) % 7 AS dow
+        FROM tr WHERE wn = 7
+    ), seas AS (
+        SELECT event_type, dow, avg(detrended) AS seasonal
+        FROM det GROUP BY event_type, dow
+    )
+    SELECT det.event_type, CAST(det.d AS BIGINT) AS epoch_day,
+           round(det.v + 1e-9, 6) AS value,
+           round(det.trend + 1e-9, 6) AS trend,
+           round(seas.seasonal + 1e-9, 6) AS seasonal,
+           round(det.detrended - seas.seasonal + 1e-9, 6) AS residual
+    FROM det JOIN seas ON seas.event_type = det.event_type AND seas.dow = det.dow
+    """,
+)
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of each event
+    type's daily series: trend = centered 7-day moving average (full
+    windows only), seasonal = day-of-week mean of the detrended
+    series (true DOW — epoch day + 4 mod 7), residual = the rest.
+    The decomposition a forecasting or anomaly pipeline runs before
+    modeling (the residual is what CUSUM/EWMA should monitor, not
+    the raw series). All windows and aggregates run on the
+    day-domain table; the seasonal profile is a 7×|types| broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type", "d", "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = tr.where(F.col("wn") == 7).select(
+        "event_type", "d", "v", "trend",
+        (F.col("v") - F.col("trend")).alias("detrended"),
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(F.avg("detrended").alias("seasonal"))
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d").cast("long").alias("epoch_day"),
+        F.round(F.col("v") + F.lit(1e-9), 6).alias("value"),
+        F.round(F.col("trend") + F.lit(1e-9), 6).alias("trend"),
+        F.round(F.col("seasonal") + F.lit(1e-9), 6).alias("seasonal"),
+        F.round(F.col("detrended") - F.col("seasonal") + F.lit(1e-9), 6).alias("residual"),
+    )

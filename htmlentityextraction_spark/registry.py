@@ -82,7 +82,7 @@ _DRIVER_UNCONFIRMED = (
     "cohort_ltv_curve", "forecast_backtest_daily",
     "markov_next_event_accuracy", "stream_dq_quarantine",
     "user_behavior_entropy", "analyze_catalog_column_stats",
-    "fulfillment_lead_time_sla",
+    "fulfillment_lead_time_sla", "seasonal_decomposition_daily",
 )
 
 
