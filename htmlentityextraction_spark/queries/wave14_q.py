@@ -820,3 +820,63 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seasonal") + F.lit(1e-9), 6).alias("seasonal"),
         F.round(F.col("detrended") - F.col("seasonal") + F.lit(1e-9), 6).alias("residual"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH mx AS (
+        SELECT max(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                             date_trunc('day', ts))) AS horizon
+        FROM events
+    ), base AS (
+        SELECT user_id,
+               CAST(mx.horizon - max(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                               date_trunc('day', ts))) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM events CROSS JOIN mx
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, mx.horizon
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+    FROM base
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days since
+    last purchase at the data horizon), frequency, exact monetary
+    cents, each quintile-scored 1–5 (higher = better — recency ranks
+    DESC so the most recent buyers score 5) with deterministic
+    user_id tie-breaks. THE classic customer-value segmentation;
+    one grouped aggregate over purchases plus three user-domain
+    ntile windows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date"))
+    mx = ev.agg(F.max(day).alias("horizon"))
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "horizon")
+        .agg(
+            F.max(day).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            (F.col("horizon") - F.col("last_d")).cast("long").alias("recency_days"),
+            "frequency", "monetary_cents",
+        )
+    )
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id"))).alias("m_score"),
+    )
