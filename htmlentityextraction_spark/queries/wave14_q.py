@@ -880,3 +880,54 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
         F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id"))).alias("m_score"),
     )
+
+
+@register(
+    "did_aa_experiment_check",
+    """
+    WITH cells AS (
+        SELECT user_id % 2 = 1 AS treated,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS mean_value
+        FROM cells GROUP BY treated, post
+    )
+    SELECT m.treated, m.post, m.n, round(m.mean_value + 1e-9, 6) AS mean_value,
+           round((SELECT (tp.mean_value - tb.mean_value) - (cp.mean_value - cb.mean_value)
+                  FROM m tp, m tb, m cp, m cb
+                  WHERE tp.treated AND tp.post AND tb.treated AND NOT tb.post
+                    AND NOT cp.treated AND cp.post AND NOT cb.treated AND NOT cb.post)
+                 + 1e-9, 6) AS did_estimate
+    FROM m
+    """,
+)
+def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences machinery validated as an A/A test:
+    a hash-split pseudo-treatment (user parity) across pre/post
+    half-months — DiD = (T_post − T_pre) − (C_post − C_pre). With a
+    random split the estimate must hover near zero; a deterministic
+    near-zero result is the NULL CHECK an experimentation platform
+    runs before trusting the same pipeline on a real rollout. One
+    grouped aggregate over four cells, the estimate broadcast back
+    onto each cell row."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cells = ev.select(
+        (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("post"),
+        "value",
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value")
+    )
+    pick = lambda t, p: F.max(F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_value")))  # noqa: E731
+    did = m.agg(
+        ((pick(True, True) - pick(True, False)) - (pick(False, True) - pick(False, False))).alias("did")
+    )
+    return m.crossJoin(F.broadcast(did)).select(
+        "treated", "post", "n",
+        F.round(F.col("mean_value") + F.lit(1e-9), 6).alias("mean_value"),
+        F.round(F.col("did") + F.lit(1e-9), 6).alias("did_estimate"),
+    )

@@ -83,7 +83,7 @@ _DRIVER_UNCONFIRMED = (
     "markov_next_event_accuracy", "stream_dq_quarantine",
     "user_behavior_entropy", "analyze_catalog_column_stats",
     "fulfillment_lead_time_sla", "seasonal_decomposition_daily",
-    "rfm_customer_segments",
+    "rfm_customer_segments", "did_aa_experiment_check",
 )
 
 
