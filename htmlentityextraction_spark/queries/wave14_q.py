@@ -931,3 +931,60 @@ def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_value") + F.lit(1e-9), 6).alias("mean_value"),
         F.round(F.col("did") + F.lit(1e-9), 6).alias("did_estimate"),
     )
+
+
+@register(
+    "jackknife_se_daily_mean",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS sv, avg(v) AS theta
+        FROM daily GROUP BY event_type
+    ), loo AS (
+        SELECT daily.event_type,
+               (s.sv - daily.v) / (s.n - 1) AS theta_i,
+               s.n, s.theta
+        FROM daily JOIN s ON s.event_type = daily.event_type
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(theta) + 1e-9, 6) AS mean_daily_value,
+           round(sqrt((max(n) - 1.0) / max(n)
+                      * sum((theta_i - theta) * (theta_i - theta))) + 1e-9, 6)
+               AS jackknife_se
+    FROM loo GROUP BY event_type
+    """,
+)
+def jackknife_se_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of each event type's mean daily
+    value, with DAYS as the leave-one-out blocks (block resampling
+    respects within-day correlation): every leave-one-out estimate
+    has the closed form (S − vᵢ)/(n−1), so the whole resampling
+    procedure collapses to one grouped aggregate and one join —
+    deterministic, no RNG, no replicate loop. The uncertainty
+    quantification a metrics platform attaches to its headline
+    numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.avg("v").alias("theta")
+    )
+    loo = daily.join(F.broadcast(s), "event_type").select(
+        "event_type", "n", "theta",
+        ((F.col("sv") - F.col("v")) / (F.col("n") - 1)).alias("theta_i"),
+    )
+    dev = (F.col("theta_i") - F.col("theta")) * (F.col("theta_i") - F.col("theta"))
+    return loo.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("theta") + F.lit(1e-9), 6).alias("mean_daily_value"),
+        F.round(
+            F.sqrt((F.max("n") - 1.0) / F.max("n") * F.sum(dev)) + F.lit(1e-9), 6
+        ).alias("jackknife_se"),
+    )

@@ -84,6 +84,7 @@ _DRIVER_UNCONFIRMED = (
     "user_behavior_entropy", "analyze_catalog_column_stats",
     "fulfillment_lead_time_sla", "seasonal_decomposition_daily",
     "rfm_customer_segments", "did_aa_experiment_check",
+    "jackknife_se_daily_mean",
 )
 
 
