@@ -85,6 +85,10 @@ _DRIVER_UNCONFIRMED = (
     "fulfillment_lead_time_sla", "seasonal_decomposition_daily",
     "rfm_customer_segments", "did_aa_experiment_check",
     "jackknife_se_daily_mean",
+    # wave-15 (round 4, continuation session) — no driver run yet
+    "cuped_adjusted_experiment", "srm_sample_ratio_mismatch",
+    "poisson_bootstrap_ci", "holt_linear_forecast_backtest",
+    "dp_noisy_counts_release",
 )
 
 
