@@ -66,6 +66,13 @@ def incremental_run(
 OP_UPSERT = "upsert"
 OP_DELETE = "delete"
 
+# per-bucket manifest bloom index geometry (see ParquetMergeTable
+# bloom_cols): m bits, k salted xxhash64 probes. 2048 bits / 3 probes
+# gives ~1% false positives at ~300 distinct values per bucket and
+# costs 512 hex chars of manifest per (bucket, column).
+_BLOOM_BITS = 2048
+_BLOOM_K = 3
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer published a snapshot between staging and commit;
@@ -108,6 +115,7 @@ class ParquetMergeTable:
         stats_cols: list[str] | None = None,
         align_writes: bool = True,
         max_records_per_file: int | None = 5_000_000,
+        bloom_cols: list[str] | None = None,
     ):
         """``bucketing``:
 
@@ -122,6 +130,15 @@ class ParquetMergeTable:
         ``stats_cols``: columns to record per-bucket min/max for in
         the manifest (zone maps), default ``[key_col]``. Numeric or
         string columns only (values land in the JSON manifest).
+
+        ``bloom_cols``: columns to build a per-bucket BLOOM FILTER
+        for in the manifest (a membership index for NON-key columns —
+        zone maps prune ranges, blooms prune point lookups on columns
+        the bucket transform does not cover). 2048 bits / 3 salted
+        xxhash64 probes per bucket, stored as hex in the manifest;
+        ``bloom_candidates``/``read_point`` consult it.
+        False positives only ⇒ pruning is safe; deletes/compaction
+        never invalidate it (rows only leave, superset stays sound).
 
         ``align_writes`` (default True): shuffle each write by
         ``__bucket`` so every bucket is written by one task — without
@@ -146,6 +163,7 @@ class ParquetMergeTable:
         self.stats_cols = list(stats_cols) if stats_cols else [key_col]
         self.align_writes = align_writes
         self.max_records_per_file = max_records_per_file
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
         # the bucket SPEC belongs to the table, not the client
         # (Iceberg partition-spec semantics): an existing manifest's
         # recorded spec overrides constructor defaults, so a table
@@ -157,6 +175,7 @@ class ParquetMergeTable:
                 self.num_buckets = spec.get("num_buckets", self.num_buckets)
                 self.bucketing = spec.get("bucketing", self.bucketing)
                 self.range_width = spec.get("range_width", self.range_width)
+                self.bloom_cols = spec.get("bloom_cols", self.bloom_cols) or []
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -183,6 +202,7 @@ class ParquetMergeTable:
                 "num_buckets": self.num_buckets,
                 "bucketing": self.bucketing,
                 "range_width": self.range_width,
+                "bloom_cols": self.bloom_cols,
             },
         )
         vfile = os.path.join(self.path, f"manifest-v{manifest['version']}.json")
@@ -232,6 +252,41 @@ class ParquetMergeTable:
             for r in rows
         }
 
+    def _bloom_positions(self, col: Column) -> list[Column]:
+        """The k salted bit positions of a value — one expression per
+        probe, evaluated identically at build and lookup time (both go
+        through this function, so hash/type semantics can never fork)."""
+        return [
+            F.pmod(F.xxhash64(F.lit(salt), col), F.lit(_BLOOM_BITS))
+            for salt in range(_BLOOM_K)
+        ]
+
+    def _bucket_blooms(self, out: DataFrame) -> dict:
+        """bucket → {col: hex bitset} for every bloom_col. One grouped
+        collect_set per column; each set is ≤ _BLOOM_BITS positions,
+        so the collect is bounded by buckets × bits regardless of row
+        count — the same bounded-collect contract as _bucket_stats."""
+        blooms: dict[str, dict[str, str]] = {}
+        for c in self.bloom_cols:
+            rows = (
+                out.select(
+                    "__bucket",
+                    F.explode(F.array(*self._bloom_positions(F.col(c)))).alias("__p"),
+                )
+                .where(F.col("__p").isNotNull())
+                .groupBy("__bucket")
+                .agg(F.collect_set("__p").alias("__ps"))
+                .collect()
+            )
+            for r in rows:
+                bits = 0
+                for p in r["__ps"]:
+                    bits |= 1 << int(p)
+                blooms.setdefault(str(r["__bucket"]), {})[c] = format(
+                    bits, f"0{_BLOOM_BITS // 4}x"
+                )
+        return blooms
+
     def _write_buckets(self, df: DataFrame, version: int) -> tuple[dict[str, str], dict]:
         """Write one dir per bucket under v{version}-{uuid}/; return
         (bucket → relative path for every bucket actually written,
@@ -257,6 +312,10 @@ class ParquetMergeTable:
                 writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
             writer.partitionBy("__bucket").parquet(os.path.join(self.path, vdir))
             stats = self._bucket_stats(out)
+            if self.bloom_cols:
+                for b, per_col in self._bucket_blooms(out).items():
+                    for c, hexbits in per_col.items():
+                        stats.setdefault(b, {})[f"__bloom_{c}"] = hexbits
         finally:
             out.unpersist()
         written = {
