@@ -29,47 +29,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Queries with NO full-green driver verdict yet (registry minus the
-# rows+schema+hash-green union of CORRECTNESS_r01..r03.json). The
+# rows+schema+hash-green union of CORRECTNESS_r01..r04.json). The
 # driver samples ~50 queries per round in dict order without repeats,
-# so these are surfaced FIRST. After round 3, only the 9 late
-# round-3 additions that sat past the ~50-query sample window remain
-# (all green under the driver-mirroring tools/check_correctness.py);
-# round-4 additions are appended here as they land so the round-4
-# sample confirms them too.
+# so these are surfaced FIRST. Round 4's sample confirmed the first
+# 50 entries (all green); the 35 below are the remaining late
+# round-4 additions that sat past the sample window — all green
+# under the driver-mirroring tools/check_correctness.py locally.
+# Registry growth is FROZEN until these have driver verdicts
+# (VERDICT.md round-4 item 1); 35 < the ~50-query window, so the
+# round-5 sample should close this to 222/222.
 _DRIVER_UNCONFIRMED = (
-    # round-3 additions that missed the r3 sample window (positions
-    # 50-58 of queries() last round)
-    "seasonality_dow_profile", "multiformat_source_parity",
-    "bfs_order_part_neighborhood", "unpivot_lineitem_measures",
-    "revenue_contribution_by_nation", "variant_semistructured_extraction",
-    "scd2_price_dimension", "winsorized_price_stats",
-    "chisq_flag_status_independence",
-    # new in round 4 — no driver run yet
-    "asof_last_view_before_purchase", "asof_next_error_within_tolerance",
-    "interval_outage_click_attribution", "stratified_sample_by_lang",
-    "triangle_count_copurchase", "matview_join_incremental",
-    "stream_dedup_within_watermark",
-    # wave-5 (round 4) — no driver run yet
-    "skyline_size_price_frontier", "dq_expectation_report",
-    "golden_user_record", "gap_fill_user_purchase_value",
-    "weighted_doc_sample", "basket_brand_lift",
-    "mad_price_outliers_per_brand", "pagerank_copurchase_parts",
-    "conversion_lag_quantiles", "sorted_neighborhood_doc_pairs",
-    "event_transition_matrix", "source_vocab_divergence",
-    "item_item_similarity_brands", "linear_interp_user_value",
-    "max_drawdown_per_product", "gopher_repetition_filters",
-    "stream_windowed_topk", "cusum_price_shift_per_product",
-    "weighted_sample_per_lang", "inverted_index_stats",
-    # wave-6 (round 4) — no driver run yet
-    "bloom_prefilter_join", "zorder_pruning_report",
-    "setsim_prefix_join_docs", "pmi_collocations",
-    "table_diff_reconciliation",
-    # wave-7 (round 4) — no driver run yet
-    "rolling_distinct_users_7d", "largest_remainder_allocation",
-    "sax_symbolization_events", "fpgrowth_brand_itemsets",
-    "rendezvous_shard_assignment", "mergetable_zorder_read",
-    "matview_variance_incremental", "kaplan_meier_signup_to_purchase",
-    "kanonymous_user_value_release", "top_event_paths",
+    # wave-7 (round 4) tail — no driver run yet
+    "top_event_paths",
     "embedding_dimension_profile", "psi_value_drift",
     "stream_bloom_prefilter_route", "mergetable_history_rows",
     "benford_first_digit_audit", "daily_value_autocorrelation",
