@@ -70,24 +70,35 @@ def main() -> None:
     # first pandas-UDF query isn't charged worker spin-up
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         # noop write, NOT count(): count lets Catalyst prune projections
         # that don't affect cardinality, under-measuring the real work;
         # the noop sink materializes every column of every row
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
+        return round(time.time() - t0, 3)
 
-    extended: dict[str, float] = {}
-    for name in [n for n in EXTENDED if n in qs]:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.time() - t0, 3)
-        print(f"# {name}: done in {extended[name]}s (extended)", file=sys.stderr)
+    # min-of-2 timing: session first-touch costs (JIT, codegen compile,
+    # first shuffle, one-time cached fits) migrate between queries in a
+    # shared session and made r4's single-shot numbers unattributable
+    # (text_quality_profile +165% with zero plan change). Run 1 absorbs
+    # them (kept visible under "cold"); min is the steady-state number
+    # round-over-round deltas are judged on.
+    cold: dict[str, float] = {}
+
+    def run_set(set_names: list[str], tag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in set_names:
+            t1 = run_once(name)
+            t2 = run_once(name)
+            cold[name] = t1
+            out[name] = min(t1, t2)
+            print(f"# {name}: {out[name]}s (cold {t1}s){tag}", file=sys.stderr)
+        return out
+
+    timings = run_set(names, "")
+    extended = run_set([n for n in EXTENDED if n in qs], " (extended)")
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -97,9 +108,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # timing basis provenance: r1 timed df.count() (Catalyst prunes
-        # non-cardinality work); r2+ times a noop-sink write that
-        # materializes every column. Never compare across bases.
-        "basis": "noop-write",
+        # non-cardinality work); r2-r4 timed one noop-sink write per
+        # query; r5+ is min-of-2 noop-sink writes (steady-state — see
+        # the run_set comment). Never compare across bases; first-run
+        # times stay visible under "cold".
+        "basis": "noop-write-min2",
+        "cold": cold,
         # round-3 families, timed on the same basis; NOT in `value`
         # so the headline total stays comparable across rounds
         "extended": extended,
