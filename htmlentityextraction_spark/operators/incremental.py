@@ -262,30 +262,101 @@ class ParquetMergeTable:
         ]
 
     def _bucket_blooms(self, out: DataFrame) -> dict:
-        """bucket → {col: hex bitset} for every bloom_col. One grouped
-        collect_set per column; each set is ≤ _BLOOM_BITS positions,
-        so the collect is bounded by buckets × bits regardless of row
-        count — the same bounded-collect contract as _bucket_stats."""
+        """bucket → {col: hex bitset} for every bloom_col present in
+        the written frame. ONE job for all columns (explode (col, pos)
+        structs → one grouped collect_set); each set is ≤ _BLOOM_BITS
+        positions, so the collect is bounded by buckets × cols × bits
+        regardless of row count — the same bounded-collect contract as
+        _bucket_stats. Configured bloom_cols absent from this frame
+        (e.g. a merge staged before the column evolved in) are SKIPPED,
+        not an error: their buckets simply carry no ``__bloom_*`` entry
+        and ``bloom_candidates`` treats that as must-scan."""
+        cols = [c for c in self.bloom_cols if c in out.columns]
+        if not cols:
+            return {}
+        pairs = F.array(
+            *[
+                F.struct(F.lit(c).alias("__c"), p.alias("__p"))
+                for c in cols
+                for p in self._bloom_positions(F.col(c))
+            ]
+        )
+        rows = (
+            out.select("__bucket", F.explode(pairs).alias("__cp"))
+            .where(F.col("__cp.__p").isNotNull())
+            .groupBy("__bucket", F.col("__cp.__c").alias("__c"))
+            .agg(F.collect_set(F.col("__cp.__p")).alias("__ps"))
+            .collect()
+        )
         blooms: dict[str, dict[str, str]] = {}
-        for c in self.bloom_cols:
-            rows = (
-                out.select(
-                    "__bucket",
-                    F.explode(F.array(*self._bloom_positions(F.col(c)))).alias("__p"),
-                )
-                .where(F.col("__p").isNotNull())
-                .groupBy("__bucket")
-                .agg(F.collect_set("__p").alias("__ps"))
-                .collect()
+        for r in rows:
+            bits = 0
+            for p in r["__ps"]:
+                bits |= 1 << int(p)
+            blooms.setdefault(str(r["__bucket"]), {})[r["__c"]] = format(
+                bits, f"0{_BLOOM_BITS // 4}x"
             )
-            for r in rows:
-                bits = 0
-                for p in r["__ps"]:
-                    bits |= 1 << int(p)
-                blooms.setdefault(str(r["__bucket"]), {})[c] = format(
-                    bits, f"0{_BLOOM_BITS // 4}x"
-                )
         return blooms
+
+    def _bloom_probe_positions(self, col: str, value) -> list[int]:
+        """The k bit positions ``value`` maps to, evaluated through
+        ``_bloom_positions`` on a 1-row frame with the literal cast to
+        the table's stored column type — identical hash/type semantics
+        to the build path (xxhash64 is type-sensitive, so an untyped
+        probe literal could light different bits than the build did)."""
+        dtype = dict(self.read().dtypes).get(col)
+        lit = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        row = (
+            self.spark.range(1)
+            .select(lit.alias(col))
+            .select(F.array(*self._bloom_positions(F.col(col))).alias("__ps"))
+            .first()
+        )
+        return [int(p) for p in row["__ps"]]
+
+    def bloom_candidates(self, col: str, value, version: int | None = None) -> dict:
+        """Manifest-only membership pruning for ``col == value``: a
+        bucket whose stored bloom has ALL k probe bits set must be
+        scanned; one clear bit proves the value is absent (blooms have
+        false positives only, never false negatives). Buckets with no
+        ``__bloom_{col}`` entry — written before the column was
+        tracked/evolved, or col not in bloom_cols — are conservatively
+        scanned. Returns {"scanned": [...], "skipped": [...]} like
+        ``prune_report``."""
+        m = self._manifest_for(version)
+        positions = self._bloom_probe_positions(col, value)
+        kept, pruned = [], []
+        for b in m["buckets"]:
+            hexbits = (m.get("stats") or {}).get(b, {}).get(f"__bloom_{col}")
+            if isinstance(hexbits, str):
+                bits = int(hexbits, 16)
+                if not all((bits >> p) & 1 for p in positions):
+                    pruned.append(b)
+                    continue
+            kept.append(b)
+        return {"scanned": sorted(kept), "skipped": sorted(pruned)}
+
+    def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Point read on a NON-key column via the manifest bloom
+        index: scan only bloom-candidate buckets. The exact
+        ``col == value`` predicate still applies below, so results
+        never depend on the index (false positives just cost a bucket
+        scan). For the key column itself, ``read_key`` prunes via the
+        bucket transform instead — blooms exist for the columns the
+        transform does not cover."""
+        m = self._manifest_for(version)
+        if not m["buckets"]:
+            return self.spark.createDataFrame([], self._schema_of_empty(m))
+        kept = self.bloom_candidates(col, value, version)["scanned"]
+        # all-pruned: scan one bucket for the schema; the predicate
+        # below returns zero rows from it
+        paths = [os.path.join(self.path, m["buckets"][b]) for b in kept] or [
+            os.path.join(self.path, next(iter(m["buckets"].values())))
+        ]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        dtype = dict(df.dtypes).get(col)
+        probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        return df.filter(F.col(col) == probe)
 
     def _write_buckets(self, df: DataFrame, version: int) -> tuple[dict[str, str], dict]:
         """Write one dir per bucket under v{version}-{uuid}/; return

@@ -464,3 +464,78 @@ def test_concurrent_commit_rejected_then_retry_succeeds(spark, tmp_path):
     tbl.merge(upd_a)
     got = {r.o_orderkey: r.price for r in tbl.read().collect()}
     assert got[3] == 33.0 and got[4] == 44.0
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    """The manifest bloom index must never skip a bucket that holds
+    the probed value (false positives only), and must actually skip
+    buckets for values concentrated in few buckets."""
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    # 40 keys across 8 buckets; store is a non-key column whose values
+    # cluster (each store held by ~8 keys) so most buckets lack most stores
+    rows = [(i, float(i), f"store_{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "o_orderkey long, price double, store string")
+    tbl = ParquetMergeTable(
+        spark, str(tmp_path / "tbl"), "o_orderkey", num_buckets=8,
+        bloom_cols=["store"],
+    )
+    tbl.create(df)
+    m = tbl._read_manifest()
+    all_buckets = set(m["buckets"])
+    # ground truth: buckets that actually contain each store value
+    truth: dict[str, set[str]] = {}
+    for b in all_buckets:
+        for r in tbl.read_buckets([b]).select("store").distinct().collect():
+            truth.setdefault(r.store, set()).add(b)
+    skipped_any = False
+    for store, holders in truth.items():
+        cand = tbl.bloom_candidates("store", store)
+        assert holders <= set(cand["scanned"]), (
+            f"false negative: {store} lives in {holders - set(cand['scanned'])}"
+        )
+        skipped_any = skipped_any or bool(cand["skipped"])
+        got = sorted(r.o_orderkey for r in tbl.read_point("store", store).collect())
+        want = sorted(k for k, _, s in rows if s == store)
+        assert got == want, "read_point must return exactly the matching rows"
+    assert skipped_any, "bloom index never pruned a single bucket"
+    # absent value: every bloom-indexed bucket should prune (FP rate
+    # ~(n*k/m)^3 ≈ 1e-4 per bucket at this density — deterministic here)
+    cand = tbl.bloom_candidates("store", "no_such_store")
+    assert cand["skipped"], "absent probe must prune"
+    assert tbl.read_point("store", "no_such_store").count() == 0
+
+
+def test_bloom_missing_column_skips_not_crashes(spark, tmp_path):
+    """A configured bloom_col absent from a written frame (pre-
+    evolution merge) must be skipped, not raise; buckets without a
+    __bloom_ entry are conservatively must-scan."""
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "o_orderkey long, price double"
+    )
+    tbl = ParquetMergeTable(
+        spark, str(tmp_path / "tbl"), "o_orderkey", num_buckets=4,
+        bloom_cols=["store"],
+    )
+    tbl.create(df)  # no 'store' column yet — must not raise
+    cand = tbl.bloom_candidates("store", "anything")
+    assert cand["skipped"] == [], "no index yet -> conservative scan-all"
+    assert set(cand["scanned"]) == set(tbl._read_manifest()["buckets"])
+    # evolve the column in via a merge; rewritten buckets gain blooms,
+    # untouched buckets stay must-scan — and lookups remain exact
+    upd = spark.createDataFrame(
+        [(3, 33.0, "store_x", "upsert")],
+        "o_orderkey long, price double, store string, op string",
+    )
+    tbl.merge(upd)
+    cand = tbl.bloom_candidates("store", "store_x")
+    got = [r.o_orderkey for r in tbl.read_point("store", "store_x").collect()]
+    assert got == [3]
+    m = tbl._read_manifest()
+    with_bloom = {b for b, st in m["stats"].items() if "__bloom_store" in st}
+    assert with_bloom, "rewritten bucket must carry a bloom entry"
+    assert set(cand["scanned"]) >= (set(m["buckets"]) - with_bloom), (
+        "buckets without a bloom entry must remain must-scan"
+    )
