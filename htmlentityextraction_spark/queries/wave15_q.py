@@ -10,6 +10,14 @@ the variance, the bootstrap prices the uncertainty, and the DP
 release publishes the result. Every query is closed-form SQL on both
 engines; randomness is the repo's cross-engine md5 hash family
 (`operators/dedup.py:240-252`), so oracle hashes are exact.
+
+Cross-engine caveat, documented once for the suite: arm assignment
+(`cuped_adjusted_experiment`, `srm_sample_ratio_mismatch`) uses
+Spark ``F.pmod`` vs the oracle's ``%``, which agree only for
+NON-NEGATIVE ids (DuckDB ``%`` returns negative remainders). The
+testdata ``user_id`` domain is non-negative (same contract wave-14's
+modulo queries rely on); a deployment with signed ids must wrap both
+sides in abs() or align on pmod semantics first.
 """
 
 from __future__ import annotations
@@ -222,7 +230,10 @@ _N_BOOT = 200
         FROM events GROUP BY event_type, user_id
     ), reps AS (
         SELECT p.event_type, r.r,
-               ({_sql_poisson(_sql_u01("p.event_type || ':' || p.user_id || ':' || r.r"))})
+               ({_sql_poisson(_sql_u01(
+                   "coalesce(p.event_type, '') || ':' || "
+                   "coalesce(CAST(p.user_id AS VARCHAR), '') || ':' || r.r"
+               ))})
                    AS w,
                p.su, p.cu
         FROM per_user p, generate_series(0, {_N_BOOT - 1}) AS r(r)
@@ -265,7 +276,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cu",
         F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("r"),
     )
-    key = F.concat_ws(":", F.col("event_type"), F.col("user_id"), F.col("r"))
+    # coalesce each component: concat_ws SKIPS null segments (with
+    # their separator) while the oracle's || nullifies the whole key,
+    # so both sides pin null components to '' to agree on the hash
+    key = F.concat_ws(
+        ":",
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+        F.col("r"),
+    )
     w = _poisson_weight(_u01(key)).cast("double")
     boot = (
         reps.withColumn("w", w)
@@ -403,7 +422,12 @@ def holt_linear_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ),
     )
-    fitted = series.select("event_type", "dmax", "n_train", fold.alias("st"))
+    # n_train >= 2: the oracle's recursive-CTE seed requires rn=2, so
+    # a single-training-day series drops there; match it here instead
+    # of emitting a degenerate (l=v1, b=0) forecast
+    fitted = series.where(F.col("n_train") >= 2).select(
+        "event_type", "dmax", "n_train", fold.alias("st")
+    )
     fc = fitted.select(
         "event_type",
         "dmax",
@@ -440,7 +464,10 @@ _DP_EPS = 0.5
         FROM events GROUP BY 1, 2
     ), n AS (
         SELECT event_type, dow, true_users,
-               {_sql_u01("'dp:' || event_type || ':' || dow")} AS u
+               {_sql_u01(
+                   "'dp:' || coalesce(event_type, '') || ':' || "
+                   "coalesce(CAST(dow AS VARCHAR), '')"
+               )} AS u
         FROM c
     )
     SELECT event_type, dow,
@@ -469,7 +496,16 @@ def dp_noisy_counts_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 0=Sunday..6=Saturday — align by subtracting 1.
         (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dow"),
     ).agg(F.countDistinct("user_id").alias("true_users"))
-    u = _u01(F.concat_ws(":", F.lit("dp"), F.col("event_type"), F.col("dow")))
+    # coalesce key components (see poisson_bootstrap_ci): concat_ws
+    # and || must agree on NULL event_type/dow cells
+    u = _u01(
+        F.concat_ws(
+            ":",
+            F.lit("dp"),
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.coalesce(F.col("dow").cast("string"), F.lit("")),
+        )
+    )
     noise = F.round(
         -(F.lit(1.0) / F.lit(_DP_EPS))
         * F.signum(u - F.lit(0.5))
