@@ -201,10 +201,12 @@ def pagerank(
     are node-scale scalars, not edge-scale.
 
     Dangling nodes (no out-edges) are supported: their mass is
-    redistributed uniformly, the standard correction, computed as one
-    scalar aggregate per round. Fixed iteration count (not
-    convergence-tested) keeps the result deterministic and
-    SQL-expressible for the oracle.
+    redistributed uniformly, the standard correction. The dangling
+    aggregate is a broadcast 1-row frame folded INTO the round's
+    lazy plan (crossJoin-of-scalar), not a driver-side collect — so
+    every round costs exactly one Spark job on any graph, dangling
+    or not. Fixed iteration count (not convergence-tested) keeps the
+    result deterministic and SQL-expressible for the oracle.
     """
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
@@ -219,7 +221,7 @@ def pagerank(
     # rank/outdeg, bit-identical to the SQL oracle's recurrence)
     edges_deg = edges.join(outdeg, "src").localCheckpoint()
     # the dangling SET is static; detect it once so graphs without
-    # sinks (e.g. symmetrized edge lists) skip the per-round scalar job
+    # sinks (e.g. symmetrized edge lists) skip the correction entirely
     dangling_nodes = verts.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
     ).localCheckpoint()
@@ -235,24 +237,25 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("__outdeg")).alias("__c"),
         )
-        # dangling mass: total rank held by nodes with no out-edges
-        dangling = (
-            dangling_nodes.join(ranks, "node").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-            if has_dangling
-            else 0.0
-        )
         incoming = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        ranks = (
-            verts.join(incoming, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+        new_ranks = verts.join(incoming, "node", "left")
+        if has_dangling:
+            # dangling mass: total rank held by nodes with no
+            # out-edges, as a broadcast 1-row scalar INSIDE this
+            # round's plan — no driver sync between rounds
+            dmass = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
-            .localCheckpoint()
-        )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dmass))
+            dm_per_node = F.col("__dm") / F.lit(float(n))
+        else:
+            dm_per_node = F.lit(0.0)
+        ranks = new_ranks.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__s"), F.lit(0.0)) + dm_per_node)
+            ).alias("rank"),
+        ).localCheckpoint()
     return ranks
