@@ -159,3 +159,57 @@ def test_serve_path_survives_corrupt_and_null_messages(spark):
     assert r2.model_price == -1.0 and r2.status == "allFalseCandids"
     assert r2.final_price == 7.0
     shutil.rmtree(src); shutil.rmtree(out)
+
+
+def test_serve_backpressure_bounds_microbatches(spark):
+    """Bounded-ingest contract on the SERVE path (T9 analogue of the
+    Kafka maxOffsetsPerTrigger knob, which `read_events_kafka` wires
+    and the broker-gated test covers): with maxFilesPerTrigger=1 over
+    4 source files the stream must advance in >=4 micro-batches, each
+    ingesting at most one file's rows — so a backlogged topic can
+    never balloon a single micro-batch past executor memory."""
+    import os
+    from pyspark.sql import functions as F
+    from htmlentityextraction_spark.operators import models as md
+    from htmlentityextraction_spark.streaming import serve
+
+    toy = spark.createDataFrame(
+        [("good.com", f"http://good.com/p/{i}", i % 2, 0.3,
+          f"{100+i}.50", "buy good price", "deal") for i in range(40)],
+        "domain string, url string, label int, norm_location double,"
+        "candidate string, text_before string, text_after string",
+    )
+    reg = md.train_per_domain(
+        md.featurize_candidates(toy), n_estimators=3, max_depth=2,
+        min_doc_freq=2, min_rows=10,
+    )
+
+    rows_per_file = 25
+    src = tempfile.mkdtemp(prefix="serve_bp_src_")
+    out = tempfile.mkdtemp(prefix="serve_bp_out_")
+    for f in range(4):
+        msgs = [
+            (f'{{"url":"http://good.com/p/{f * rows_per_file + i}",'
+             f'"html":"buy good price {100 + i}.50 deal",'
+             f'"price":{100 + i}.5,"updatedPrice":{100 + i}.5}}',)
+            for i in range(rows_per_file)
+        ]
+        spark.createDataFrame(msgs, "value string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    holder = serve.serve_stream(spark, raw, reg, out)
+    holder.await_done()
+    progress = holder.query.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 4, f"expected >=4 micro-batches, got {len(batches)}"
+    assert max(p["numInputRows"] for p in batches) <= rows_per_file, (
+        "a micro-batch ingested more than one file's rows"
+    )
+    hist = spark.read.parquet(os.path.join(out, "historical"))
+    assert hist.count() == 4 * rows_per_file, "every page must land exactly once"
+    shutil.rmtree(src); shutil.rmtree(out)
