@@ -54,7 +54,16 @@ def fit_once(spark: SparkSession, sf_dir: str) -> list:
     (stats, score+pick, url eval, serve) call through here, so
     whichever runs first pays the fit and the rest reuse it. Call it
     up front to amortize explicitly (e.g. a pipeline warm-up step);
-    otherwise first-query-pays, which bench.py documents."""
+    otherwise first-query-pays, which bench.py documents.
+
+    Scale ceiling: the registry is a driver-side list broadcast to
+    every scorer — fine at the reference's scale (~hundreds of
+    domains × a few KB of GBT trees each; the fixture has 8). It
+    stops being fine around ~100k domains / multi-GB of models: past
+    that, keep the registry AS a DataFrame, bucket it by domain, and
+    score via a co-partitioned join instead of a broadcast (the
+    scorer in `operators/models.py` already accepts registry rows per
+    batch, so the swap is contained there)."""
     if sf_dir not in _REG_CACHE:
         feats = md.featurize_candidates(_labeled_cached(spark, sf_dir))
         _REG_CACHE[sf_dir] = md.train_per_domain(feats, **_FIT).collect()
