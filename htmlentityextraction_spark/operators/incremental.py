@@ -176,6 +176,7 @@ class ParquetMergeTable:
                 self.bucketing = spec.get("bucketing", self.bucketing)
                 self.range_width = spec.get("range_width", self.range_width)
                 self.bloom_cols = spec.get("bloom_cols", self.bloom_cols) or []
+                self.key_col = spec.get("key_col", self.key_col)
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -203,6 +204,7 @@ class ParquetMergeTable:
                 "bucketing": self.bucketing,
                 "range_width": self.range_width,
                 "bloom_cols": self.bloom_cols,
+                "key_col": self.key_col,
             },
         )
         vfile = os.path.join(self.path, f"manifest-v{manifest['version']}.json")

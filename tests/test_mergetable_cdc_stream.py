@@ -1,0 +1,257 @@
+"""Merge-table change feed as a Structured Streaming source
+(`sources/mergetable_cdc_source.py`): offset/checkpoint restart
+semantics, downstream MERGE replication (the stream-side CDC apply),
+bounded ingest via maxVersionsPerTrigger, and event-time watermarks
+over the feed."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+from htmlentityextraction_spark.sources.mergetable_cdc_source import (
+    MergeTableCDCDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(MergeTableCDCDataSource)
+
+
+def _mk_table(spark, path):
+    tbl = ParquetMergeTable(spark, path, "o_orderkey", num_buckets=4)
+    tbl.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "o_orderkey long, price double"
+        )
+    )
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 33.0, "upsert"), (5, None, "delete"), (100, 1.5, "upsert")],
+            "o_orderkey long, price double, op string",
+        )
+    )
+    tbl.merge(
+        spark.createDataFrame(
+            [(100, 2.5, "upsert")], "o_orderkey long, price double, op string"
+        )
+    )
+    return tbl
+
+
+def _run_available_now(spark, src_path, out, starting="1"):
+    stream = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", src_path)
+        .option("startingVersion", starting)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_cdc_stream_bootstrap_classification_and_restart(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    tbl = _mk_table(spark, d)
+
+    _run_available_now(spark, d, out)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    by = {
+        (r.o_orderkey, r._commit_version): (r.change_type, r.old_price, r.new_price)
+        for r in got.collect()
+    }
+    assert got.count() == 20 + 3 + 1
+    assert by[(3, 2)] == ("update", 3.0, 33.0)
+    assert by[(5, 2)] == ("delete", 5.0, None)
+    assert by[(100, 2)] == ("insert", None, 1.5)
+    assert by[(100, 3)] == ("update", 1.5, 2.5)
+    assert all(ct == "insert" for (k, v), (ct, _, _) in by.items() if v == 1)
+
+    # checkpointed restart: a new commit arrives, the SAME checkpoint
+    # resumes from version 3 — only v4's changes land, no duplicates
+    tbl.merge(
+        spark.createDataFrame(
+            [(7, 77.0, "upsert")], "o_orderkey long, price double, op string"
+        )
+    )
+    _run_available_now(spark, d, out)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    assert got2.count() == 24 + 1
+    new_rows = got2.filter(F.col("_commit_version") == 4).collect()
+    assert len(new_rows) == 1 and new_rows[0].change_type == "update"
+    assert new_rows[0].o_orderkey == 7 and new_rows[0].new_price == 77.0
+
+
+def test_cdc_stream_apply_replicates_table(spark, tmp_path):
+    """The stream-side CDC APPLY: feed table A's change stream through
+    foreachBatch MERGE into table B; B must converge to A exactly."""
+    d = str(tmp_path / "a")
+    bdir = str(tmp_path / "b")
+    _mk_table(spark, d)
+    tbl_b = ParquetMergeTable(spark, bdir, "o_orderkey", num_buckets=2)
+    tbl_b.create(
+        spark.createDataFrame([], "o_orderkey long, price double")
+    )
+
+    def apply_batch(batch, batch_id):
+        b = ParquetMergeTable(batch.sparkSession, bdir, "o_orderkey")
+        versions = [
+            r._commit_version
+            for r in batch.select("_commit_version").distinct().collect()
+        ]
+        for v in sorted(versions):  # per-version order keeps replays exact
+            step = batch.filter(F.col("_commit_version") == v).select(
+                "o_orderkey",
+                F.col("new_price").alias("price"),
+                F.when(F.col("change_type") == "delete", F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("op"),
+            )
+            b.merge(step)
+
+    stream = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    a_rows = {
+        r.o_orderkey: r.price
+        for r in ParquetMergeTable(spark, d, "o_orderkey").read().collect()
+    }
+    b_rows = {r.o_orderkey: r.price for r in tbl_b.read().collect()}
+    assert b_rows == a_rows, "replica must converge to the source table"
+
+
+def _drain(spark, stream_df, sink_writer, expected, timeout=180):
+    """Start a processingTime stream, poll until `expected(q)` is
+    true, stop. Python sources fall back to single-batch under
+    availableNow, so bounded-trigger tests must drive real triggers."""
+    q = sink_writer(stream_df.writeStream.trigger(processingTime="1 second")).start()
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline and not expected(q):
+            time.sleep(1)
+        assert expected(q), "stream did not drain in time"
+    finally:
+        q.stop()
+    return q
+
+
+def test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """Bounded ingest: maxVersionsPerTrigger=1 over 3 published
+    snapshots must take >=3 non-empty micro-batches, one snapshot
+    each — a long-idle consumer can never pull the whole backlog
+    into a single batch."""
+    d = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    _mk_table(spark, d)
+
+    stream = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+
+    def writer(ws):
+        return ws.format("parquet").option(
+            "path", os.path.join(out, "data")
+        ).option("checkpointLocation", os.path.join(out, "_ck"))
+
+    def done(q):
+        try:
+            return (
+                spark.read.parquet(os.path.join(out, "data")).count() == 24
+            )
+        except Exception:
+            return False
+
+    q = _drain(spark, stream, writer, done)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, f"expected >=3 bounded batches, got {len(batches)}"
+    assert max(p["numInputRows"] for p in batches) <= 20, (
+        "one batch ingested more than one snapshot's changes"
+    )
+    versions = {
+        r._commit_version
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    }
+    assert versions == {1, 2, 3}
+
+
+def test_cdc_stream_watermarked_window_counts(spark, tmp_path):
+    """Event-time composes with the feed: windowed insert counts with
+    a watermark over new_ts finalize (append mode) as later commits
+    advance the watermark across micro-batches."""
+    d = str(tmp_path / "tbl")
+    tbl = ParquetMergeTable(spark, d, "event_id", num_buckets=2)
+    tbl.create(
+        spark.createDataFrame(
+            [(i, f"2024-01-01 00:0{i}:00") for i in range(3)],
+            "event_id long, ts_s string",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    # two more commits, each an hour later — the watermark (10 min)
+    # sails past the first window, so append mode can emit it
+    for h in (1, 2):
+        tbl.merge(
+            spark.createDataFrame(
+                [(100 + h, f"2024-01-01 0{h}:00:00", "upsert")],
+                "event_id long, ts_s string, op string",
+            ).select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "op",
+            )
+        )
+
+    stream = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+    counts = (
+        stream.filter(F.col("change_type") == "insert")
+        .withWatermark("new_ts", "10 minutes")
+        .groupBy(F.window("new_ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    sink = f"cdc_wm_{os.path.basename(str(tmp_path))}"
+
+    def writer(ws):
+        return ws.format("memory").queryName(sink).outputMode("append")
+
+    def done(q):
+        return spark.sql(f"select * from {sink}").count() >= 2
+
+    _drain(spark, counts, writer, done)
+    rows = {str(r.ws): r.n for r in spark.sql(f"select * from {sink}").collect()}
+    assert rows.get("2024-01-01 00:00:00") == 3, rows
+    assert rows.get("2024-01-01 01:00:00") == 1, rows
