@@ -141,11 +141,16 @@ class MergeTableCDCStreamReader(DataSourceStreamReader):
         self._last_end = max(self._last_end, current)
         return {"version": current}
 
-    def commit(self, end: dict) -> None:  # manifests are immutable; nothing to ack
-        pass
+    def commit(self, end: dict) -> None:
+        # manifests are immutable — nothing to ack; just keep the
+        # bounded-ingest cap base in step with real progress (after a
+        # checkpoint restart the committed offset can be ahead of
+        # stream-start state, and the cap must never trail it)
+        self._last_end = max(self._last_end, int(end["version"]))
 
     # -- planning (driver: manifest JSON diffs only) -----------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._last_end = max(self._last_end, int(start["version"]))
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             new_m = _read_manifest_file(self.path, v)

@@ -202,6 +202,35 @@ def test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     }
     assert versions == {1, 2, 3}
 
+    # capped restart: the checkpoint's committed offset (3) is ahead
+    # of stream-start state — the cap must base on it, not strand or
+    # replay; the new commit arrives exactly once
+    ParquetMergeTable(spark, d, "o_orderkey").merge(
+        spark.createDataFrame(
+            [(7, 77.0, "upsert")], "o_orderkey long, price double, op string"
+        )
+    )
+    stream2 = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+
+    def done2(q):
+        try:
+            return spark.read.parquet(os.path.join(out, "data")).count() == 25
+        except Exception:
+            return False
+
+    _drain(spark, stream2, writer, done2)
+    versions = {
+        r._commit_version
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    }
+    assert versions == {1, 2, 3, 4}
+
 
 def test_cdc_stream_watermarked_window_counts(spark, tmp_path):
     """Event-time composes with the feed: windowed insert counts with
