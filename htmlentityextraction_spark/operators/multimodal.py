@@ -84,22 +84,97 @@ def decode_payload(payload: bytes, width: int) -> np.ndarray:
     return arr[: h * width].reshape(h, width)
 
 
-def decode_with_codec(payload: bytes, media_type: str) -> np.ndarray:
-    """Real-codec decode of an ENCODED image payload (PNG/JPEG/...)
-    via PIL, returning the pixel array (H, W[, C]) as uint8.
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """Pure-stdlib decode of binary netpbm images: P5 (grayscale) →
+    (H, W), P6 (RGB) → (H, W, 3), uint8. Real parsing of a real
+    on-disk format (magic, #-comments, token whitespace, maxval),
+    not a stand-in — it is the codec path that runs in codec-less
+    containers."""
+    magic = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace separates the header from pixels
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((height, width, 3) if channels == 3 else (height, width))
 
-    Gated on library availability: this container ships no codec
-    libs, so the engine's 4 multimodal queries run on
-    ``decode_payload``'s deterministic stand-in (raw-byte matrix) —
-    same mapInPandas batching, schema, and partitioning either way.
-    Audio/video stay gated until a matching codec lib exists.
-    Exercised by tests/test_multimodal_codec.py when PIL is present.
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """uint8 array → binary netpbm bytes: (H, W) → P5, (H, W, 3) → P6.
+    The fixture-side twin of ``_decode_netpbm`` (round-trip tested)."""
+    if arr.ndim == 2:
+        magic = b"P5"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-stdlib decode of uncompressed 24-bit BMP → (H, W, 3)
+    RGB uint8 (rows are stored bottom-up and BGR, padded to 4
+    bytes — all handled here)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got {bpp}bpp)")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+    ).reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_with_codec(payload: bytes, media_type: str) -> np.ndarray:
+    """Real-codec decode of an ENCODED image payload, returning the
+    pixel array (H, W[, C]) as uint8.
+
+    Stdlib codecs run everywhere: binary netpbm (P5/P6) and
+    uncompressed 24-bit BMP are parsed in-process (magic-dispatched,
+    round-trip tested in tests/test_multimodal_codec.py with no
+    library gate). Compressed formats (PNG/JPEG/...) dispatch to PIL
+    and stay gated on its availability; audio/video stay gated until
+    a matching codec lib exists. Either way the Spark-side plumbing
+    (mapInPandas batching, schema, partitioning) is identical to the
+    deterministic stand-in ``decode_payload`` the 4 multimodal
+    queries exercise.
     """
     if media_type != "image":
         raise NotImplementedError(
             f"no codec wired for media_type={media_type!r}; only image "
-            "decode has a library integration (PIL)"
+            "decode has codec integrations (netpbm/BMP stdlib, PNG/JPEG via PIL)"
         )
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
         import PIL.Image
     except ImportError as exc:
