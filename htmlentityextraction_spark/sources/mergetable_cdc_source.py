@@ -34,6 +34,12 @@ default is changes published after stream start.
 ``maxVersionsPerTrigger`` bounds how many snapshots one micro-batch
 covers (the Kafka ``maxOffsetsPerTrigger`` analogue — see
 THROUGHPUT.md's bounded-ingest contract).
+
+Retention contract: ``ParquetMergeTable.vacuum(keep_last=N)`` must
+retain at least the snapshots the slowest stream consumer has not
+committed yet — a vacuumed-away version fails the stream loudly at
+``partitions()`` (missing ``manifest-v{N}.json``), never silently
+skips changes. Same rule Delta CDF consumers live under.
 """
 
 from __future__ import annotations
