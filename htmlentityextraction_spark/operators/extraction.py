@@ -38,10 +38,25 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 NUM_PATTERN = re.compile(r"([0-9,.]*[0-9])(?:[^0-9,.])")
+# Hot-path scan: NUM_PATTERN + the "must contain . or ," rejection
+# folded into ONE pattern, so bare integer runs (the vast majority of
+# digit runs in real HTML — ids, counts, dimensions) never surface as
+# Python Match objects at all. Provably the same match set: a
+# NUM_PATTERN match's group always runs to the final digit of its
+# maximal [0-9,.] run (a group ending earlier would be followed by a
+# class char, which the trailing [^0-9,.] forbids), so
+# group-contains-separator <=> run-contains-separator — exactly what
+# the lookahead tests; and a skipped bare run consumes nothing a
+# later match could start inside (matches start on digits only).
+# Equivalence property-tested against the plain two-step reference in
+# tests/test_extraction.py.
+FAST_NUM_PATTERN = re.compile(r"((?=[0-9.,]*[.,])[0-9,.]*[0-9])(?:[^0-9,.])")
 # \p{Sc} in Java; the common currency symbols + the Sc block in BMP
 CURRENCY = re.compile("[$¢-¥֏؋৲৳૱௹฿"
                       "៛₠-₿꠸﷼﹩＄￠￡￥￦]")
 PRICE_TEXT = re.compile("price|Price|PRICE")
+# one scan instead of two: the snippet gate is a plain boolean OR
+CURRENCY_OR_PRICE = re.compile(CURRENCY.pattern + "|price|Price|PRICE")
 
 CANDIDATE_TYPE = T.ArrayType(
     T.StructType(
@@ -61,17 +76,17 @@ def extract_candidates_py(html: str, snippet_size: int = 150) -> list[dict]:
     if html is None:
         return []
     out = []
-    for m in NUM_PATTERN.finditer(html):
+    # FAST_NUM_PATTERN already enforces the has-separator rejection;
+    # the remaining checks run cheapest-first (candidate-only string
+    # scans before any snippet slicing)
+    for m in FAST_NUM_PATTERN.finditer(html):
         price = m.group(1)
+        if ",," in price or ".," in price or ",." in price or ".." in price:
+            continue
         start = m.start()
         before = html[max(start - snippet_size, 0) : start]
         after = html[m.end() - 1 : m.end() - 1 + snippet_size]
-        snip = before + price + after
-        if ("." not in price) and ("," not in price):
-            continue
-        if ",," in price or ".," in price or ",." in price or ".." in price:
-            continue
-        if not CURRENCY.search(snip) and not PRICE_TEXT.search(snip):
+        if not CURRENCY_OR_PRICE.search(before + price + after):
             continue
         out.append(
             {

@@ -100,3 +100,64 @@ def test_parse_price_locale_commas(spark):
     df = spark.createDataFrame([("1,234.56",), ("12.50",), ("abc",)], "c string")
     vals = [r.v for r in df.select(ex.parse_price(F.col("c")).alias("v")).collect()]
     assert vals == [1234.56, 12.5, None]
+
+
+# --- scan-equivalence property: FAST_NUM_PATTERN == NUM_PATTERN + filter ---
+
+def _reference_extract(html: str, snippet_size: int = 150) -> list[dict]:
+    """The plain two-step reference scan (NUM_PATTERN, then the
+    has-separator rejection in Python) — frozen here so the folded
+    FAST_NUM_PATTERN hot path is pinned to it forever."""
+    out = []
+    for m in ex.NUM_PATTERN.finditer(html):
+        price = m.group(1)
+        start = m.start()
+        before = html[max(start - snippet_size, 0): start]
+        after = html[m.end() - 1: m.end() - 1 + snippet_size]
+        snip = before + price + after
+        if ("." not in price) and ("," not in price):
+            continue
+        if ",," in price or ".," in price or ",." in price or ".." in price:
+            continue
+        if not ex.CURRENCY.search(snip) and not ex.PRICE_TEXT.search(snip):
+            continue
+        out.append({"candidate": price, "location": start,
+                    "text_before": before, "text_after": after})
+    return out
+
+
+def test_fast_scan_equivalence_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # alphabet biased toward the tricky cases: digit runs, separators,
+    # currency marks, the price words, and boundary junk
+    atoms = st.sampled_from(
+        ["0", "1", "23", "9", ".", ",", "..", ",.", "$", "€", "price",
+         "Price", "PRICE", " ", "x", "<b>", "\n", "¥"]
+    )
+    texts = st.lists(atoms, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=500, deadline=None)
+    @given(texts)
+    def check(html):
+        assert ex.extract_candidates_py(html, 7) == _reference_extract(html, 7)
+
+    check()
+
+
+def test_fast_scan_equivalence_fixed_quirks():
+    cases = [
+        "1.2,x",          # run ends in separator: no match either way
+        "12,abc",         # trailing separator excluded by the class
+        "price 710.00!",  # golden containment
+        "id 123 then $45.6 done",
+        "1,,2 price",     # doubled separator rejected after match
+        "3451.2",         # one run, matched whole
+        "123",            # bare integer at end of input: nothing
+        "$ 99",           # bare integer with currency: still nothing
+        ".5 price",       # leading separator run
+        "..,,..",         # separators only
+    ]
+    for html in cases:
+        assert ex.extract_candidates_py(html, 7) == _reference_extract(html, 7), html
