@@ -47,3 +47,4 @@ def test_tokenize_drops_non_letters(spark):
         T.tokenize(F.col("s")).alias("t")
     ).first()
     assert row.t == ["It", "s", "degrees"]
+
