@@ -312,6 +312,68 @@ def score_candidates(
     return cand.mapInPandas(score, out_schema)
 
 
+def score_candidates_cogrouped(
+    cand: DataFrame,
+    registry: DataFrame,
+    num_features: int = 1000,
+) -> DataFrame:
+    """Join-based scorer for registries too large to broadcast: the
+    registry STAYS a DataFrame, co-grouped with candidates on domain
+    (``groupBy.cogroup.applyInPandas``) — no driver collect, no
+    broadcast, model rows shuffle alongside their candidates.
+
+    Same outputs as ``score_candidates`` (equivalence-tested in
+    tests/test_models.py), different scale trade: the broadcast path
+    never shuffles candidates but holds every model on every executor
+    (fine to ~hundreds of domains — `queries/ml.py` fit_once note);
+    this path shuffles candidates once on domain and holds ONE
+    domain's model at a time, so it is the shape for ~100k+ domain
+    registries. Mega-domain skew on that shuffle is the known cost —
+    AQE skew-split applies, and the per-domain row cap used at fit
+    time (`train_per_domain` max_rows_per_domain) bounds it upstream.
+    """
+    out_schema = T.StructType(
+        cand.schema.fields
+        + [
+            T.StructField("prediction", T.IntegerType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]
+    )
+
+    def score(key, cand_pdf: pd.DataFrame, reg_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf.assign(
+                prediction=np.array([], dtype=np.int64),
+                confidence=np.array([], dtype=np.float64),
+            )
+        pred = np.full(len(cand_pdf), -2, dtype=np.int64)
+        conf = np.zeros(len(cand_pdf), dtype=np.float64)
+        if not reg_pdf.empty:
+            row = reg_pdf.iloc[0]
+            model = GBTClassifier.from_bytes(bytes(row["model"]))
+            X, _, _ = _tfidf_matrix(
+                cand_pdf,
+                num_features,
+                0,
+                0,
+                idf=np.asarray(row["idf"], dtype=np.float64),
+                indices=np.asarray(row["indices"], dtype=np.int64),
+            )
+            m = model.margin(X)
+            pred = (m > 0).astype(np.int64)
+            conf = m
+        out = cand_pdf.copy()
+        out["prediction"] = pred
+        out["confidence"] = np.round(conf, 9)
+        return out
+
+    return (
+        cand.groupBy("domain")
+        .cogroup(registry.groupBy("domain"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def pick_model_price(scored: DataFrame) -> DataFrame:
     """Per url: the highest-confidence positive candidate's numeric
     value, sentinel -1.0 when no positive, -2.0 when the domain had no

@@ -60,10 +60,10 @@ def fit_once(spark: SparkSession, sf_dir: str) -> list:
     every scorer — fine at the reference's scale (~hundreds of
     domains × a few KB of GBT trees each; the fixture has 8). It
     stops being fine around ~100k domains / multi-GB of models: past
-    that, keep the registry AS a DataFrame, bucket it by domain, and
-    score via a co-partitioned join instead of a broadcast (the
-    scorer in `operators/models.py` already accepts registry rows per
-    batch, so the swap is contained there)."""
+    that, swap in ``operators/models.score_candidates_cogrouped`` —
+    the registry stays a DataFrame cogrouped with candidates on
+    domain (no collect, no broadcast), equivalence-tested against
+    this broadcast path in tests/test_models.py."""
     if sf_dir not in _REG_CACHE:
         feats = md.featurize_candidates(_labeled_cached(spark, sf_dir))
         _REG_CACHE[sf_dir] = md.train_per_domain(feats, **_FIT).collect()
