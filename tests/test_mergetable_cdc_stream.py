@@ -284,3 +284,30 @@ def test_cdc_stream_watermarked_window_counts(spark, tmp_path):
     rows = {str(r.ws): r.n for r in spark.sql(f"select * from {sink}").collect()}
     assert rows.get("2024-01-01 00:00:00") == 3, rows
     assert rows.get("2024-01-01 01:00:00") == 1, rows
+
+
+def test_cdc_stream_fails_loudly_on_vacuumed_version(spark, tmp_path):
+    """Retention contract (module docstring): replaying history that
+    vacuum dropped must fail the stream with the missing manifest —
+    never silently skip changes."""
+    d = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    tbl = _mk_table(spark, d)           # versions 1..3
+    tbl.vacuum(keep_last=1)             # drops manifests v1/v2
+
+    stream = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="manifest-v1.json"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed on the vacuumed version")
