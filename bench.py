@@ -51,6 +51,9 @@ EXTENDED = [
     "table_diff_reconciliation",     # checksum-routed two-phase diff
     "fpgrowth_brand_itemsets",       # distributed FP-Growth (ml.fpm)
     "rolling_distinct_users_7d",     # mergeable HLL over trailing windows
+    # Round-5 family representatives
+    "asof_last_view_before_purchase",  # as-of join (range + last-before)
+    "poisson_bootstrap_ci",          # 200x replicate explode on user pre-agg
 ]
 
 
