@@ -311,3 +311,65 @@ def test_cdc_stream_fails_loudly_on_vacuumed_version(spark, tmp_path):
     with pytest.raises(Exception, match="manifest-v1.json"):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed on the vacuumed version")
+
+
+def test_cdc_reader_matches_batch_table_changes_on_random_histories(spark, tmp_path):
+    """Property: for RANDOM merge histories, the streaming reader's
+    per-version change rows (driven directly: offsets → partitions →
+    read) must equal the batch ``table_changes`` feed version by
+    version, and folding them must reproduce the final table."""
+    import random
+
+    from htmlentityextraction_spark.sources.mergetable_cdc_source import (
+        MergeTableCDCStreamReader,
+    )
+
+    rng = random.Random(20240814)
+    for case in range(6):
+        d = str(tmp_path / f"t{case}")
+        keys = list(range(1, 15))
+        init = [(k, float(rng.randint(0, 9))) for k in rng.sample(keys, 8)]
+        tbl = ParquetMergeTable(spark, d, "o_orderkey", num_buckets=3)
+        tbl.create(spark.createDataFrame(init, "o_orderkey long, price double"))
+        for _ in range(rng.randint(1, 3)):
+            batch = [
+                (k, float(rng.randint(0, 9)), rng.choice(["upsert", "upsert", "delete"]))
+                for k in rng.sample(keys, rng.randint(1, 5))
+            ]
+            tbl.merge(
+                spark.createDataFrame(
+                    batch, "o_orderkey long, price double, op string"
+                )
+            )
+
+        ds = MergeTableCDCDataSource(options={"path": d})
+        schema = ds.schema()
+        reader = MergeTableCDCStreamReader(d, schema, {"startingversion": "1"})
+        end = reader.latestOffset()
+        parts = reader.partitions({"version": 0}, end)
+        stream_rows = [r for p in parts for r in reader.read(p)]
+
+        by_version: dict[int, set] = {}
+        for k, ct, v, old_p, new_p in stream_rows:
+            by_version.setdefault(v, set()).add((k, ct, old_p, new_p))
+        # v1 bootstrap: every initial row arrives as an insert
+        assert by_version.get(1, set()) == {
+            (k, "insert", None, p) for k, p in init
+        }
+        # each later version must equal the batch change feed exactly
+        for v in range(2, end["version"] + 1):
+            want = {
+                (r.o_orderkey, r.change_type, r.old_price, r.new_price)
+                for r in tbl.table_changes(v - 1, v).collect()
+            }
+            assert by_version.get(v, set()) == want, f"case {case} version {v}"
+        # folding the stream reproduces the final table state
+        replica: dict = {}
+        for v in sorted(by_version):
+            for k, ct, old_p, new_p in by_version[v]:
+                if ct == "delete":
+                    replica.pop(k, None)
+                else:
+                    replica[k] = new_p
+        final = {r.o_orderkey: r.price for r in tbl.read().collect()}
+        assert replica == final, f"case {case} replica diverged"
