@@ -373,3 +373,37 @@ def test_cdc_reader_matches_batch_table_changes_on_random_histories(spark, tmp_p
                     replica[k] = new_p
         final = {r.o_orderkey: r.price for r in tbl.read().collect()}
         assert replica == final, f"case {case} replica diverged"
+
+
+def test_cdc_partitions_plan_only_changed_buckets(spark, tmp_path):
+    """Manifest-diff pruning contract: a merge touching one key must
+    plan CDC partitions for only that key's bucket — O(changed
+    buckets), never O(table) — and a no-op version step contributes
+    nothing."""
+    from htmlentityextraction_spark.sources.mergetable_cdc_source import (
+        MergeTableCDCStreamReader,
+    )
+
+    d = str(tmp_path / "tbl")
+    tbl = ParquetMergeTable(spark, d, "o_orderkey", num_buckets=8)
+    tbl.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(64)], "o_orderkey long, price double"
+        )
+    )
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 33.0, "upsert")], "o_orderkey long, price double, op string"
+        )
+    )
+    ds = MergeTableCDCDataSource(options={"path": d})
+    reader = MergeTableCDCStreamReader(d, ds.schema(), {"startingversion": "1"})
+
+    # v1 bootstrap: every non-empty bucket appears once
+    v1 = reader.partitions({"version": 0}, {"version": 1})
+    assert len(v1) == len(tbl._manifest_for(1)["buckets"])
+    # v2: a single-key merge rewrites exactly one bucket
+    v2 = reader.partitions({"version": 1}, {"version": 2})
+    assert len(v2) == 1, f"expected 1 changed bucket, planned {len(v2)}"
+    [(k, ct, v, old_p, new_p)] = list(reader.read(v2[0]))
+    assert (k, ct, v, old_p, new_p) == (3, "update", 2, 3.0, 33.0)
