@@ -113,3 +113,36 @@ def test_codec_decode_distributed_map_in_pandas(spark):
     assert {k: (round(v[0], 6), v[1]) for k, v in got.items()} == {
         k: (round(v[0], 6), v[1]) for k, v in want.items()
     }
+
+
+def test_netpbm_16bit_stays_gated():
+    pixels = np.zeros((2, 2), dtype=np.uint8)
+    raw = b"P5\n2 2\n65535\n" + pixels.tobytes() * 2
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.decode_with_codec(raw, "image")
+
+
+def test_bmp_unsupported_depth_stays_gated():
+    import struct
+
+    # 8bpp header with no pixel data: depth gate must fire before reads
+    header = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 2835, 2835, 0, 0)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mm.decode_with_codec(header + dib, "image")
+
+
+def test_bmp_topdown_negative_height():
+    import struct
+
+    rng = np.random.default_rng(19)
+    pixels = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    w, h = 4, 3
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, : w * 3] = pixels[:, :, ::-1].reshape(h, w * 3)  # top-down BGR
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    decoded = mm.decode_with_codec(header + dib + data, "image")
+    np.testing.assert_array_equal(decoded, pixels)
