@@ -152,14 +152,121 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib decode of 8-bit non-interlaced PNG → uint8 array:
+    grayscale → (H, W), gray+alpha → (H, W, 2), RGB → (H, W, 3),
+    RGBA → (H, W, 4). Real format parsing — chunk walk, zlib
+    inflate, and all five scanline filters (None/Sub/Up/Average/
+    Paeth) inverted per the PNG spec — so compressed-image decode
+    runs with no codec library. Interlaced, paletted, and non-8-bit
+    depths stay PIL-gated."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, compression, filter_method, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB(A) PNG in-process "
+            f"(depth={depth} color_type={color_type} interlace={interlace}); "
+            "others dispatch to PIL"
+        )
+    if compression != 0 or filter_method != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    bpp = _PNG_CHANNELS[color_type]  # bytes per pixel at depth 8
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: cumulative per bpp-lane, mod 256
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = bytearray((np.frombuffer(bytes(row), np.uint8) + prev).tobytes())
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), np.uint8)
+        prev = out[y]
+    return out.reshape((height, width) if bpp == 1 else (height, width, bpp))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array → PNG bytes (8-bit, non-interlaced, filter 0 rows):
+    (H, W) → grayscale, (H, W, 2) → gray+alpha, (H, W, 3) → RGB,
+    (H, W, 4) → RGBA. The fixture-side twin of ``_decode_png``
+    (round-trip tested)."""
+    import struct
+    import zlib
+
+    bpp = 1 if arr.ndim == 2 else arr.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(bpp)
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or color_type is None:
+        raise ValueError(f"expected uint8 (H,W[,2|3|4]), got {arr.dtype} {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_with_codec(payload: bytes, media_type: str) -> np.ndarray:
     """Real-codec decode of an ENCODED image payload, returning the
     pixel array (H, W[, C]) as uint8.
 
-    Stdlib codecs run everywhere: binary netpbm (P5/P6) and
-    uncompressed 24-bit BMP are parsed in-process (magic-dispatched,
-    round-trip tested in tests/test_multimodal_codec.py with no
-    library gate). Compressed formats (PNG/JPEG/...) dispatch to PIL
+    Stdlib codecs run everywhere: binary netpbm (P5/P6), uncompressed
+    24-bit BMP, and 8-bit non-interlaced gray/RGB(A) PNG (zlib inflate
+    + all five scanline filters) are parsed in-process
+    (magic-dispatched, round-trip tested in
+    tests/test_multimodal_codec.py with no library gate). Exotic PNGs
+    (interlaced/paletted/16-bit) and JPEG dispatch to PIL
     and stay gated on its availability; audio/video stay gated until
     a matching codec lib exists. Either way the Spark-side plumbing
     (mapInPandas batching, schema, partitioning) is identical to the
@@ -175,6 +282,11 @@ def decode_with_codec(payload: bytes, media_type: str) -> np.ndarray:
         return _decode_netpbm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            pass  # interlaced/paletted/16-bit → fall through to PIL
     try:
         import PIL.Image
     except ImportError as exc:

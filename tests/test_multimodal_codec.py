@@ -115,6 +115,145 @@ def test_codec_decode_distributed_map_in_pandas(spark):
     }
 
 
+def test_png_roundtrip_all_channel_layouts():
+    rng = np.random.default_rng(23)
+    shapes = [(9, 13), (7, 5, 2), (6, 11, 3), (5, 4, 4)]  # L, LA, RGB, RGBA
+    for shape in shapes:
+        pixels = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        decoded = mm.decode_with_codec(mm.encode_png(pixels), "image")
+        assert decoded.dtype == np.uint8
+        np.testing.assert_array_equal(decoded, pixels)
+
+
+def _png_forward_filter(pixels: np.ndarray, ftype: int) -> bytes:
+    """Forward-apply one PNG scanline filter to every row (the spec's
+    encoder direction — independent twin of the decoder's inverse)."""
+    bpp = 1 if pixels.ndim == 2 else pixels.shape[2]
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(h, w * bpp).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        out.append(ftype)
+        for x in range(w * bpp):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(row[x]) - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def test_png_decoder_inverts_all_five_filters():
+    """Hand-filter the raw stream with each of the spec's five filter
+    types and assert the decoder recovers the original pixels — covers
+    the Sub/Up/Average/Paeth inverses the filter-0 encoder never
+    emits."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(29)
+    for shape in [(6, 7), (5, 4, 3)]:
+        pixels = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        h, w = shape[:2]
+        color_type = 0 if pixels.ndim == 2 else 2
+        for ftype in range(5):
+            raw = _png_forward_filter(pixels, ftype)
+
+            def chunk(ctype, data):
+                body = ctype + data
+                return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+            np.testing.assert_array_equal(
+                mm.decode_with_codec(png, "image"), pixels, err_msg=f"filter {ftype}"
+            )
+
+
+def test_png_ancillary_chunks_and_split_idat():
+    """Chunk walk skips ancillary chunks and concatenates multiple
+    IDATs (both legal per the spec and common in the wild)."""
+    import struct
+    import zlib
+
+    pixels = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(4))
+    comp = zlib.compress(raw)
+    mid = len(comp) // 2
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0))
+        + chunk(b"tEXt", b"Comment\x00synthetic fixture")
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm.decode_with_codec(png, "image"), pixels)
+
+
+def test_png_exotic_forms_stay_gated():
+    """16-bit / paletted / interlaced PNGs raise NotImplementedError
+    from the stdlib decoder (decode_with_codec then defers to PIL)."""
+    import struct
+    import zlib
+
+    def png_with_ihdr(depth, color_type, interlace):
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, color_type, interlace in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm._decode_png(png_with_ihdr(depth, color_type, interlace))
+
+
+def test_png_cross_validates_against_pil_when_present():
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    rng = np.random.default_rng(31)
+    pixels = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    # our encoder → PIL decoder
+    with PIL.Image.open(io.BytesIO(mm.encode_png(pixels))) as img:
+        np.testing.assert_array_equal(np.asarray(img), pixels)
+    # PIL encoder (emits its own filter choices) → our decoder
+    buf = io.BytesIO()
+    PIL.Image.fromarray(pixels, mode="RGB").save(buf, format="PNG")
+    np.testing.assert_array_equal(mm._decode_png(buf.getvalue()), pixels)
+
+
 def test_netpbm_16bit_stays_gated():
     pixels = np.zeros((2, 2), dtype=np.uint8)
     raw = b"P5\n2 2\n65535\n" + pixels.tobytes() * 2
