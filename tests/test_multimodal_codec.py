@@ -15,7 +15,10 @@ def test_non_image_media_stays_gated():
         mm.decode_with_codec(b"\x00\x01", "audio")
 
 
-def test_codec_decode_roundtrip_when_pil_present():
+def test_codec_cross_validates_against_pil_when_present():
+    """One PIL-gated suite: PIL-encoded PNG through decode_with_codec,
+    our PNG encoder through PIL's decoder, and PIL's decoder against
+    our own on PIL's filter choices."""
     PIL = pytest.importorskip("PIL")
     import io
 
@@ -28,6 +31,15 @@ def test_codec_decode_roundtrip_when_pil_present():
     decoded = mm.decode_with_codec(buf.getvalue(), "image")
     assert decoded.dtype == np.uint8
     np.testing.assert_array_equal(decoded, pixels)
+
+    rgb = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    # our encoder → PIL decoder
+    with PIL.Image.open(io.BytesIO(mm.encode_png(rgb))) as img:
+        np.testing.assert_array_equal(np.asarray(img), rgb)
+    # PIL encoder (emits its own filter choices) → our decoder
+    buf = io.BytesIO()
+    PIL.Image.fromarray(rgb, mode="RGB").save(buf, format="PNG")
+    np.testing.assert_array_equal(mm._decode_png(buf.getvalue()), rgb)
 
 
 def test_codec_decode_gated_without_pil():
@@ -235,23 +247,6 @@ def test_png_exotic_forms_stay_gated():
     for depth, color_type, interlace in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
         with pytest.raises(NotImplementedError, match="PIL"):
             mm._decode_png(png_with_ihdr(depth, color_type, interlace))
-
-
-def test_png_cross_validates_against_pil_when_present():
-    PIL = pytest.importorskip("PIL")
-    import io
-
-    import PIL.Image
-
-    rng = np.random.default_rng(31)
-    pixels = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
-    # our encoder → PIL decoder
-    with PIL.Image.open(io.BytesIO(mm.encode_png(pixels))) as img:
-        np.testing.assert_array_equal(np.asarray(img), pixels)
-    # PIL encoder (emits its own filter choices) → our decoder
-    buf = io.BytesIO()
-    PIL.Image.fromarray(pixels, mode="RGB").save(buf, format="PNG")
-    np.testing.assert_array_equal(mm._decode_png(buf.getvalue()), pixels)
 
 
 def test_netpbm_16bit_stays_gated():
