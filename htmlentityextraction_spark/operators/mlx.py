@@ -19,8 +19,14 @@ from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.operators.similarity import valid_vectors
+
 
 def _vectorized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Vectorize for pyspark.ml; corrupt vectors (NULL / NULL-element
+    / empty) are dropped first — array_to_vector crashes on them, and
+    at 100 TB they WILL occur (null-fuzz hardened)."""
+    emb = valid_vectors(emb, vec_col)
     return emb.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
 
 
@@ -31,8 +37,10 @@ def random_forest_eval(
     """M16 (`models/ModelR.scala:75-88`): RF binary classifier on the
     embedding vectors (label = label < threshold), returning per-class
     train accuracy."""
-    data = _vectorized(emb).withColumn(
-        "y", (F.col("label") < label_threshold).cast("double")
+    data = (
+        _vectorized(emb)
+        .filter(F.col("label").isNotNull())  # Spark ML: labels must be non-null
+        .withColumn("y", (F.col("label") < label_threshold).cast("double"))
     )
     rf = RandomForestClassifier(
         labelCol="y", featuresCol="features", numTrees=n_trees, maxDepth=max_depth,
@@ -54,8 +62,10 @@ def linear_svc_eval(
     """M17 (`models/SVM.scala:55-56`): linear SVM (hinge loss) on the
     embeddings; per-class train accuracy. No seed parameter: LinearSVC
     is deterministic by construction (OWLQN on a fixed objective)."""
-    data = _vectorized(emb).withColumn(
-        "y", (F.col("label") < label_threshold).cast("double")
+    data = (
+        _vectorized(emb)
+        .filter(F.col("label").isNotNull())  # Spark ML: labels must be non-null
+        .withColumn("y", (F.col("label") < label_threshold).cast("double"))
     )
     svc = LinearSVC(labelCol="y", featuresCol="features", maxIter=max_iter)
     model = svc.fit(data)
@@ -76,7 +86,7 @@ def lda_topics(docs: DataFrame, k: int = 3, vocab_size: int = 500, seed: int = 4
     term) rows. EM with fixed seed → deterministic."""
     from htmlentityextraction_spark.functions.text import tokenize
 
-    toks = docs.select(
+    toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.filter(tokenize(F.col("text")), lambda t: t != "").alias("tokens")
     )
     cv = CountVectorizer(inputCol="tokens", outputCol="features", vocabSize=vocab_size, minDF=2.0)

@@ -52,7 +52,9 @@ def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Deterministic media fixture: payload = utf-8 bytes of the text,
     media_type cycles by id, metadata derived from payload size. The
     payload column is genuinely BINARY — everything downstream treats
-    it as opaque."""
+    it as opaque. NULL-text docs are dropped: no bytes, no media row
+    (null-fuzz hardened; oracles filter text IS NOT NULL to match)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     payload = F.encode(F.col(text_col), "UTF-8")
     n_bytes = F.octet_length(payload).cast("long")
     mt = F.element_at(
@@ -320,6 +322,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                if r["payload"] is None or r["media"] is None:
+                    continue  # corrupt row: no payload to featurize
                 arr = np.frombuffer(r["payload"], dtype=np.uint8)
                 rows.append(
                     {
@@ -354,6 +358,8 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                if r["payload"] is None or r["media"] is None:
+                    continue  # corrupt row: nothing to resize
                 if r["media"]["media_type"] != "image":
                     continue
                 img = decode_payload(r["payload"], int(r["media"]["width"]))
@@ -389,6 +395,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                if r["payload"] is None or r["media"] is None:
+                    continue  # corrupt row: nothing to sample
                 if r["media"]["media_type"] != "video":
                     continue
                 arr = np.frombuffer(r["payload"], dtype=np.uint8)

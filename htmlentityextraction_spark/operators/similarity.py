@@ -41,6 +41,26 @@ from pyspark.sql.types import DoubleType
 MAX_QUERY_BATCH = 10_000
 
 
+# DuckDB-oracle twin of ``valid_vectors`` (interpolate with .format(c=col)).
+VALID_VEC_SQL = ("{c} IS NOT NULL AND len(list_filter({c}, x -> x IS NULL)) = 0"
+                 " AND len({c}) > 0")
+
+
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop corrupt embedding rows at the operator boundary: NULL
+    vectors, vectors containing NULL elements, and zero-length
+    vectors. At 100 TB a failed encoder run WILL leave such rows, and
+    without this guard they crash the numpy paths (``np.vstack`` over
+    None) or silently poison BLAS results. Dropping is the contract:
+    a corrupt vector has no meaningful neighbors. Oracles mirror it as
+    ``v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0 AND
+    len(v) > 0``."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -126,6 +146,8 @@ def cosine_topk(
     from pyspark.sql import Window
 
     spark = corpus.sparkSession
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     out_ddl = "query_id long, neighbor_id long, cosine double"
     q_ids, q_mat = _collect_query_matrix(queries, id_col, vec_col)
     if q_ids.size == 0:
@@ -243,6 +265,8 @@ def ann_lsh_topk(
     each query probe is a partition-pruned read, not a scan."""
     from pyspark.sql import Window
 
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     planes = np.array(
         [p for t in range(tables) for p in hyperplanes(dim, bits, seed=42 + t)],
         dtype=np.float64,
@@ -349,6 +373,8 @@ def ann_ivf_topk(
     the data distribution."""
     from pyspark.sql import Window
 
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -447,6 +473,7 @@ def semantic_dedup_pairs(
     quantize together; the residual cross-cell miss rate is the
     recall the contract query measures.
     """
+    corpus = valid_vectors(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("cvec"),

@@ -199,11 +199,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(docs, max_hamming=3)
 
 
+
+# Corrupt embedding rows (NULL / NULL-element / empty vectors) are
+# dropped at every vector operator boundary on both engines
+# (null-fuzz hardened, round 5).
+_VALID_VEC = sim.VALID_VEC_SQL
+
+
 # --- embedding cosine near-dup within label blocks ---
 @register(
     "embedding_neardup_pairs",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_VALID_VEC.format(c='embedding')})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -215,7 +223,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key is the LSH bucket from similarity.ann_lsh_topk; label
     stands in on the fixture). Threshold 0.35 is fixture-calibrated —
     the synthetic embeddings have no true near-dups (max cosine ~0.47)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = sim.valid_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
@@ -236,10 +244,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- brute-force cosine top-k (exact ANN baseline) ---
 @register(
     "similarity_cosine_topk",
-    """
+    f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+               FROM embeddings WHERE vec_id < 5 AND {_VALID_VEC.format(c='embedding')}),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE {_VALID_VEC.format(c='embedding')}),
          scored AS (
             SELECT query_id, neighbor_id,
                    round(list_cosine_similarity(qv, cv) + 1e-9, 6) AS cosine
@@ -279,9 +288,10 @@ def _ann_recall_contract(approx: DataFrame, exact: DataFrame, floor: float) -> D
     )
 
 
-_ANN_ORACLE = """
+_ANN_ORACLE = f"""
     SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, true AS recall_ok
     FROM embeddings WHERE vec_id < 5
+      AND {_VALID_VEC.format(c='embedding')}
 """
 
 
@@ -442,14 +452,15 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semantic cluster assignment (KMeans assignment pass) ---
 @register(
     "semantic_cluster_profile",
-    """
+    f"""
     WITH c AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND {_VALID_VEC.format(c='embedding')}
     ), a AS (
         SELECT e.vec_id, c.cid,
                round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv) + 1e-9, 6) AS cos
         FROM embeddings e CROSS JOIN c
+        WHERE {_VALID_VEC.format(c='e.embedding')}
     ), best AS (
         SELECT vec_id, cid, cos,
                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
@@ -471,7 +482,7 @@ def semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side n x k scan — no shuffle until the k-row profile agg.
     Iterating = re-running this pass with updated centroids; the
     oracle pins one exact pass."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = sim.valid_vectors(load_table(spark, sf_dir, "embeddings"), "embedding")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),

@@ -13,13 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import mlx
+from htmlentityextraction_spark.operators.similarity import VALID_VEC_SQL
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
-_CLASS_ORACLE = """
+_CLASS_ORACLE = f"""
     SELECT CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS INTEGER) AS klass,
            count(*) AS n, true AS beats_baseline
-    FROM embeddings GROUP BY 1
+    FROM embeddings
+    WHERE label IS NOT NULL AND {VALID_VEC_SQL.format(c='embedding')}
+    GROUP BY 1
 """
 
 
@@ -71,9 +74,10 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_pca_projection",
-    """
+    f"""
     SELECT vec_id, label, true AS norm_bounded
     FROM embeddings
+    WHERE {VALID_VEC_SQL.format(c='embedding')}
     """,
 )
 def ml_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ _META_SQL = """
                 ELSE 1 END AS n_frames,
            text
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 

@@ -154,7 +154,13 @@ def main() -> int:
             print(f"{name}: rows-only ({len(spdf)} rows, {t_spark:.1f}s spark)")
             continue
         t0 = time.time()
-        ddf = con.execute(oracles[name]).df()  # pandas path — the driver's coercions
+        try:
+            ddf = con.execute(oracles[name]).df()  # pandas path — the driver's coercions
+        except Exception as e:  # noqa: BLE001 — an oracle crash is a per-query FAIL, not sweep death
+            msg = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
+            print(f"{name}: FAIL oracle crashed: {msg}")
+            failures += 1
+            continue
         t_duck = time.time() - t0
         hugeints = [
             c

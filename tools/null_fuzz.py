@@ -1,0 +1,98 @@
+"""Null-injection fuzz harness for cross-engine NULL semantics.
+
+The driver's fixtures contain no NULLs, so Spark-vs-DuckDB
+divergences in NULL handling stay latent until 100 TB production
+data hits them: concat_ws skips NULL segments while `||` nullifies,
+Spark windows default NULLS FIRST on ASC while DuckDB defaults
+NULLS LAST, AVG-of-empty vs AVG-of-all-NULL, UDFs crashing on None
+payloads. (ADVICE round 4 caught two of these by reading; this tool
+finds them by executing.)
+
+It writes a copy of an sf dir with a deterministic fraction of
+NULLs injected into VALUE columns (keys and id columns stay
+non-null — the repo documents a non-null/non-negative id contract),
+then the standard gate runs against the copy:
+
+    python tools/null_fuzz.py --src /root/testdata/sf0.001 \
+        --dst /tmp/nullfuzz_sf0.001
+    python tools/check_correctness.py --sf-dir /tmp/nullfuzz_sf0.001
+
+A query is null-hardened when it is hash-green on BOTH the clean
+and the fuzzed dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# table -> value columns eligible for NULL injection. Keys / join ids
+# / event-time stay non-null: ids are contractually non-null and a
+# NULL event-time row is dropped by Structured Streaming watermarking
+# by design (separate contract, not a cross-engine comparison).
+INJECT: dict[str, list[str]] = {
+    "region": ["r_name"],
+    "nation": ["n_name"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "lineitem": [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    ],
+    "events": ["event_type", "value", "props"],
+    "documents": ["text", "lang", "source"],
+    "embeddings": ["embedding", "label"],
+}
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def fuzz_table(src: str, dst: str, table: str, rate: float, seed: int) -> dict[str, int]:
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    counts: dict[str, int] = {}
+    for col in INJECT.get(table, []):
+        if col not in t.column_names:
+            continue
+        idx = t.column_names.index(col)
+        arr = t.column(idx)
+        # stable across processes (str hash() is salted per-process)
+        rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}".encode()))
+        mask = pa.array(rng.random(len(t)) < rate)
+        nulled = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
+        t = t.set_column(idx, col, nulled)
+        counts[col] = int(pc.sum(mask).as_py() or 0)
+    pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--dst", default="/tmp/nullfuzz_sf0.001")
+    ap.add_argument("--rate", type=float, default=0.03)
+    ap.add_argument("--seed", type=int, default=5)
+    args = ap.parse_args()
+
+    os.makedirs(args.dst, exist_ok=True)
+    total = 0
+    for table in TABLES:
+        counts = fuzz_table(args.src, args.dst, table, args.rate, args.seed)
+        total += sum(counts.values())
+        print(f"{table}: {counts}")
+    print(f"wrote {args.dst} with {total} injected NULLs (rate={args.rate}, seed={args.seed})")
+
+
+if __name__ == "__main__":
+    main()
