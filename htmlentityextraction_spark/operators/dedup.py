@@ -77,7 +77,14 @@ def minhash_signatures_codegen(
     codegen and the min() aggregates combine map-side, so the shuffle
     is num_hashes longs per doc regardless of document length.
     MinHash over a multiset equals MinHash over the set, so no
-    distinct is needed before the min."""
+    distinct is needed before the min.
+
+    NULL-text docs are dropped first: xxhash64(NULL) is a CONSTANT,
+    so every null doc would otherwise share one signature and the
+    whole null population would LSH into a single mega-bucket of
+    spurious jaccard-1.0 pairs (observed under the null fuzz: 10 null
+    docs → 45 extra pairs). No text, no shingles, no pairs."""
+    df = df.filter(F.col(text_col).isNotNull())
     norm = F.lower(F.trim(text_only(F.col(text_col))))
     grams = df.select(F.col(id_col).alias("doc"), norm.alias("__norm")).select(
         "doc",
@@ -411,7 +418,10 @@ def sorted_neighborhood_pairs(
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs: ids within ``window``
     positions of each other in the sort order of a normalized
-    blocking key (Hernandez & Stolfo's merge/purge method).
+    blocking key (Hernandez & Stolfo's merge/purge method). NULL
+    keys are dropped: they have no sort position (and a NULL=NULL
+    block self-join matches nothing in SQL, so the oracle side
+    already excludes them — null-fuzz aligned).
 
     Complements the hash-family blockers (minhash bands, simhash
     pigeonhole, trigram df-capped blocking): sorted-neighborhood
@@ -431,6 +441,7 @@ def sorted_neighborhood_pairs(
     Returns (id_a, id_b, key_a, key_b) with id_a pairing to the next
     ``window - 1`` rows in block order.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     w = (
         Window.partitionBy("__blk")
         .orderBy(F.col(key_col), F.col(id_col))

@@ -21,8 +21,13 @@ from htmlentityextraction_spark.sources.tables import load_table
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic page table: three templates keyed by o_orderkey % 3 —
     currency-marked price (kept), bare number (rejected: no currency or
-    'price' text in snippet), Price-text-marked (kept)."""
-    orders = load_table(spark, sf_dir, "orders")
+    'price' text in snippet), Price-text-marked (kept). Orders with a
+    NULL o_totalprice would template a NULL page — no page, no
+    candidates — so they are dropped here and in every page oracle
+    (null-fuzz hardened)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     k = F.col("o_orderkey").cast("string")
     # floor→bigint→string is deterministic across Spark and DuckDB
     # (double→int casts round differently between the two)
@@ -44,7 +49,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o_orderkey AS VARCHAR) AS k,
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                o_orderkey % 3 AS bucket
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT url,
            p2 AS candidate,
@@ -74,7 +79,7 @@ def price_candidate_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                CAST(floor(o_totalprice) AS DOUBLE) + 0.99 AS truth_price,
                o_orderkey % 3 AS bucket, o_orderkey % 2 AS flip
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT url, p2 AS candidate,
            CAST(flip = 0 AS BOOLEAN) AS label,

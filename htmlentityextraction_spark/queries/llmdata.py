@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH norm AS (
         SELECT doc_id, {_NORM.format(col='text')} AS t FROM documents
+        WHERE text IS NOT NULL
     ), sh AS (
         SELECT DISTINCT doc_id,
                substring(t, CAST(unnest(generate_series(1, greatest(length(t) - 4, 1)))
@@ -354,12 +355,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'und' END AS predicted_lang,
            CAST(n_tokens AS BIGINT) AS n_tokens_ws,
            len(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)) AS n_tokens_bpe,
+           CASE WHEN text IS NULL THEN NULL ELSE
            round((least(n_tokens / 20.0, 1.0) * 0.3
                   + greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10.0, 0.0) * 0.2
                   + least(stop_hits / 3.0, 1.0) * 0.3
                   + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0
                           AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2)
-                 + 1e-9, 6) AS quality
+                 + 1e-9, 6) END AS quality
     FROM scored
     """,
 )
@@ -508,12 +510,15 @@ def semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_DOC_SQL = f"""
     SELECT doc_id, lang, source,
            CAST(n_tokens AS BIGINT) AS n_tok,
+           -- NULL text scores NULL quality on both engines (DuckDB
+           -- least/greatest null-skipping would otherwise leak ~0.86)
+           CASE WHEN n_chars IS NULL THEN NULL ELSE
            round((least(n_tokens / 20.0, 1.0) * 0.3
                   + greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10.0, 0.0) * 0.2
                   + least(stop_hits / 3.0, 1.0) * 0.3
                   + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0
                           AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2)
-                 + 1e-9, 6) AS quality
+                 + 1e-9, 6) END AS quality
     FROM (
         SELECT doc_id, lang, source,
                length(text)::DOUBLE AS n_chars,

@@ -79,8 +79,12 @@ def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternates cost-$ / Price:; pages with flip==0 carry the 'sale'
     token AND a matching truth price (positive), flip==1 pages carry
     neither (negative). k % 3 == 1 pages have no currency/price marker
-    at all → zero candidates (the allFalseCandids path)."""
-    orders = load_table(spark, sf_dir, "orders")
+    at all → zero candidates (the allFalseCandids path). NULL
+    o_totalprice orders template a NULL page — dropped on both
+    engines (null-fuzz hardened)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     k = F.col("o_orderkey")
     ks = k.cast("string")
     p2 = F.concat(F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".99"))
@@ -116,7 +120,7 @@ _ORACLE_BASE = """
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ), pages AS (SELECT * FROM o WHERE bucket <> 1)
 """
 

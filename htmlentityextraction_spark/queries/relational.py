@@ -464,18 +464,21 @@ def id_remap_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stable_ids_for_domains",
     """
     SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_id
-    FROM (SELECT DISTINCT p_brand FROM part)
+    FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
     """,
 )
 def stable_ids_for_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: zipWithIndex domain codes `utils/Utils.scala:349-356`.
     row_number over sorted distinct keys — deterministic, unlike
     monotonically_increasing_id. Single-partition window is fine: the
-    distinct key set is tiny relative to the fact table."""
+    distinct key set is tiny relative to the fact table. A NULL key
+    gets no id (it would also sort to opposite ends of the two
+    engines' orderings — null-fuzz aligned)."""
     part = load_table(spark, sf_dir, "part")
     w = Window.orderBy("p_brand")
     return (
-        part.select("p_brand").distinct().withColumn("brand_id", F.row_number().over(w).cast("long"))
+        part.select("p_brand").filter(F.col("p_brand").isNotNull()).distinct()
+        .withColumn("brand_id", F.row_number().over(w).cast("long"))
     )
 
 

@@ -116,14 +116,20 @@ def string_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "url_domain_extract",
     """
-    SELECT CASE WHEN regexp_extract(
-               concat('http://www.', source, '.shop-', lang, '.com/doc/', doc_id),
-               '^https?://(?:www\\.)?([^/]+)', 1) = '' THEN 'www.failed.com'
-           ELSE regexp_extract(
-               concat('http://www.', source, '.shop-', lang, '.com/doc/', doc_id),
-               '^https?://(?:www\\.)?([^/]+)', 1) END AS domain,
+    WITH u AS (
+        -- || (not concat()): NULL source/lang must nullify the whole
+        -- url, matching Spark's F.concat — the unbuildable-url row
+        -- then takes the reference's failed.com fallback on BOTH
+        -- engines (null-fuzz aligned; duck concat() skips NULLs)
+        SELECT 'http://www.' || source || '.shop-' || lang || '.com/doc/' || doc_id AS url
+        FROM documents
+    )
+    SELECT CASE WHEN url IS NULL THEN 'www.failed.com'
+           WHEN regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1) = ''
+               THEN 'www.failed.com'
+           ELSE regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1) END AS domain,
            count(*) AS n_docs
-    FROM documents GROUP BY 1
+    FROM u GROUP BY 1
     """,
 )
 def url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,14 +61,18 @@ def pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapse_repeated_tokens",
     f"""
     WITH t AS (
-        SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+        -- coalesce: Spark's concat_ws collapses NULL text to '' —
+        -- the oracle matches that contract (null-fuzz aligned)
+        SELECT doc_id, {_TOKS.format(c="coalesce(text,'')")} AS toks FROM documents
     )
     SELECT doc_id,
-           array_to_string(
+           -- coalesce: duck's array_to_string([]) is NULL, Spark's
+           -- concat_ws of an empty array is ''
+           coalesce(array_to_string(
              list_filter(
                list_transform(generate_series(1, greatest(len(toks), 1)),
                    i -> CASE WHEN i = 1 OR toks[i] <> toks[i-1] THEN toks[i] END),
-               x -> x IS NOT NULL), ' ') AS collapsed
+               x -> x IS NOT NULL), ' '), '') AS collapsed
     FROM t
     """,
 )
@@ -85,7 +89,9 @@ def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_quality_filters",
     f"""
     WITH t AS (
-        SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+        -- NULL text gates as EMPTY text: zero tokens, keep=false —
+        -- a corrupt doc is a reject, not an unknown (null-fuzz aligned)
+        SELECT doc_id, {_TOKS.format(c="coalesce(text,'')")} AS toks FROM documents
     ), m AS (
         SELECT doc_id,
                len(toks)::DOUBLE AS n,
@@ -115,7 +121,7 @@ def hard_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard gates per document; the keep flag is the
     conjunction a corpus filter would apply."""
     docs = load_table(spark, sf_dir, "documents")
-    flags = tc.hard_quality_flags(F.col("text"))
+    flags = tc.hard_quality_flags(F.coalesce(F.col("text"), F.lit("")))
     return docs.select(
         "doc_id",
         flags["n_tokens_ok"].alias("n_tokens_ok"),

@@ -504,7 +504,7 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                lower(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 30))
                    AS key
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     ranked AS (
         SELECT doc_id, key, substr(key, 1, 2) AS blk,
                row_number() OVER (
