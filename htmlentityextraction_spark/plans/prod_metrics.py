@@ -33,8 +33,14 @@ from htmlentityextraction_spark.sources.tables import load_table
 
 def price_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → (sys_prod_id, store_id, tmsp, price) history with
-    deterministic tie-break columns."""
-    return load_table(spark, sf_dir, "lineitem").select(
+    deterministic tie-break columns. NULL-price observations are
+    corrupt input (the reference's Double parse would never have
+    produced a row) and are dropped — they would also rank at
+    opposite ends of the two engines' position windows (null-fuzz
+    aligned)."""
+    return load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
         F.col("l_partkey").alias("sys_prod_id"),
         F.col("l_suppkey").alias("store_id"),
         F.col("l_shipdate").alias("tmsp"),
@@ -125,6 +131,7 @@ WITH obs AS (
            row_number() OVER w AS rn,
            lead(l_extendedprice) OVER w AS prev_price
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
     WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC)
 ), latest AS (

@@ -194,7 +194,8 @@ def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT l_returnflag AS flag,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
            true AS ok_p25, true AS ok_p50, true AS ok_p90
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem WHERE l_returnflag IS NOT NULL
+    GROUP BY l_returnflag
     """,
 )
 def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,8 +208,13 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx quantile must land between the exact quantiles at
     q +/- 2/1000 (ok_* must hash as all-true). exact_p50 is
     additionally value-gated against DuckDB's quantile_cont (Spark's
-    exact `percentile` uses the same linear interpolation)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    exact `percentile` uses the same linear interpolation). The NULL
+    flag group is excluded: its fuzz-sized sample is too small for
+    the +/-2/1000 rank-tolerance contract to be meaningful
+    (null-fuzz aligned)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+    )
     eps = 2.0 / 1000.0
     aggs = [
         F.expr(f"approx_percentile(l_extendedprice, {q}, 1000)").alias(f"ap_{n}")
@@ -899,7 +905,10 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
         SELECT l_returnflag AS flag, l_linestatus AS status,
                count(*)::BIGINT AS obs
-        FROM lineitem GROUP BY flag, status
+        FROM lineitem
+        -- cells for missing categories have no defined expectation
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY flag, status
     ), tot AS (
         SELECT sum(obs) AS n FROM o
     ), marg AS (
@@ -928,8 +937,13 @@ def chisq_flag_status_independence(spark: SparkSession, sf_dir: str) -> DataFram
     All inputs are exact integer counts, so expected values and
     terms are deterministic doubles; the contingency table is
     cells-sized (broadcast scale) no matter how large the fact
-    table."""
-    li = load_table(spark, sf_dir, "lineitem")
+    table. NULL flag/status rows are missing categories with no
+    defined expectation and are excluded (the margin joins would
+    silently drop them on one engine and NaN them on the other —
+    null-fuzz aligned)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_linestatus").isNotNull()
+    )
     o = li.groupBy(
         F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
     ).agg(F.count("*").alias("obs"))

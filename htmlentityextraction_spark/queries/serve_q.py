@@ -22,8 +22,12 @@ from htmlentityextraction_spark.streaming import serve
 def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw JSON page messages (the Kafka payload shape) from the same
     construction as the ML corpus — including the zero-candidate
-    bucket==1 pages the batch ML queries exclude."""
-    orders = load_table(spark, sf_dir, "orders")
+    bucket==1 pages the batch ML queries exclude. NULL o_totalprice
+    orders template no page message (same contract as the batch page
+    fixtures — null-fuzz aligned)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     k = F.col("o_orderkey")
     ks = k.cast("string")
     p2 = F.concat(F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(".99"))
@@ -58,7 +62,7 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT url, domain,
            CASE WHEN bucket <> 1 AND flip = 0 THEN p2 ELSE -1.0 END AS model_price,

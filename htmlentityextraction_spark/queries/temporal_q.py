@@ -19,8 +19,12 @@ from htmlentityextraction_spark.sources.tables import load_table
     "asof_price_lookup",
     """
     WITH hist AS (
+        -- a NULL price is not a KNOWN price: drop it from history so
+        -- the as-of carries the latest real observation on both
+        -- engines (null-fuzz aligned)
         SELECT l_partkey, l_shipdate, max(l_extendedprice) AS price
-        FROM lineitem GROUP BY l_partkey, l_shipdate
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY l_partkey, l_shipdate
     ), probes AS (
         SELECT o_orderkey, o_orderdate, o_orderkey % 2000 AS probe_partkey
         FROM orders WHERE o_orderkey % 7 = 0
@@ -34,8 +38,11 @@ from htmlentityextraction_spark.sources.tables import load_table
 def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest known price per (part, order date). Spark
     side is the union+window carry-forward (one shuffle, no pair
-    blow-up); DuckDB's native ASOF JOIN is the oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    blow-up); DuckDB's native ASOF JOIN is the oracle. NULL prices
+    are excluded from history (not "known")."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     hist = li.groupBy("l_partkey", "l_shipdate").agg(
         F.max("l_extendedprice").alias("price")
     )

@@ -25,7 +25,7 @@ from htmlentityextraction_spark.sources.tables import load_table
         SELECT event_type, value,
                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a,
                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS in_b
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), n AS (
         SELECT event_type, CAST(sum(in_a) AS BIGINT) AS na,
                CAST(sum(in_b) AS BIGINT) AS nb
@@ -55,8 +55,10 @@ def ks_two_sample_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDFs as running sums). Distribution-free — no binning decision,
     unlike PSI — and the max-gap evaluation only needs the DISTINCT
     value domain, so the window input is value-domain-sized, not
-    corpus-sized."""
-    ev = load_table(spark, sf_dir, "events")
+    corpus-sized. NULL values are missing data and excluded (scipy
+    parity; they would also sort to opposite ends of the two engines'
+    CDF windows — null-fuzz aligned)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     s = ev.select(
         "event_type", "value",

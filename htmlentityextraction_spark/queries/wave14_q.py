@@ -18,7 +18,7 @@ from htmlentityextraction_spark.sources.tables import load_table
     WITH s AS (
         SELECT event_type, value,
                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), c AS (
         SELECT event_type, value,
                CAST(sum(in_a) AS BIGINT) AS ca,
@@ -54,8 +54,10 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTINCT value domain — never a global sort of raw rows. The
     normal approximation z is reported without tie correction (ties
     are fixture-rare; the U statistic itself is exact). Completes the
-    drift suite: PSI (binned), KS (shape), MW (location)."""
-    ev = load_table(spark, sf_dir, "events")
+    drift suite: PSI (binned), KS (shape), MW (location). NULL
+    values are missing data and excluded (rank of NULL is undefined;
+    null-fuzz aligned)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ref = (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("int")
     s = ev.select("event_type", "value", ref.alias("in_a"))
     c = s.groupBy("event_type", "value").agg(
@@ -147,7 +149,8 @@ def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey AS prodid, l_suppkey AS store, l_extendedprice AS p,
                row_number() OVER (PARTITION BY l_partkey, l_suppkey
                                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t
-        FROM lineitem WHERE l_partkey % 25 = 7
+        FROM lineitem
+        WHERE l_partkey % 25 = 7 AND l_extendedprice IS NOT NULL
     ), stats AS (
         SELECT prodid, store, stddev_pop(p) AS sigma
         FROM obs GROUP BY prodid, store
@@ -181,8 +184,13 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     is C(depth,2) weighted terms — bounded by the series depth like
     the reference's per-product delta walks, never corpus-quadratic
     (a 1/25th part sample keeps the gate fast). First observations
-    have no predecessor and are excluded (they seed the chart)."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
+    have no predecessor and are excluded (they seed the chart).
+    NULL-price rows carry no measurement and are dropped before the
+    series is numbered (null-fuzz aligned)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
+        & F.col("l_extendedprice").isNotNull()
+    )
     w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
@@ -239,7 +247,8 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT l_returnflag AS flag, l_extendedprice AS p,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
-        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag, l_extendedprice
     ), t AS (
         SELECT flag, CAST(sum(wt) AS BIGINT) AS tot FROM c GROUP BY flag
     ), r AS (
@@ -261,8 +270,12 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     when cheap items ship in bulk. Weights are grouped per distinct
     price FIRST, so the ordered window runs over the (flag, price)
     domain, not raw line items; integer cum×2 ≥ tot avoids any
-    float threshold. One grouped count + one window + one min."""
-    li = load_table(spark, sf_dir, "lineitem")
+    float threshold. One grouped count + one window + one min.
+    NULL prices have no position in the cumulative-weight order and
+    are dropped (null-fuzz aligned)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     c = li.groupBy(
         F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("p")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))

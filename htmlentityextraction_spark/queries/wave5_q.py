@@ -954,8 +954,10 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enriched = sp.enrich_events(sp.read_events_stream(spark, sf_dir))
     counts = sp.run_to_memory(spark, sp.windowed_counts(enriched), complete=True)
+    # asc_nulls_last: the NULL-type bucket tie-breaks at DuckDB's
+    # default NULLS LAST position (null-fuzz aligned)
     w = Window.partitionBy("window_start").orderBy(
-        F.desc("n_events"), F.asc("event_type")
+        F.desc("n_events"), F.asc_nulls_last("event_type")
     )
     return (
         counts.select("window_start", "event_type", "n_events")

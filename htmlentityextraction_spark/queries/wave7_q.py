@@ -196,8 +196,10 @@ def sax_symbolization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fpgrowth_brand_itemsets",
     """
     WITH b AS (
+        -- NULL brand is not an item (Spark's collect_set drops NULLs)
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand IS NOT NULL
     ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
     s1 AS (
         SELECT p_brand AS items, CAST(count(*) AS BIGINT) AS freq FROM b GROUP BY 1

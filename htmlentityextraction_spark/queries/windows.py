@@ -202,8 +202,12 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_family_parts): equal-height deciles + cumulative distribution
     per order priority. Unique (price, key) ORDER BY keeps both
     functions deterministic under ties. One hash partition per
-    priority — the same single-shuffle shape at any scale."""
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    priority — the same single-shuffle shape at any scale.
+    asc_nulls_last pins NULL prices to DuckDB's default NULLS LAST
+    (Spark's ASC default is nulls-first — null-fuzz aligned)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",

@@ -1,0 +1,117 @@
+"""Null-robustness contracts (round-5 null-fuzz hardening).
+
+The full gate lives in tools/null_fuzz.py + tools/check_correctness.py
+(inject NULLs into an sf copy, hash-compare all 222 queries against
+DuckDB on the fuzzed dir). These tests pin the OPERATOR-level
+contracts that sweep surfaced, on small inline frames, so a
+regression fails fast without the sweep:
+
+- corrupt embedding rows (NULL / NULL-element / empty) drop at the
+  vector-operator boundary instead of crashing np.vstack / BLAS;
+- NULL-text docs never form a MinHash mega-bucket (xxhash64(NULL) is
+  a constant, so they'd otherwise all share one signature);
+- sorted-neighborhood drops NULL keys (no sort position);
+- Spark ML fits skip NULL labels/vectors instead of raising;
+- multimodal mapInPandas decoders skip None payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_valid_vectors_drops_corrupt_rows(spark):
+    from htmlentityextraction_spark.operators.similarity import valid_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, [None, 1.0]),
+            (4, []),
+            (5, [3.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(r.vec_id for r in valid_vectors(df, "embedding").collect())
+    assert kept == [1, 5]
+
+
+def test_cosine_topk_skips_null_vectors(spark):
+    from htmlentityextraction_spark.operators import similarity as sim
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)] + [(97, None), (98, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    assert out, "non-null queries must still produce neighbors"
+    ids = {r.neighbor_id for r in out} | {r.query_id for r in out}
+    assert 97 not in ids and 98 not in ids
+
+
+def test_minhash_null_docs_form_no_mega_bucket(spark):
+    from htmlentityextraction_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, None) for i in range(10)] + [
+        (100, "the quick brown fox jumps over the lazy dog " * 5),
+        (101, "the quick brown fox jumps over the lazy dog " * 5),
+        (200, "a completely different document about spark engines " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    # the true near-dup pair survives; the 10 null docs (which would
+    # otherwise contribute C(10,2)=45 jaccard-1.0 pairs) contribute none
+    assert {(p.id_a, p.id_b) for p in pairs} == {(100, 101)}
+
+
+def test_sorted_neighborhood_drops_null_keys(spark):
+    from htmlentityextraction_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, "aa x"), (2, "aa y"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    pairs = sorted_neighborhood_pairs(df, "doc_id", "key", window=4).collect()
+    ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert 3 not in ids and 4 not in ids and 5 not in ids
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_ml_fits_skip_null_labels_and_vectors(spark):
+    from htmlentityextraction_spark.operators import mlx
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=4)], int(i % 10)) for i in range(40)
+    ] + [(100, None, 1), (101, [1.0, 2.0, 3.0, 4.0], None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = mlx.random_forest_eval(emb, n_trees=3, max_depth=3).collect()
+    assert sum(r.n for r in out) == 40  # both corrupt rows excluded
+
+
+def test_multimodal_udfs_skip_none_payloads(spark):
+    from htmlentityextraction_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world payload"), (2, None), (3, "another payload here")],
+        "doc_id long, text string",
+    )
+    media = mm.attach_media(docs)
+    feats = mm.extract_features(media).collect()
+    assert sorted(r.doc_id for r in feats) == [1, 3]
+
+
+def test_null_fuzz_tool_is_deterministic(tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    ca = nf.fuzz_table("/root/testdata/sf0.001", str(a), "documents", 0.03, 5)
+    cb = nf.fuzz_table("/root/testdata/sf0.001", str(b), "documents", 0.03, 5)
+    assert ca == cb and sum(ca.values()) > 0
+    assert (a / "documents.parquet").read_bytes() == (b / "documents.parquet").read_bytes()
