@@ -75,7 +75,12 @@ def price_status(model_price: Column, updated_price: Column) -> Column:
     """
     all_false = model_price == -1.0
     missing = model_price == -2.0
-    pattern_failed = updated_price.cast("int") == 0
+    # NaN branch first: Scala's Double.NaN.toInt is 0 (reference
+    # parity -> patternFailed), while Spark's ANSI cast throws
+    # CAST_OVERFLOW on NaN (NaN-fuzz hardened)
+    pattern_failed = F.when(F.isnan(updated_price), F.lit(True)).otherwise(
+        updated_price.cast("int") == 0
+    )
     model_ok = ~all_false & ~missing & ~pattern_failed
     equals = model_ok & (F.abs(model_price - updated_price) < 0.009)
     rel = F.abs(updated_price - model_price) / F.greatest(updated_price, model_price)

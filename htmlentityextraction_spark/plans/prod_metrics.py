@@ -39,7 +39,7 @@ def price_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     opposite ends of the two engines' position windows (null-fuzz
     aligned)."""
     return load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull()
+        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
     ).select(
         F.col("l_partkey").alias("sys_prod_id"),
         F.col("l_suppkey").alias("store_id"),
@@ -131,7 +131,7 @@ WITH obs AS (
            row_number() OVER w AS rn,
            lead(l_extendedprice) OVER w AS prev_price
     FROM lineitem
-    WHERE l_extendedprice IS NOT NULL
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
     WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC)
 ), latest AS (

@@ -218,6 +218,8 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH updates AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 10 = 3 THEN NULL
+                    -- a NaN source keeps its NaN (Spark floor(NaN)=0)
+                    WHEN isnan(o_totalprice) THEN o_totalprice
                     ELSE floor(o_totalprice * 1.1 * 100) / 100 END AS new_price,
                o_orderkey % 10 = 3 AS is_delete
         FROM orders WHERE o_orderkey % 5 IN (1, 3)
@@ -245,6 +247,7 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             k.alias("u_key"),
             F.when(F.pmod(k, F.lit(10)) == 3, F.lit(None).cast("double"))
+            .when(F.isnan("o_totalprice"), F.col("o_totalprice"))
             .otherwise(F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
             .alias("new_price"),
             (F.pmod(k, F.lit(10)) == 3).alias("is_delete"),

@@ -34,9 +34,9 @@ from htmlentityextraction_spark.sources.tables import load_table
     """
     WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
     SELECT k AS o_orderkey,
-           CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
+           CASE WHEN k % 7 = 1 AND NOT isnan(p) THEN floor(p * 1.05 * 100) / 100
                 WHEN k % 14 = 2 THEN 1.0
-                WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                WHEN k % 7 = 3 AND NOT isnan(p) THEN floor(p * 0.9 * 100) / 100
                 ELSE p END AS price
     FROM o WHERE k % 14 <> 9
     UNION ALL
@@ -65,7 +65,13 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
     tbl.create(orders)
 
-    batch1 = orders.filter(F.pmod(k, F.lit(7)).isin(1, 2)).select(
+    # derived updates skip NaN source prices: Spark's floor(NaN) is
+    # silently 0 while DuckDB's is NaN — a corrupt measurement must
+    # not fabricate a price (null/NaN-fuzz aligned)
+    batch1 = orders.filter(
+        (F.pmod(k, F.lit(7)) == 2)
+        | ((F.pmod(k, F.lit(7)) == 1) & ~F.isnan("price"))
+    ).select(
         "o_orderkey",
         F.when(F.pmod(k, F.lit(7)) == 1, F.floor(F.col("price") * 1.05 * 100) / 100)
         .otherwise(F.lit(None).cast("double"))
@@ -79,7 +85,9 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     reinsert = orders.filter(F.pmod(k, F.lit(14)) == 2).select(
         "o_orderkey", F.lit(1.0).alias("price"), F.lit(OP_UPSERT).alias("op")
     )
-    discount = orders.filter(F.pmod(k, F.lit(7)) == 3).select(
+    discount = orders.filter(
+        (F.pmod(k, F.lit(7)) == 3) & ~F.isnan("price")
+    ).select(
         "o_orderkey",
         (F.floor(F.col("price") * 0.9 * 100) / 100).alias("price"),
         F.lit(OP_UPSERT).alias("op"),
@@ -148,13 +156,13 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k AS o_orderkey, 'update' AS change_type,
            round(p + 1e-9, 6) AS old_price,
            round(floor(p * 1.05 * 100) / 100 + 1e-9, 6) AS new_price
-    FROM o WHERE k % 7 = 1 AND p IS NOT NULL
+    FROM o WHERE k % 7 = 1 AND p IS NOT NULL AND NOT isnan(p)
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE k % 14 = 2
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6),
            round(floor(p * 0.9 * 100) / 100 + 1e-9, 6)
-    FROM o WHERE k % 7 = 3 AND p IS NOT NULL
+    FROM o WHERE k % 7 = 3 AND p IS NOT NULL AND NOT isnan(p)
     UNION ALL
     SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE k % 14 = 9
     UNION ALL
@@ -198,7 +206,8 @@ def mergetable_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey % 100 AS price_group,
            count(*) AS n_orders,
-           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+           -- NaN contributes no cents (same as NULL) on both engines
+           CAST(sum(CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
     FROM final GROUP BY price_group
     """,
 )
@@ -213,7 +222,10 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     touching the table on every refresh; exact integer sums make the
     algebra safe under any partitioning."""
     tbl = _merged_orders_table(spark, sf_dir)
-    cents = lambda c: F.floor(c * 100 + F.lit(0.5))  # noqa: E731
+    # NaN -> NULL before the floor: Spark's floor(NaN) is silently 0,
+    # so a corrupt price would otherwise contribute 0 cents instead
+    # of nothing (NaN-fuzz aligned)
+    cents = lambda c: F.when(~F.isnan(c), F.floor(c * 100 + F.lit(0.5)))  # noqa: E731
     grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
 
     base = (
@@ -253,8 +265,9 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     "mergetable_zorder_read",
     """
     SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents
+           CAST(sum(CASE WHEN isnan(l_extendedprice) THEN NULL
+                    ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sum_cents
     FROM lineitem
     WHERE l_partkey BETWEEN 400 AND 700 AND l_suppkey BETWEEN 40 AND 70
     GROUP BY l_partkey
@@ -283,7 +296,12 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+        F.sum(
+            F.when(
+                ~F.isnan("l_extendedprice"),
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+            )
+        ).alias(
             "sum_cents"
         ),
     )
@@ -307,9 +325,9 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
         SELECT o_orderkey % 100 AS price_group,
                CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)
-                        * CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+               CAST(sum(CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s,
+               CAST(sum((CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)
+                        * (CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS s2
         FROM final GROUP BY price_group
     )
     SELECT price_group, n_orders, s AS sum_cents, s2 AS sum_sq_cents FROM agg
@@ -329,7 +347,9 @@ def matview_variance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond-count/sum statistic. Only |changes| rows are touched per
     refresh."""
     tbl = _merged_orders_table(spark, sf_dir)
-    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    cents = lambda c: F.when(  # noqa: E731 — NaN cents are NULL, see rollup
+        ~F.isnan(c), F.floor(c * 100 + F.lit(0.5)).cast("long")
+    )
     grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
 
     base = (

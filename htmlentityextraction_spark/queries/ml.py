@@ -83,7 +83,7 @@ def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_totalprice orders template a NULL page — dropped on both
     engines (null-fuzz hardened)."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull()
+        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
     )
     k = F.col("o_orderkey")
     ks = k.cast("string")
@@ -120,7 +120,7 @@ _ORACLE_BASE = """
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     ), pages AS (SELECT * FROM o WHERE bucket <> 1)
 """
 

@@ -20,17 +20,17 @@ from htmlentityextraction_spark.streaming import pipeline as sp
 # Shared status CASE for the oracles (mirror of functions.pricing).
 _STATUS_SQL = """
     CASE WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0)
+              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END)
               AND abs(model_price - pattern_price) < 0.009 THEN 'modeledPatternEquals'
          WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0)
+              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END)
               AND abs(pattern_price - model_price) / greatest(pattern_price, model_price) <= 0.1
               THEN 'minorModelPatternConflict'
          WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CAST(floor(pattern_price) AS INTEGER) = 0) THEN 'majorModelPatternConflict'
+              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'majorModelPatternConflict'
          WHEN (model_price = -1.0 OR model_price = -2.0)
-              AND CAST(floor(pattern_price) AS INTEGER) = 0 THEN 'bothFailed'
-         WHEN CAST(floor(pattern_price) AS INTEGER) = 0 THEN 'patternFailed'
+              AND (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'bothFailed'
+         WHEN (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'patternFailed'
          WHEN model_price = -2.0 THEN 'missingModel'
          ELSE 'allFalseCandids' END
 """
@@ -41,7 +41,7 @@ _ENRICH_SQL = f"""
                CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
                CASE WHEN event_id % 7 = 0 THEN -1.0
                     WHEN event_id % 11 = 0 THEN -2.0
-                    WHEN event_id % 3 = 0 THEN floor(value * 1.05 * 100) / 100
+                    WHEN event_id % 3 = 0 AND NOT isnan(value) THEN floor(value * 1.05 * 100) / 100
                     ELSE value END AS model_price,
                CASE WHEN event_id % 5 = 0 THEN 0.0 ELSE value END AS pattern_price
         FROM events
@@ -246,7 +246,9 @@ def stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN isnan(value) THEN NULL
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
+               AS sum_cents,
            epoch_us(max(ts)) AS last_us
     FROM events GROUP BY user_id
     """,

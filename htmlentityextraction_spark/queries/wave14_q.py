@@ -151,6 +151,7 @@ def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t
         FROM lineitem
         WHERE l_partkey % 25 = 7 AND l_extendedprice IS NOT NULL
+          AND NOT isnan(l_extendedprice)
     ), stats AS (
         SELECT prodid, store, stddev_pop(p) AS sigma
         FROM obs GROUP BY prodid, store
@@ -190,6 +191,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
         & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
     )
     w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
@@ -247,7 +249,9 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT l_returnflag AS flag, l_extendedprice AS p,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
-        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND (l_quantity IS NULL OR NOT isnan(l_quantity))
         GROUP BY l_returnflag, l_extendedprice
     ), t AS (
         SELECT flag, CAST(sum(wt) AS BIGINT) AS tot FROM c GROUP BY flag
@@ -275,6 +279,10 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     are dropped (null-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
+        # NaN weight cannot cast to long under ANSI; NULL weight just
+        # drops out of the sum on both engines
+        & (F.col("l_quantity").isNull() | ~F.isnan("l_quantity"))
     )
     c = li.groupBy(
         F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("p")

@@ -220,7 +220,10 @@ def enrich_events(stream: DataFrame) -> DataFrame:
         # floor(x*100)/100, not round(x,2): Spark's round() works on the
         # decimal string repr (HALF_UP) while DuckDB rounds the binary
         # double — floor is exact on both
-        .when(F.pmod("event_id", F.lit(3)) == 0, F.floor(F.col("value") * 1.05 * 100) / 100.0)
+        .when(
+            (F.pmod("event_id", F.lit(3)) == 0) & ~F.isnan("value"),
+            F.floor(F.col("value") * 1.05 * 100) / 100.0,
+        )  # NaN passes through (Spark floor(NaN)=0 would fabricate a price)
         .otherwise(F.col("value"))
     )
     pattern_price = F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(0.0)).otherwise(
@@ -518,7 +521,9 @@ def stream_merge_into(stream: DataFrame, tbl, key: str = "user_id") -> "Streamin
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         agg = batch.groupBy(key).agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+            F.sum(
+                F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            ).alias("sum_cents"),
             F.max(epoch_micros("ts")).alias("last_us"),
         ).withColumn("op", F.lit(OP_UPSERT))
         tbl.merge(agg, combine={"n_events": "sum", "sum_cents": "sum", "last_us": "max"})

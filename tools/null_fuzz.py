@@ -9,16 +9,20 @@ payloads. (ADVICE round 4 caught two of these by reading; this tool
 finds them by executing.)
 
 It writes a copy of an sf dir with a deterministic fraction of
-NULLs injected into VALUE columns (keys and id columns stay
-non-null — the repo documents a non-null/non-negative id contract),
+poison values injected into VALUE columns (keys and id columns stay
+clean — the repo documents a non-null/non-negative id contract),
 then the standard gate runs against the copy:
 
     python tools/null_fuzz.py --src /root/testdata/sf0.001 \
         --dst /tmp/nullfuzz_sf0.001
     python tools/check_correctness.py --sf-dir /tmp/nullfuzz_sf0.001
 
-A query is null-hardened when it is hash-green on BOTH the clean
-and the fuzzed dir.
+Two poison kinds: ``--kind null`` (default; every eligible column)
+and ``--kind nan`` (float NaN into DOUBLE columns — NaN groups as a
+plain value, compares unordered, and poisons sums where NULL would
+be skipped, a distinct failure surface from NULL). A query is
+hardened when it is hash-green on the clean dir AND both fuzzed
+dirs.
 """
 
 from __future__ import annotations
@@ -59,7 +63,13 @@ INJECT: dict[str, list[str]] = {
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def fuzz_table(src: str, dst: str, table: str, rate: float, seed: int) -> dict[str, int]:
+def fuzz_table(
+    src: str, dst: str, table: str, rate: float, seed: int, kind: str = "null"
+) -> dict[str, int]:
+    """kind='null' injects NULLs into every eligible column;
+    kind='nan' injects float NaN into DOUBLE/FLOAT columns only (NaN
+    and NULL have different grouping/ordering/aggregate semantics —
+    both occur in production float columns)."""
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     counts: dict[str, int] = {}
     for col in INJECT.get(table, []):
@@ -67,11 +77,17 @@ def fuzz_table(src: str, dst: str, table: str, rate: float, seed: int) -> dict[s
             continue
         idx = t.column_names.index(col)
         arr = t.column(idx)
+        if kind == "nan" and arr.type not in (pa.float64(), pa.float32()):
+            continue
         # stable across processes (str hash() is salted per-process)
         rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}".encode()))
         mask = pa.array(rng.random(len(t)) < rate)
-        nulled = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
-        t = t.set_column(idx, col, nulled)
+        poison = (
+            pa.scalar(float("nan"), type=arr.type)
+            if kind == "nan"
+            else pa.scalar(None, type=arr.type)
+        )
+        t = t.set_column(idx, col, pc.if_else(mask, poison, arr))
         counts[col] = int(pc.sum(mask).as_py() or 0)
     pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
     return counts
@@ -83,15 +99,19 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/nullfuzz_sf0.001")
     ap.add_argument("--rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--kind", choices=["null", "nan"], default="null")
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
     total = 0
     for table in TABLES:
-        counts = fuzz_table(args.src, args.dst, table, args.rate, args.seed)
+        counts = fuzz_table(args.src, args.dst, table, args.rate, args.seed, args.kind)
         total += sum(counts.values())
         print(f"{table}: {counts}")
-    print(f"wrote {args.dst} with {total} injected NULLs (rate={args.rate}, seed={args.seed})")
+    print(
+        f"wrote {args.dst} with {total} injected {args.kind.upper()}s "
+        f"(rate={args.rate}, seed={args.seed})"
+    )
 
 
 if __name__ == "__main__":
