@@ -62,7 +62,11 @@ def salted_group_stats(
         # Spark's HALF_UP decimal round and DuckDB's binary round pick
         # different nearest doubles; floor at cent precision is exact
         # in both engines (sum*100 is integral and < 2^53)
-        (F.floor(F.sum("__s") * 100 + 0.5) / 100).alias("total"),
+        # NaN-transparent: Spark's floor(NaN) is 0, DuckDB's is NaN —
+        # a NaN sum must stay NaN on both engines
+        F.when(F.isnan(F.sum("__s")), F.sum("__s"))
+        .otherwise(F.floor(F.sum("__s") * 100 + 0.5) / 100)
+        .alias("total"),
         F.round((F.sum("__s") / F.sum("__n")) + 1e-9, 6).alias("mean"),
         F.min("__mn").alias("vmin"),
         F.max("__mx").alias("vmax"),

@@ -137,6 +137,7 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice AS price,
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
     ), m AS (
         SELECT flag, count(*)::BIGINT AS n, sum(y) AS sy, sum(y*y) AS syy
         FROM b GROUP BY flag
@@ -160,8 +161,11 @@ def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from EXACT integer co-moments (price cents), floats enter
     only in the final per-row expression — so the boundary comparison
     |z| > 1.5 is identical on every engine, run, and partitioning. One
-    aggregate (3 rows, broadcast back) + one scan."""
-    li = load_table(spark, sf_dir, "lineitem")
+    aggregate (3 rows, broadcast back) + one scan. NaN prices are
+    excluded — not outliers, corrupt (NaN-fuzz aligned)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+    )
     dec = "decimal(38,0)"
     b = li.select(
         "l_orderkey",

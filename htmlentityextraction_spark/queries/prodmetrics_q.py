@@ -164,10 +164,10 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT prodid,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 0 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_0,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 1 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_1,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 2 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_2,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 3 AND rn = 1 THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_3
+           coalesce(CAST(round(max(CASE WHEN store_grp = 0 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_0,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 1 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_1,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 2 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_2,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 3 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_3
     FROM latest GROUP BY prodid
     """,
 )
@@ -183,7 +183,9 @@ def pivot_store_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("prodid"),
         F.pmod("l_suppkey", F.lit(4)).alias("store_grp"),
-        F.col("l_extendedprice").alias("price"),
+        # NaN latest price renders as 'NA' (NaN-fuzz: duck casts NaN
+        # to the string 'nan', Spark to 'NaN' — neither is a price)
+        F.when(~F.isnan("l_extendedprice"), F.col("l_extendedprice")).alias("price"),
         F.row_number().over(w).alias("rn"),
     ).filter(F.col("rn") == 1)
     pivoted = (

@@ -19,7 +19,9 @@ from htmlentityextraction_spark.sources.tables import load_table
     """
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            count(*) AS n,
-           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+           -- NaN sum stays NaN: Spark floor(NaN)=0, duck floor(nan)=nan
+           CASE WHEN isnan(sum(value)) THEN sum(value)
+                ELSE floor(sum(value) * 100 + 0.5) / 100 END AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -34,7 +36,9 @@ def date_trunc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("total_value"),
+        F.when(F.isnan(F.sum("value")), F.sum("value"))
+        .otherwise(F.floor(F.sum("value") * 100 + 0.5) / 100)
+        .alias("total_value"),
     )
 
 

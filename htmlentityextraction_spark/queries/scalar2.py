@@ -63,7 +63,9 @@ def topk_percent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) + 1e-9, 6) AS p25,
            round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) + 1e-9, 6) AS p50,
            round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) + 1e-9, 6) AS p95
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    GROUP BY l_returnflag
     """,
 )
 def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +73,9 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark `percentile`; the reference collected counts to the driver
     for its percentile cut). For 100 TB use approx_percentile with a
     bounded error instead — same plan shape, sketch-mergeable."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.25)) + 1e-9, 6).alias("p25"),
         F.round(F.percentile("l_extendedprice", F.lit(0.50)) + 1e-9, 6).alias("p50"),
@@ -91,6 +95,7 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CAST(floor(p_retailprice * 0.9) AS BIGINT) || '.00</sale_price>'
                     ELSE '' END || '</item>' AS xml
         FROM part
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)
     )
     SELECT p_partkey,
            regexp_extract(xml, '<gtin>([^<]*)</gtin>', 1) AS gtin,
@@ -105,8 +110,11 @@ def xml_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/F23 (`emr/ParseGglXML.scala:13-37`): XML item feeds with
     xpath field pulls and the sale-price-preference fallback. Spark
     side uses real xpath_string; the oracle mirrors it with regex on
-    the same constructed XML."""
-    p = load_table(spark, sf_dir, "part")
+    the same constructed XML. NaN retail prices template no feed
+    item (Spark's floor(NaN) would fabricate price 0 — NaN-fuzz)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+    )
     price = F.concat(F.floor("p_retailprice").cast("bigint").cast("string"), F.lit(".00"))
     sale = F.concat(
         F.floor(F.col("p_retailprice") * 0.9).cast("bigint").cast("string"), F.lit(".00")
@@ -194,7 +202,8 @@ def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT l_returnflag AS flag,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
            true AS ok_p25, true AS ok_p50, true AS ok_p90
-    FROM lineitem WHERE l_returnflag IS NOT NULL
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND NOT isnan(l_extendedprice)
     GROUP BY l_returnflag
     """,
 )
@@ -213,7 +222,7 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the +/-2/1000 rank-tolerance contract to be meaningful
     (null-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isNotNull()
+        F.col("l_returnflag").isNotNull() & ~F.isnan("l_extendedprice")
     )
     eps = 2.0 / 1000.0
     aggs = [
@@ -242,8 +251,9 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT l_returnflag AS flag,
-               CAST(l_quantity AS BIGINT) AS x,
-               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+               (CASE WHEN isnan(l_quantity) THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) END) AS x,
+               (CASE WHEN isnan(l_extendedprice) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
         FROM lineitem
     ), m AS (
         SELECT flag, count(*)::BIGINT AS n,
@@ -276,8 +286,8 @@ def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     b = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("long").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+        F.when(~F.isnan("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
+        F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
     )
     m = b.groupBy("flag").agg(
         F.count("*").alias("n"),
@@ -306,11 +316,11 @@ def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT flag, discount_cents, n_obs FROM (
         SELECT l_returnflag AS flag,
-               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_cents,
+               (CASE WHEN isnan(l_discount) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END) AS discount_cents,
                count(*) AS n_obs,
                row_number() OVER (PARTITION BY l_returnflag
                                   ORDER BY count(*) DESC,
-                                           CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                                           (CASE WHEN isnan(l_discount) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END))
                    AS rn
         FROM lineitem GROUP BY 1, 2
     ) WHERE rn = 1
@@ -325,7 +335,7 @@ def mode_discount_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         li.select(
             F.col("l_returnflag").alias("flag"),
-            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).alias("discount_cents"),
+            F.when(~F.isnan("l_discount"), F.floor(F.col("l_discount") * 100 + F.lit(0.5))).alias("discount_cents"),
         )
         .groupBy("flag", "discount_cents")
         .agg(F.count("*").alias("n_obs"))
@@ -563,8 +573,9 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT l_returnflag AS flag,
-               CAST(l_quantity AS BIGINT) AS x,
-               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+               (CASE WHEN isnan(l_quantity) THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) END) AS x,
+               (CASE WHEN isnan(l_extendedprice) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
         FROM lineitem
     ), m AS (
         SELECT flag, count(*)::BIGINT AS n,
@@ -596,8 +607,8 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     b = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("long").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("y"),
+        F.when(~F.isnan("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
+        F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
     )
     m = b.groupBy("flag").agg(
         F.count("*").alias("n"),
@@ -628,7 +639,7 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+           CAST(sum((CASE WHEN isnan(value) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS sum_cents
     FROM events GROUP BY dow, event_type
     """,
 )
@@ -643,7 +654,7 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
+        F.sum(F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias("sum_cents"),
     )
 
 
@@ -651,7 +662,7 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiformat_source_parity",
     """
     SELECT fmt, count(*) AS n_rows,
-           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(sum((CASE WHEN isnan(o_totalprice) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT)
                AS sum_cents,
            count(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
@@ -689,7 +700,7 @@ def multiformat_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.agg(
                 F.lit(fmt).alias("fmt"),
                 F.count("*").alias("n_rows"),
-                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                F.sum(F.when(~F.isnan("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias(
                     "sum_cents"
                 ),
                 F.countDistinct("o_orderstatus").alias("n_statuses"),
@@ -740,8 +751,9 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT n.n_name AS nation, r.r_name AS region,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS rev_cents
+               CAST(sum(CASE WHEN isnan(l_extendedprice) OR isnan(l_discount) THEN NULL
+                        ELSE CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT) END) AS BIGINT) AS rev_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation n ON s_nationkey = n.n_nationkey
@@ -767,7 +779,10 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
-    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+    cents = F.when(
+        ~F.isnan("l_extendedprice") & ~F.isnan("l_discount"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)),
+    )
     rev = (
         li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
@@ -803,6 +818,7 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
                     ELSE '' END ||
                ', "tags": ["t0", "t' || p_partkey % 3 || '"]}' AS js
         FROM part
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)
     )
     SELECT p_partkey,
            CAST(json_extract(js, '$.id') AS BIGINT) AS id,
@@ -821,8 +837,11 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
     paths → null. The shredded-on-read path for payloads whose schema
     is unknown or drifting (from_json's fixed StructType, the S4/F10
     route, covers the known-schema case); at scale the variant binary
-    encodes once and every extraction is JVM-side."""
-    p = load_table(spark, sf_dir, "part")
+    encodes once and every extraction is JVM-side. NaN retail
+    prices template no payload (NaN-fuzz aligned)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+    )
     js = F.concat(
         F.lit('{"id": '), F.col("p_partkey").cast("string"),
         F.lit(', "price": '), F.floor("p_retailprice").cast("long").cast("string"),
@@ -857,7 +876,9 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
         SELECT l_returnflag AS flag,
                CAST(quantile_cont(l_extendedprice, 0.01) AS DOUBLE) AS lo,
                CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS hi
-        FROM lineitem GROUP BY flag
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        GROUP BY flag
     )
     SELECT b.l_returnflag AS flag, count(*) AS n_rows,
            CAST(sum(CASE WHEN b.l_extendedprice < c.lo OR b.l_extendedprice > c.hi
@@ -867,7 +888,8 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
                     WHEN b.l_extendedprice > c.hi THEN c.hi
                     ELSE b.l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS winsorized_sum_cents
-    FROM lineitem b JOIN cuts c ON b.l_returnflag = c.flag
+    FROM (SELECT * FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)) b JOIN cuts c ON b.l_returnflag = c.flag
     GROUP BY b.l_returnflag
     """,
 )
@@ -878,7 +900,9 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrapes cannot move the total. Cuts come from one percentile
     aggregate (groups-sized, broadcast back); sums are exact cents of
     the clamped values."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+    )
     cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
         F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),

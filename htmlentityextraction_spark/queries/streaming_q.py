@@ -287,11 +287,14 @@ def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_bloom_prefilter_route",
     """
     WITH vip AS (
-        SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        SELECT user_id,
+               CAST(sum(CASE WHEN isnan(value) THEN NULL
+                        ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
                    AS spend_cents
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
-        HAVING sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 75000
+        HAVING sum(CASE WHEN isnan(value) THEN NULL
+                   ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) >= 75000
     )
     SELECT e.event_id, e.user_id, vip.spend_cents
     FROM events e JOIN vip ON e.user_id = vip.user_id
@@ -318,7 +321,12 @@ def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            F.sum(
+                F.when(
+                    ~F.isnan("value"),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                )
+            ).alias(
                 "spend_cents"
             )
         )
@@ -340,7 +348,10 @@ def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH checked AS (
         SELECT event_id,
-               (value >= 0 AND value <= 400) AS ok_value,
+               -- isnan named explicitly: DuckDB's vectorized column
+               -- comparison lets NaN pass a range predicate that the
+               -- same literal comparison rejects (NaN-fuzz)
+               (NOT isnan(value) AND value >= 0 AND value <= 400) AS ok_value,
                event_type IN ('view','click','purchase','signup','error') AS ok_type,
                user_id IS NOT NULL AS ok_user
         FROM events
@@ -369,7 +380,7 @@ def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     stream = sp.read_events_stream(spark, sf_dir)
-    ok_value = F.col("value").between(0, 400)
+    ok_value = ~F.isnan("value") & F.col("value").between(0, 400)
     ok_type = F.col("event_type").isin("view", "click", "purchase", "signup", "error")
     ok_user = F.col("user_id").isNotNull()
     checked = stream.withColumn("__pass", ok_value & ok_type & ok_user).withColumn(

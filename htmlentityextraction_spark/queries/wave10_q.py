@@ -60,7 +60,8 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT event_type,
                ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
-               least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+               (CASE WHEN isnan(value) THEN NULL
+                ELSE least(CAST(floor(value / 50) AS BIGINT), 9) END) AS bin
         FROM events
     ), c AS (
         SELECT event_type, is_ref, bin, CAST(count(*) AS BIGINT) AS cnt
@@ -103,7 +104,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_ref"),
-        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        F.when(
+            ~F.isnan("value"),
+            F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)),
+        ).alias("bin"),
     )
     c = ev.groupBy("event_type", "is_ref", "bin").agg(F.count(F.lit(1)).alias("cnt"))
     bins = (

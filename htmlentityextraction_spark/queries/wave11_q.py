@@ -23,7 +23,7 @@ from htmlentityextraction_spark.sources.tables import load_table
     WITH d AS (
         SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
                     AS BIGINT) AS digit
-        FROM orders WHERE o_totalprice > 0
+        FROM orders WHERE o_totalprice > 0 AND NOT isnan(o_totalprice)
     ), c AS (
         SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
     ), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tot FROM c)
@@ -43,7 +43,12 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data bends these nine numbers). One aggregate over a 9-value
     domain; the first digit is pure columnar arithmetic (no string
     casts)."""
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    # NaN > 0 is TRUE on both engines (NaN compares greatest), so the
+    # positivity filter alone does not exclude it — and floor(log10(NaN))
+    # fabricates digit 0 (div-by-zero) on Spark (NaN-fuzz aligned)
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") > 0) & ~F.isnan("o_totalprice")
+    )
     digit = F.floor(
         F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
     ).cast("long")

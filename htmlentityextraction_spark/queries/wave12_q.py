@@ -98,6 +98,7 @@ def ks_two_sample_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice AS p,
                l_orderkey, l_linenumber
         FROM lineitem WHERE l_partkey % 20 = 3
+          AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
     ), pairs AS (
         SELECT a.prodid, (b.p - a.p) / (b.d - a.d) AS slope
         FROM obs a JOIN obs b
@@ -122,7 +123,13 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set per group. Equal-day pairs are excluded on BOTH sides
     (no slope), with a deterministic tiebreak so each unordered pair
     counts once."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.pmod(F.col("l_partkey"), F.lit(20)) == 3)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.pmod(F.col("l_partkey"), F.lit(20)) == 3)
+        # finite only: NULL/NaN prices have no slope (isnan(NULL) is
+        # false in Spark but NULL in DuckDB — both named explicitly)
+        & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
+    )
     obs = li.select(
         F.col("l_partkey").alias("prodid"),
         F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),

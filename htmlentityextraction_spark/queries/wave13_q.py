@@ -182,7 +182,9 @@ def sql_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     "pareto_revenue_concentration",
     """
     WITH r AS (
-        SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        SELECT o_custkey,
+               sum(CASE WHEN isnan(o_totalprice) THEN NULL
+                   ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
         FROM orders GROUP BY o_custkey
     ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n FROM r),
     c AS (
@@ -213,7 +215,12 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar broadcast — no iteration, no collect."""
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+        F.sum(
+            F.when(
+                ~F.isnan("o_totalprice"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("cents")
     )
     t = r.agg(F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n"))
     c = r.withColumn("cum", F.sum("cents").over(

@@ -305,7 +305,7 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     "gini_coefficient_revenue",
     """
     WITH r AS (
-        SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        SELECT o_custkey, CAST(sum((CASE WHEN isnan(o_totalprice) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
         FROM orders GROUP BY o_custkey
     ), rk AS (
         SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM r
@@ -331,7 +331,7 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer rollup does)."""
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+        F.sum(F.when(~F.isnan("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
     )
     rk = r.select(
         "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i")
@@ -356,7 +356,7 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
-               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+               CAST(sum((CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY s.s_nationkey, l.l_suppkey
     ), t AS (
@@ -382,7 +382,7 @@ def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataF
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
         .agg(
-            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+            F.sum(F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
         )
     )
     t = s.groupBy("nation").agg(
@@ -412,7 +412,7 @@ def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataF
         SELECT e.user_id,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
                          date_trunc('day', e.ts)) - su.cohort_d AS age_d,
-               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+               (CASE WHEN isnan(e.value) THEN NULL ELSE CAST(floor(e.value * 100 + 0.5) AS BIGINT) END) AS cents
         FROM events e JOIN su ON su.user_id = e.user_id
         WHERE e.event_type = 'purchase'
           AND date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
@@ -458,7 +458,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "cohort_d",
             (day(F.col("ts")) - F.col("cohort_d")).alias("age_d"),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
         )
     )
     sz = su.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("cohort_users"))
@@ -855,7 +855,7 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(mx.horizon - max(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
                                                date_trunc('day', ts))) AS BIGINT) AS recency_days,
                CAST(count(*) AS BIGINT) AS frequency,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+               CAST(sum((CASE WHEN isnan(value) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS monetary_cents
         FROM events CROSS JOIN mx
         WHERE event_type = 'purchase'
         GROUP BY user_id, mx.horizon
@@ -885,7 +885,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(day).alias("last_d"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            F.sum(F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias(
                 "monetary_cents"
             ),
         )

@@ -85,7 +85,7 @@ def _sql_poisson(u_sql: str) -> str:
                user_id % 2 = 1 AS treated,
                avg(CASE WHEN ts <  TIMESTAMP '{_CUT}' THEN value END) AS x,
                avg(CASE WHEN ts >= TIMESTAMP '{_CUT}' THEN value END) AS y
-        FROM events GROUP BY user_id
+        FROM events WHERE NOT isnan(value) GROUP BY user_id
     ), both_periods AS (
         SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
     ), pooled AS (
@@ -117,7 +117,9 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto user rows, one final 2-group agg — two shuffles total, no
     driver state; at 100 TB the user-level table is the only shuffled
     payload."""
-    ev = load_table(spark, sf_dir, "events")
+    # NaN metric values are excluded on both engines (duck var_pop
+    # over NaN raises; Spark avg would propagate NaN into theta)
+    ev = load_table(spark, sf_dir, "events").filter(~F.isnan("value"))
     cut = F.lit(_CUT).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
         F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),

@@ -238,7 +238,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_nationkey AS nk,
                CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
                    AS yyyymm,
-               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               (CASE WHEN isnan(o.o_totalprice) THEN NULL
+                ELSE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
     SELECT CAST(nk * 1000000 + yyyymm AS BIGINT) AS view_key,
            CAST(nk AS BIGINT) AS c_nationkey, yyyymm,
@@ -269,7 +270,10 @@ def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             j.select(
                 F.col("c_nationkey").cast("long").alias("c_nationkey"),
                 yyyymm.alias("yyyymm"),
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+                F.when(
+                    ~F.isnan("o_totalprice"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+                ).alias("cents"),
             )
             .groupBy("c_nationkey", "yyyymm")
             .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("sum_cents"))

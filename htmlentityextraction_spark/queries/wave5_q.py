@@ -318,15 +318,18 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mad_price_outliers_per_brand",
     """
-    WITH med AS (
+    WITH pp AS (
+        SELECT p_brand, p_retailprice FROM part
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)),
+    med AS (
         SELECT p_brand,
                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS med
-        FROM part GROUP BY p_brand),
+        FROM pp GROUP BY p_brand),
     dev AS (
         SELECT p.p_brand, m.med,
                abs(p.p_retailprice - m.med) AS adev,
                p.p_retailprice
-        FROM part p JOIN med m ON m.p_brand = p.p_brand),
+        FROM pp p JOIN med m ON m.p_brand = p.p_brand),
     mad AS (
         SELECT p_brand, any_value(med) AS med,
                quantile_cont(adev, 0.5) AS mad
@@ -348,7 +351,9 @@ def mad_price_outliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys + two broadcast-friendly joins; comparisons happen on
     6-dp-rounded quantities on BOTH sides so the IEEE tails of each
     engine's interpolation cannot flip a boundary row."""
-    part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice").filter(
+        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+    )
     med = part.groupBy("p_brand").agg(
         F.percentile(F.col("p_retailprice").cast("double"), F.lit(0.5)).alias("med")
     )

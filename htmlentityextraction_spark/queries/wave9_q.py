@@ -26,7 +26,8 @@ from htmlentityextraction_spark.sources.tables import load_table
     WITH p AS (
         SELECT substr(md5('s4lt:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
                date_trunc('day', ts) AS day,
-               CAST(floor(value / 50) * 50 AS BIGINT) AS value_band
+               (CASE WHEN isnan(value) THEN NULL
+                ELSE CAST(floor(value / 50) * 50 AS BIGINT) END) AS value_band
         FROM events WHERE event_type = 'purchase'
     ), g AS (
         SELECT day, value_band, CAST(count(*) AS BIGINT) AS n,
@@ -58,7 +59,9 @@ def kanonymous_user_value_release(spark: SparkSession, sf_dir: str) -> DataFrame
         F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("day_epoch"),
-        (F.floor(F.col("value") / 50) * 50).cast("long").alias("value_band"),
+        F.when(
+            ~F.isnan("value"), (F.floor(F.col("value") / 50) * 50).cast("long")
+        ).alias("value_band"),
     )
     g = p.groupBy("day_epoch", "value_band").agg(
         F.count(F.lit(1)).alias("n"),

@@ -227,6 +227,7 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) + 1e-9, 6)
                AS rolling_median
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
     """,
 )
 def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,13 +235,16 @@ def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoother for spiky price feeds (a windowed PERCENTILE, not a mean:
     one bad scrape cannot drag it). Exact interpolated median over an
     explicit rows frame; one shuffle on the series key, same
-    partitioning family as the delta windows."""
+    partitioning family as the delta windows. NaN observations are
+    dropped before the frame is formed (NaN-fuzz aligned)."""
     w = (
         Window.partitionBy("l_partkey", "l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-4, Window.currentRow)
     )
-    return load_table(spark, sf_dir, "lineitem").select(
+    return load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+    ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),
         F.col("l_orderkey").alias("ok"),

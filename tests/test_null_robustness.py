@@ -100,6 +100,55 @@ def test_multimodal_udfs_skip_none_payloads(spark):
     assert sorted(r.doc_id for r in feats) == [1, 3]
 
 
+def test_price_status_nan_pattern_price_is_pattern_failed(spark):
+    """Reference parity: Scala's Double.NaN.toInt is 0, so a NaN
+    pattern price means patternFailed — Spark's ANSI cast would
+    instead throw CAST_OVERFLOW without the explicit NaN branch."""
+    from htmlentityextraction_spark.functions.pricing import price_status
+
+    df = spark.createDataFrame(
+        [(10.0, float("nan")), (10.0, 10.0), (-1.0, float("nan"))],
+        "model_price double, pattern_price double",
+    )
+    got = [r.s for r in df.select(price_status(F.col("model_price"), F.col("pattern_price")).alias("s")).collect()]
+    assert got == ["patternFailed", "modeledPatternEquals", "bothFailed"]
+
+
+def test_salted_stats_nan_sum_stays_nan(spark):
+    """Spark's floor(NaN) is silently 0 — the salted total must
+    surface NaN, not fabricate 0.00, when the group sum is NaN."""
+    import math
+
+    from htmlentityextraction_spark.operators.skew import salted_group_stats
+
+    df = spark.createDataFrame(
+        [("A", 1, 1.5), ("A", 2, float("nan")), ("B", 3, 2.0)],
+        "k string, salt long, v double",
+    )
+    rows = {r.k: r for r in salted_group_stats(df, ["k"], "v", salt_on=F.col("salt")).collect()}
+    assert math.isnan(rows["A"].total)
+    assert rows["B"].total == 2.0
+
+
+def test_nan_fuzz_kind_targets_double_columns_only(tmp_path):
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    counts = nf.fuzz_table("/root/testdata/sf0.001", str(tmp_path), "lineitem", 0.03, 5, "nan")
+    assert set(counts) <= {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert sum(counts.values()) > 0
+    t = pq.read_table(str(tmp_path / "lineitem.parquet"))
+    # NaN injection must not create NULLs (distinct failure surface)
+    assert t.column("l_extendedprice").null_count == 0
+
+
 def test_null_fuzz_tool_is_deterministic(tmp_path):
     import importlib.util
     import os
