@@ -222,7 +222,9 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the +/-2/1000 rank-tolerance contract to be meaningful
     (null-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isNotNull() & ~F.isnan("l_extendedprice")
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
     )
     eps = 2.0 / 1000.0
     aggs = [
@@ -340,7 +342,9 @@ def mode_discount_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag", "discount_cents")
         .agg(F.count("*").alias("n_obs"))
     )
-    w = Window.partitionBy("flag").orderBy(F.desc("n_obs"), F.asc("discount_cents"))
+    w = Window.partitionBy("flag").orderBy(
+        F.desc("n_obs"), F.asc_nulls_last("discount_cents")
+    )
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -334,7 +334,10 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.isnan("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
     )
     rk = r.select(
-        "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i")
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("cents"), "o_custkey"))
+        .alias("i"),
     )
     agg = rk.agg(
         F.count(F.lit(1)).alias("n"),
@@ -899,7 +902,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "recency_days", "frequency", "monetary_cents",
         F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id"))).alias("r_score"),
         F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id"))).alias("m_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc_nulls_last("monetary_cents"), F.asc("user_id")))
+        .alias("m_score"),
     )
 
 
