@@ -29,38 +29,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Queries with NO full-green driver verdict yet (registry minus the
-# rows+schema+hash-green union of CORRECTNESS_r01..r04.json). The
+# rows+schema+hash-green union of CORRECTNESS_r01..rN.json). The
 # driver samples ~50 queries per round in dict order without repeats,
-# so these are surfaced FIRST. Round 4's sample confirmed the first
-# 50 entries (all green); the 35 below are the remaining late
-# round-4 additions that sat past the sample window — all green
-# under the driver-mirroring tools/check_correctness.py locally.
-# Registry growth is FROZEN until these have driver verdicts
-# (VERDICT.md round-4 item 1); 35 < the ~50-query window, so the
-# round-5 sample should close this to 222/222.
-_DRIVER_UNCONFIRMED = (
-    # wave-7 (round 4) tail — no driver run yet
-    "top_event_paths",
-    "embedding_dimension_profile", "psi_value_drift",
-    "stream_bloom_prefilter_route", "mergetable_history_rows",
-    "benford_first_digit_audit", "daily_value_autocorrelation",
-    "ks_two_sample_value_drift", "theil_sen_price_trend",
-    "bm25_doc_ranking", "quantile_normalize_chars_by_source",
-    "sql_lateral_topn_per_customer", "pareto_revenue_concentration",
-    "mann_whitney_value_shift", "match_recognize_lite_funnel",
-    "ewma_control_chart", "weighted_median_price_per_flag",
-    "gini_coefficient_revenue", "herfindahl_supplier_concentration",
-    "cohort_ltv_curve", "forecast_backtest_daily",
-    "markov_next_event_accuracy", "stream_dq_quarantine",
-    "user_behavior_entropy", "analyze_catalog_column_stats",
-    "fulfillment_lead_time_sla", "seasonal_decomposition_daily",
-    "rfm_customer_segments", "did_aa_experiment_check",
-    "jackknife_se_daily_mean",
-    # wave-15 (round 4, continuation session) — no driver run yet
-    "cuped_adjusted_experiment", "srm_sample_ratio_mismatch",
-    "poisson_bootstrap_ci", "holt_linear_forecast_backtest",
-    "dp_noisy_counts_release",
-)
+# so these are surfaced FIRST. As of CORRECTNESS_r05.json the
+# cumulative driver-green union covers ALL 222 registered queries —
+# the round-4 evidence gap is closed and this list is empty. Any new
+# query added from round 6 onward goes here until its first driver
+# verdict lands.
+_DRIVER_UNCONFIRMED: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, QueryFn]:
