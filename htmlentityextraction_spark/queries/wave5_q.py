@@ -847,10 +847,17 @@ def max_drawdown_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc: acc.dd,
     )
+    # a product whose EVERY price is NULL has no drawdown: the fold's
+    # greatest() skips NULLs so dd would surface as a fabricated 0.0,
+    # while the oracle's running-max window stays NULL throughout —
+    # emit NULL (nullgroup-fuzz aligned)
+    n_priced = F.size(F.filter(arr, lambda x: x.isNotNull()))
     return g.select(
         "prodid",
         F.size(arr).cast("long").alias("n_obs"),
-        F.round(dd + F.lit(1e-9), 6).alias("max_drawdown"),
+        F.when(n_priced == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dd + F.lit(1e-9), 6))
+        .alias("max_drawdown"),
     )
 
 

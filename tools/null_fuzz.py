@@ -17,12 +17,19 @@ then the standard gate runs against the copy:
         --dst /tmp/nullfuzz_sf0.001
     python tools/check_correctness.py --sf-dir /tmp/nullfuzz_sf0.001
 
-Two poison kinds: ``--kind null`` (default; every eligible column)
+Four poison kinds: ``--kind null`` (default; every eligible column)
 and ``--kind nan`` (float NaN into DOUBLE columns — NaN groups as a
 plain value, compares unordered, and poisons sums where NULL would
-be skipped, a distinct failure surface from NULL). A query is
-hardened when it is hash-green on the clean dir AND both fuzzed
-dirs.
+be skipped, a distinct failure surface from NULL); plus the
+group-level variants ``--kind nullgroup`` / ``--kind nangroup``,
+which pick ~7% of GROUP KEYS (customers, users, parts) and
+poison EVERY value row of those groups. Row-level rates almost never
+produce a group whose every value is poisoned, so "customer whose
+every order price is NaN → SUM() is NULL → rank/ntile windows order
+a NULL key" stayed latent under row fuzz (ADVICE round 5 found four
+such divergences by reading; the group kinds manufacture those
+fixtures by construction). A query is hardened when it is hash-green
+on the clean dir AND all fuzzed dirs.
 """
 
 from __future__ import annotations
@@ -62,6 +69,27 @@ INJECT: dict[str, list[str]] = {
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# table -> (group-key column, value columns) for the group-level
+# kinds: every value row of a selected group key is poisoned, so
+# per-group aggregates (SUM/AVG over the group) become NULL — the
+# fixture shape row-level rates can't produce. Single-row-per-key
+# tables (customer, part, ...) are already covered by row fuzz.
+GROUP_INJECT: dict[str, tuple[str, list[str]]] = {
+    "orders": ("o_custkey", ["o_totalprice"]),
+    "lineitem": ("l_partkey", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+    "events": ("user_id", ["value"]),
+}
+
+
+def _group_mask(key_arr: pa.ChunkedArray, seed: int, pct: int = 7) -> pa.Array:
+    """Deterministic ~pct% of group keys, independent of row order:
+    crc32(seed:key) % 100 < pct."""
+    keys = key_arr.to_numpy(zero_copy_only=False)
+    sel = np.array(
+        [zlib.crc32(f"{seed}:{k}".encode()) % 100 < pct for k in keys], dtype=bool
+    )
+    return pa.array(sel)
+
 
 def fuzz_table(
     src: str, dst: str, table: str, rate: float, seed: int, kind: str = "null"
@@ -72,6 +100,26 @@ def fuzz_table(
     both occur in production float columns)."""
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     counts: dict[str, int] = {}
+    if kind in ("nullgroup", "nangroup"):
+        if table not in GROUP_INJECT:
+            pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+            return counts
+        key_col, cols = GROUP_INJECT[table]
+        mask = _group_mask(t.column(key_col), seed)
+        for col in cols:
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if kind == "nangroup" and arr.type not in (pa.float64(), pa.float32()):
+                continue
+            poison = (
+                pa.scalar(float("nan"), type=arr.type)
+                if kind == "nangroup"
+                else pa.scalar(None, type=arr.type)
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, poison, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     for col in INJECT.get(table, []):
         if col not in t.column_names:
             continue
@@ -99,7 +147,9 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/nullfuzz_sf0.001")
     ap.add_argument("--rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=5)
-    ap.add_argument("--kind", choices=["null", "nan"], default="null")
+    ap.add_argument(
+        "--kind", choices=["null", "nan", "nullgroup", "nangroup"], default="null"
+    )
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
