@@ -154,7 +154,14 @@ def automatcher_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference hand-partitioned both sides with HashPartitioner; here
     one repartition by the key co-locates both sides and AQE handles
     the skewed popular keys."""
-    keyed = load_table(spark, sf_dir, "part").select(
+    # a record missing either half of its composite key cannot be
+    # matched: concat_ws would silently SKIP a NULL segment (NULL
+    # brand + size 33 → key "33", colliding with every other
+    # brandless size-33 part), where the oracle's `||` nullifies the
+    # whole key — require both halves (null-fuzz seed-11 aligned)
+    keyed = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
         "p_partkey",
         F.concat_ws("||", "p_brand", "p_size").alias("match_key"),
         "p_retailprice",

@@ -69,6 +69,45 @@ INJECT: dict[str, list[str]] = {
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# ``--kind text``: adversarial-but-valid strings into STRING value
+# columns — empty/whitespace, NFC vs NFD accents, non-BMP emoji,
+# long unbroken tokens, HTML-entity bait, quote/backslash soup,
+# numeric-looking text, stutter bait. Locale-special casefold chars
+# (İ, ß, ligatures) are deliberately EXCLUDED: Spark (ICU full
+# mappings) and DuckDB (utf8proc simple mappings) genuinely disagree
+# on them, which is pinned as a documented engine contract in
+# tests/test_text_robustness.py rather than fuzzed around.
+TEXT_POOL = [
+    "",
+    "   ",
+    "\tleading tab\nnewline\rcr",
+    "Ünïcodé Café naïve",
+    "Cafe\u0301 au lait",  # NFD combining accent - not codepoint-equal to NFC Café
+    "\U0001f99c parrot \U0001f99c\U0001f99c",
+    "MiXeD CaSe ToKeNs HERE",
+    "x" * 300,
+    "tok " * 120,
+    "&amp;&lt;td&gt;99.99&lt;/td&gt;",
+    "<td> 1,299.00 </td>",
+    "'single' \"double\" \\backslash %percent _underscore",
+    "12345",
+    "-3.14159",
+    "dup dup dup dup dup",
+]
+
+# events.props is a JSON payload — malformed and edge-shape JSON
+# exercise the corrupt-row path (SURVEY §2 P4) on both engines.
+JSON_POOL = [
+    "",
+    "{",
+    "not json at all",
+    "[]",
+    "null",
+    '{"price": "NaN"}',
+    '{"a": {"b": [1, 2, 3]}}',
+    '{"price": 123.45, "ok": true}',
+]
+
 # table -> (group-key column, value columns) for the group-level
 # kinds: every value row of a selected group key is poisoned, so
 # per-group aggregates (SUM/AVG over the group) become NULL — the
@@ -100,6 +139,25 @@ def fuzz_table(
     both occur in production float columns)."""
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     counts: dict[str, int] = {}
+    if kind == "text":
+        rows = len(t)
+        for col in INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if arr.type not in (pa.string(), pa.large_string()):
+                continue
+            pool = JSON_POOL if col == "props" else TEXT_POOL
+            rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}".encode()))
+            mask = pa.array(rng.random(rows) < rate)
+            repl = pa.array(
+                [pool[i % len(pool)] for i in range(rows)], type=arr.type
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind in ("nullgroup", "nangroup"):
         if table not in GROUP_INJECT:
             pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
@@ -148,7 +206,7 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument(
-        "--kind", choices=["null", "nan", "nullgroup", "nangroup"], default="null"
+        "--kind", choices=["null", "nan", "nullgroup", "nangroup", "text"], default="null"
     )
     args = ap.parse_args()
 
