@@ -325,6 +325,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                 if r["payload"] is None or r["media"] is None:
                     continue  # corrupt row: no payload to featurize
                 arr = np.frombuffer(r["payload"], dtype=np.uint8)
+                if len(arr) == 0:
+                    continue  # zero-byte payload: no bytes, no features
                 rows.append(
                     {
                         "doc_id": r["doc_id"],
@@ -363,6 +365,8 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                 if r["media"]["media_type"] != "image":
                     continue
                 img = decode_payload(r["payload"], int(r["media"]["width"]))
+                if img.size == 0:
+                    continue  # payload shorter than one pixel row: no image
                 small = img[::factor, ::factor]
                 rows.append(
                     {
@@ -402,6 +406,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
                 arr = np.frombuffer(r["payload"], dtype=np.uint8)
                 n = int(r["media"]["n_frames"])
                 size = len(arr) // n
+                if size == 0:
+                    continue  # payload shorter than one frame: no frames
                 for i in range(n):
                     chunk = arr[i * size : (i + 1) * size]
                     rows.append(

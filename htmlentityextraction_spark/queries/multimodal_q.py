@@ -15,7 +15,11 @@ from htmlentityextraction_spark.operators import multimodal as mm
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
-# media_type per doc: doc_id % 3 → image/audio/video
+# media_type per doc: doc_id % 3 → image/audio/video. hx is the hex
+# dump of the utf-8 payload: byte i (1-based) is
+# CAST('0x' || substring(hx, 2i-1, 2) AS INTEGER) — TRUE byte-level
+# reconstruction, correct for multibyte text where the former
+# ascii(substring(text, i, 1)) walked CHARACTERS (text-fuzz aligned).
 _META_SQL = """
     SELECT doc_id,
            ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
@@ -23,7 +27,7 @@ _META_SQL = """
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CASE WHEN (doc_id % 3) = 2 THEN CAST(doc_id % 8 + 2 AS INTEGER)
                 ELSE 1 END AS n_frames,
-           text
+           hex(encode(text)) AS hx
     FROM documents
     WHERE text IS NOT NULL
 """
@@ -64,7 +68,7 @@ def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
         SELECT doc_id, media_type, n_bytes,
                unnest(list_transform(generate_series(1, CAST(n_bytes AS INTEGER)),
-                                     i -> ascii(substring(text, i, 1)))) AS byte
+                                     i -> CAST('0x' || substring(hx, 2 * i - 1, 2) AS INTEGER))) AS byte
         FROM m
     )
     SELECT doc_id, any_value(media_type) AS media_type,
@@ -92,7 +96,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     strided AS (
         SELECT doc_id, width, height,
-               ascii(substring((SELECT text FROM m WHERE m.doc_id = px.doc_id), pos, 1)) AS byte,
+               CAST('0x' || substring((SELECT hx FROM m WHERE m.doc_id = px.doc_id), 2 * pos - 1, 2) AS INTEGER) AS byte,
                ((pos - 1) // width) AS r, ((pos - 1) % width) AS c
         FROM px
     )
@@ -122,7 +126,7 @@ def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST((pos - 1) // fsize AS INTEGER) AS frame_idx,
            CAST(any_value(fsize) AS BIGINT) AS frame_bytes,
-           CAST(sum(ascii(substring((SELECT text FROM m WHERE m.doc_id = px.doc_id), pos, 1))) AS BIGINT) AS frame_checksum
+           CAST(sum(CAST('0x' || substring((SELECT hx FROM m WHERE m.doc_id = px.doc_id), 2 * pos - 1, 2) AS INTEGER)) AS BIGINT) AS frame_checksum
     FROM px GROUP BY doc_id, (pos - 1) // fsize
     """,
 )

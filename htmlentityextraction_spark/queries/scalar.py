@@ -71,11 +71,18 @@ def relative_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_props",
     """
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS k_total,
+           max(k) AS k_max
+    FROM j GROUP BY event_type
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:

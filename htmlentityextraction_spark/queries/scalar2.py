@@ -818,7 +818,13 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
                CAST(floor(p_retailprice) AS BIGINT) || '.50' ||
                CASE WHEN p_partkey % 4 <> 0
                     THEN ', "attrs": {"size": ' || p_partkey % 50 ||
-                         ', "brand": "' || p_brand || '"}'
+                         ', "brand": "' ||
+                         replace(replace(replace(replace(replace(p_brand,
+                             chr(92), chr(92) || chr(92)),
+                             '"', chr(92) || '"'),
+                             chr(10), chr(92) || 'n'),
+                             chr(13), chr(92) || 'r'),
+                             chr(9), chr(92) || 't') || '"}'
                     ELSE '' END ||
                ', "tags": ["t0", "t' || p_partkey % 3 || '"]}' AS js
         FROM part
@@ -846,6 +852,15 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
     )
+    # brand is free text: JSON-escape backslash/quote/control chars
+    # before templating, or one quoted brand makes the whole payload
+    # malformed and parse_json throws (text-fuzz aligned; identical
+    # replace chain in the oracle)
+    esc = F.col("p_brand")
+    for needle, repl in (
+        ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+    ):
+        esc = F.replace(esc, F.lit(needle), F.lit(repl))
     js = F.concat(
         F.lit('{"id": '), F.col("p_partkey").cast("string"),
         F.lit(', "price": '), F.floor("p_retailprice").cast("long").cast("string"),
@@ -855,7 +870,7 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
             F.concat(
                 F.lit(', "attrs": {"size": '),
                 F.pmod("p_partkey", F.lit(50)).cast("string"),
-                F.lit(', "brand": "'), F.col("p_brand"), F.lit('"}'),
+                F.lit(', "brand": "'), esc, F.lit('"}'),
             ),
         ).otherwise(F.lit("")),
         F.lit(', "tags": ["t0", "t'),

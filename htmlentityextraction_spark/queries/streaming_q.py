@@ -38,7 +38,9 @@ _STATUS_SQL = """
 _ENRICH_SQL = f"""
     WITH base AS (
         SELECT event_id, ts, user_id, event_type, value,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS props_k,
                CASE WHEN event_id % 7 = 0 THEN -1.0
                     WHEN event_id % 11 = 0 THEN -2.0
                     WHEN event_id % 3 = 0 AND NOT isnan(value) THEN floor(value * 1.05 * 100) / 100

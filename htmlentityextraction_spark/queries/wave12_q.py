@@ -44,6 +44,7 @@ from htmlentityextraction_spark.sources.tables import load_table
                          - CAST(cum_b AS DOUBLE) / n.nb)) + 1e-9, 6) AS ks_stat,
            n.na AS n_ref, n.nb AS n_cur
     FROM cdf JOIN n ON n.event_type = cdf.event_type
+    WHERE n.na > 0 AND n.nb > 0
     GROUP BY cdf.event_type, n.na, n.nb
     """,
 )
@@ -83,6 +84,10 @@ def ks_two_sample_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cdf.join(n, "event_type")
+        # KS is undefined when either sample is empty (an event type
+        # seen only before/only after the split): emitting it would
+        # divide by zero — scipy errors there too (text-fuzz aligned)
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
         .groupBy("event_type", "n_ref", "n_cur")
         .agg(F.round(F.max(gap) + F.lit(1e-9), 6).alias("ks_stat"))
         .select("event_type", "ks_stat", "n_ref", "n_cur")

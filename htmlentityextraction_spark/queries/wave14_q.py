@@ -44,6 +44,7 @@ from htmlentityextraction_spark.sources.tables import load_table
            round(((ranks.ra - n.na * (n.na + 1) / 2.0) - n.na * n.nb / 2.0)
                  / sqrt(n.na * n.nb * (n.na + n.nb + 1) / 12.0) + 1e-9, 6) AS z_approx
     FROM ranks JOIN n ON n.event_type = ranks.event_type
+    WHERE n.na > 0 AND n.nb > 0
     """,
 )
 def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,10 +78,16 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (u - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
         F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1) / 12.0
     )
-    return ranks.join(n, "event_type").select(
-        "event_type", "na", "nb",
-        F.round(u + F.lit(1e-9), 6).alias("u_stat"),
-        F.round(z + F.lit(1e-9), 6).alias("z_approx"),
+    # U is undefined when either sample is empty (event type seen only
+    # on one side of the split): z's denominator is 0 (text-fuzz aligned)
+    return (
+        ranks.join(n, "event_type")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "event_type", "na", "nb",
+            F.round(u + F.lit(1e-9), 6).alias("u_stat"),
+            F.round(z + F.lit(1e-9), 6).alias("z_approx"),
+        )
     )
 
 
@@ -976,6 +983,7 @@ def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                (s.sv - daily.v) / (s.n - 1) AS theta_i,
                s.n, s.theta
         FROM daily JOIN s ON s.event_type = daily.event_type
+        WHERE s.n > 1
     )
     SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
            round(max(theta) + 1e-9, 6) AS mean_daily_value,
@@ -1002,7 +1010,9 @@ def jackknife_se_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.avg("v").alias("theta")
     )
-    loo = daily.join(F.broadcast(s), "event_type").select(
+    # leave-one-out needs n ≥ 2 days: an event type seen on a single
+    # day has (n − 1) = 0 in the closed form (text-fuzz aligned)
+    loo = daily.join(F.broadcast(s), "event_type").filter(F.col("n") > 1).select(
         "event_type", "n", "theta",
         ((F.col("sv") - F.col("v")) / (F.col("n") - 1)).alias("theta_i"),
     )
