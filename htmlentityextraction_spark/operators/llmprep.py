@@ -79,16 +79,29 @@ def split_assign(key: Column, val_hex: str = "c", test_hex: str = "e") -> Column
 
 
 def source_mix(
-    df: DataFrame, rates_by_source: dict[str, float], key: Column, source_col: str = "source"
+    df: DataFrame,
+    rates_by_source: dict[str, float],
+    key: Column,
+    source_col: str = "source",
+    default_rate: float = 0.0,
 ) -> DataFrame:
     """Weighted source mixing: keep a deterministic md5-hash fraction
     of each source (the up/down-weighting step of corpus assembly).
-    Rates are per-source keep probabilities in [0, 1]."""
+    Rates are per-source keep probabilities in [0, 1];
+    ``default_rate`` applies to sources absent from the dict (a real
+    corpus always has sources the mix plan never enumerated —
+    text-fuzz aligned). NULL sources are never kept on either
+    engine."""
     # two hex digits → 256 buckets; keep when bucket < rate*256
     bucket = F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
     keep = F.lit(False)
     for src, rate in rates_by_source.items():
         keep = keep | ((F.col(source_col) == src) & (bucket < int(rate * 256)))
+    if default_rate > 0:
+        keep = keep | (
+            ~F.col(source_col).isin(list(rates_by_source))
+            & (bucket < int(default_rate * 256))
+        )
     return df.filter(keep)
 
 

@@ -82,7 +82,7 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id, chunk_id,
-           array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+           coalesce(array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '), '') AS chunk_text,
            least(32, n - chunk_id * 24) AS chunk_tokens
     FROM c
     """,
@@ -140,7 +140,9 @@ def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = {f"src{i}": 1.0 for i in range(5)}
     rates.update({f"src{i}": 0.5 for i in range(5, 10)})
     rates.update({f"src{i}": 0.25 for i in range(10, 20)})
-    mixed = lp.source_mix(docs, rates, key=F.col("doc_id").cast("string"))
+    mixed = lp.source_mix(
+        docs, rates, key=F.col("doc_id").cast("string"), default_rate=0.25
+    )
     return mixed.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 

@@ -134,13 +134,21 @@ def string_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- engines (null-fuzz aligned; duck concat() skips NULLs)
         SELECT 'http://www.' || source || '.shop-' || lang || '.com/doc/' || doc_id AS url
         FROM documents
+    ), h AS (
+        -- validity mirrors java.net.URI's hostname grammar (what
+        -- Spark's try_parse_url enforces): dot-separated alnum labels
+        -- with inner hyphens only — spaces, non-ASCII, underscores,
+        -- empty labels, edge hyphens all fail to parse and take the
+        -- reference's failed.com fallback (text-fuzz aligned)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u
     )
-    SELECT CASE WHEN url IS NULL THEN 'www.failed.com'
-           WHEN regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1) = ''
-               THEN 'www.failed.com'
-           ELSE regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1) END AS domain,
+    SELECT CASE WHEN host IS NULL
+                  OR NOT regexp_matches(host,
+                     '^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?)*$')
+                THEN 'www.failed.com'
+           ELSE regexp_replace(host, '^www\\.', '') END AS domain,
            count(*) AS n_docs
-    FROM u GROUP BY 1
+    FROM h GROUP BY 1
     """,
 )
 def url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

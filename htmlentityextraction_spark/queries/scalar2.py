@@ -87,8 +87,11 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xml_field_extraction",
     """
     WITH x AS (
-        SELECT p_partkey,
-               '<item><gtin>G' || p_partkey || '</gtin><brand>' || p_brand ||
+        SELECT p_partkey, p_brand,
+               '<item><gtin>G' || p_partkey || '</gtin><brand>' ||
+               replace(replace(replace(replace(p_brand,
+                   '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                   chr(13), '&#13;') ||
                '</brand><price>' || CAST(floor(p_retailprice) AS BIGINT) || '.00</price>' ||
                CASE WHEN p_partkey % 4 = 0
                     THEN '<sale_price>' ||
@@ -99,7 +102,10 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey,
            regexp_extract(xml, '<gtin>([^<]*)</gtin>', 1) AS gtin,
-           regexp_extract(xml, '<brand>([^<]*)</brand>', 1) AS brand,
+           -- the template XML-escapes the brand, so Spark's
+           -- xpath_string decodes back to the ORIGINAL p_brand
+           -- (text-fuzz aligned: entity-looking brands round-trip)
+           CASE WHEN xml IS NULL THEN NULL ELSE p_brand END AS brand,
            CASE WHEN xml LIKE '%<sale_price>%'
                 THEN regexp_extract(xml, '<sale_price>([^<]*)</sale_price>', 1)
                 ELSE regexp_extract(xml, '<price>([^<]*)</price>', 1) END AS effective_price
@@ -119,9 +125,16 @@ def xml_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sale = F.concat(
         F.floor(F.col("p_retailprice") * 0.9).cast("bigint").cast("string"), F.lit(".00")
     )
+    # XML-escape the brand (free text): raw & or < makes the feed
+    # item unparseable, and an UNescaped \r would be eaten by XML
+    # line-end normalization (text-fuzz aligned; same chain in the
+    # oracle template, so xpath decodes back to the original brand)
+    brand_esc = F.col("p_brand")
+    for needle, repl in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ("\r", "&#13;")):
+        brand_esc = F.replace(brand_esc, F.lit(needle), F.lit(repl))
     xml = F.concat(
         F.lit("<item><gtin>G"), F.col("p_partkey").cast("string"), F.lit("</gtin><brand>"),
-        F.col("p_brand"), F.lit("</brand><price>"), price, F.lit("</price>"),
+        brand_esc, F.lit("</brand><price>"), price, F.lit("</price>"),
         F.when(
             F.pmod("p_partkey", F.lit(4)) == 0,
             F.concat(F.lit("<sale_price>"), sale, F.lit("</sale_price>")),
@@ -205,6 +218,7 @@ def hll_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     FROM lineitem
     WHERE l_returnflag IS NOT NULL AND NOT isnan(l_extendedprice)
     GROUP BY l_returnflag
+    HAVING count(*) >= 500
     """,
 )
 def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +251,14 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (0.9 - eps, "p90_lo"), (0.9 + eps, "p90_hi"),
                      (0.5, "p50"))
     ]
-    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(*aggs)
+    # the rank-tolerance contract only means anything when eps*n >= 1
+    # (approx returns an ELEMENT, exact interpolates): gate to groups
+    # of >= 500 values, which also excludes fuzz-sized junk flags
+    agg = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("__n"), *aggs)
+        .filter(F.col("__n") >= 500)
+    )
     ok = lambda n: (F.col(f"ap_{n}") >= F.col(f"ex_{n}_lo")) & (  # noqa: E731
         F.col(f"ap_{n}") <= F.col(f"ex_{n}_hi")
     )
@@ -690,14 +711,27 @@ def multiformat_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="multifmt_")
     schema = "o_orderkey long, o_totalprice double, o_orderstatus string"
     outs = []
+    # lossless CSV needs four deliberate choices (text-fuzz lessons):
+    # whitespace preservation OFF-by-default trimming (the writer
+    # trims leading/trailing blanks!), an out-of-band nullValue so
+    # '' and NULL stay distinct, and multiLine on read for embedded
+    # newlines (which costs splittability — at 100 TB prefer many
+    # moderate files or a binary format).
+    csv_opts = {
+        "header": "true",
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+        "nullValue": "\\N",
+    }
     for fmt in ("csv", "json", "orc"):
         path = f"{root}/{fmt}"
         w = base.write.mode("overwrite")
-        (w.option("header", "true").csv(path) if fmt == "csv"
+        (w.options(**csv_opts).csv(path) if fmt == "csv"
          else w.json(path) if fmt == "json" else w.orc(path))
         r = spark.read
         df = (
-            r.schema(schema).option("header", "true").csv(path) if fmt == "csv"
+            r.schema(schema).options(multiLine="true", **csv_opts).csv(path)
+            if fmt == "csv"
             else r.schema(schema).json(path) if fmt == "json" else r.orc(path)
         )
         outs.append(

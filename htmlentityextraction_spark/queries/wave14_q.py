@@ -727,7 +727,13 @@ def analyze_catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    within = F.abs(F.col("__est") - F.col("ndv_exact")) <= F.col("ndv_exact") * 0.05
+    # tolerance floor of 2: a single 64-bit hash collision already
+    # shifts a tiny-NDV estimate by 1, which ±5% of e.g. 17 cannot
+    # absorb (text-fuzz found a real 2-string collision under BOTH
+    # engines' sketches); the relative bound still governs real NDVs
+    within = F.abs(F.col("__est") - F.col("ndv_exact")) <= F.greatest(
+        F.col("ndv_exact") * 0.05, F.lit(2.0)
+    )
     return out.select(
         "tbl", "col", "n_rows", "ndv_exact", "null_frac", within.alias("ndv_within_5pct")
     )
