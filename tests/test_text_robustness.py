@@ -1,0 +1,140 @@
+"""Adversarial-text contracts pinned by the round-6 text-fuzz axis
+(tools/null_fuzz.py --kind text): every lesson that sweep taught is
+frozen here so a refactor cannot silently unlearn it.
+
+Covered classes:
+- CSV round-trip losslessness (embedded newlines, whitespace edges,
+  '' vs NULL) under the exact option set multiformat_source_parity
+  ships;
+- composite-key joins must not match on half a key (concat_ws skips
+  NULL segments);
+- source_mix default_rate for never-enumerated sources;
+- multimodal zero-byte payload drop (features/resize/frames);
+- the documented Spark-vs-DuckDB casefold divergence on
+  locale-special characters (İ, ß, ligatures) — the reason those
+  chars are EXCLUDED from the fuzz pool rather than "fixed": the two
+  engines genuinely disagree, and any query whose correctness
+  depended on casefolding them could not be oracled. The assertion
+  pins today's behavior of both engines so a future engine upgrade
+  that changes the trade-off is noticed, not absorbed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+ADVERSARIAL = [
+    "",
+    "   ",
+    "\tleading tab\nnewline\rcr",
+    "Ünïcodé Café naïve",
+    "Café au lait",
+    "\U0001f99c parrot \U0001f99c\U0001f99c",
+    "x" * 300,
+    "&amp;&lt;td&gt;99.99&lt;/td&gt;",
+    "'single' \"double\" \\backslash %percent _underscore",
+    None,
+]
+
+CSV_OPTS = {
+    "header": "true",
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+}
+
+
+def test_csv_roundtrip_lossless_with_contract_options(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)], "id long, st string"
+    )
+    root = tempfile.mkdtemp(prefix="csv_rt_")
+    df.write.mode("overwrite").options(**CSV_OPTS).csv(root)
+    back = (
+        spark.read.schema("id long, st string")
+        .options(multiLine="true", **CSV_OPTS)
+        .csv(root)
+    )
+    got = {r.id: r.st for r in back.collect()}
+    for i, s in enumerate(ADVERSARIAL):
+        assert got[i] == s, f"row {i}: {s!r} -> {got[i]!r}"
+
+
+def test_csv_default_read_splits_embedded_newlines(spark):
+    """The negative control: WITHOUT multiLine, a quoted embedded
+    newline splits the record — the silent corruption the contract
+    options exist to prevent."""
+    df = spark.createDataFrame([(1, "a\nb")], "id long, st string")
+    root = tempfile.mkdtemp(prefix="csv_neg_")
+    df.write.mode("overwrite").option("header", "true").csv(root)
+    n = spark.read.option("header", "true").schema("id long, st string").csv(root).count()
+    assert n == 2  # one logical row read back as two physical rows
+
+
+def test_source_mix_default_rate_keeps_unlisted_sources(spark):
+    from htmlentityextraction_spark.operators.llmprep import source_mix
+
+    rows = [(i, "listed" if i % 2 == 0 else "junk-src é") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    key = F.col("doc_id").cast("string")
+    none_kept = source_mix(df, {"listed": 1.0}, key).filter(
+        F.col("source") != "listed"
+    )
+    assert none_kept.count() == 0
+    some = source_mix(df, {"listed": 1.0}, key, default_rate=0.5).filter(
+        F.col("source") != "listed"
+    )
+    n = some.count()
+    assert 0 < n < 100  # deterministic md5 half-keep of the 100 junk rows
+
+
+def test_source_mix_never_keeps_null_source(spark):
+    from htmlentityextraction_spark.operators.llmprep import source_mix
+
+    df = spark.createDataFrame([(1, None), (2, "a")], "doc_id long, source string")
+    out = source_mix(
+        df, {"a": 1.0}, F.col("doc_id").cast("string"), default_rate=1.0
+    )
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_multimodal_zero_byte_payloads_produce_no_rows(spark):
+    from htmlentityextraction_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        # doc_id % 3 == 0 -> image, 2 -> video; '' payloads everywhere
+        [(0, ""), (2, ""), (3, "ab"), (5, "xyzw")],
+        "doc_id long, text string",
+    )
+    media = mm.attach_media(docs)
+    feats = mm.extract_features(media)
+    assert sorted(r.doc_id for r in feats.collect()) == [3, 5]
+    # image with payload shorter than one pixel row -> dropped
+    resized = mm.resize_images(media)
+    assert all(r.out_height > 0 or r.out_width > 0 for r in resized.collect())
+    frames = mm.sample_frames(media)
+    assert all(r.frame_bytes > 0 for r in frames.collect())
+
+
+@pytest.mark.parametrize("ch", ["İ", "ß", "ﬁ"])  # İ ß ﬁ
+def test_casefold_engine_divergence_documented(spark, ch):
+    """Spark (ICU full case mappings) and DuckDB (utf8proc simple
+    mappings) disagree on locale-special characters. This is a
+    DOCUMENTED engine divergence, excluded from the fuzz pool by
+    design; the test pins each engine's current answer so an upgrade
+    that shifts either side is surfaced."""
+    s_lower = spark.range(1).select(F.lower(F.lit(ch)).alias("v")).collect()[0].v
+    s_upper = spark.range(1).select(F.upper(F.lit(ch)).alias("v")).collect()[0].v
+    d_lower, d_upper = duckdb.sql(
+        "SELECT lower(?), upper(?)", params=[ch, ch]
+    ).fetchone()
+    if ch == "İ":  # İ: Spark lowers to i+combining-dot, duck to plain i
+        assert s_lower == "i̇" and d_lower == "i"
+    if ch == "ß":  # ß: Spark uppercases to SS (full), duck to ẞ (simple)
+        assert s_upper == "SS" and d_upper == "ẞ"
+    if ch == "ﬁ":  # ﬁ: Spark uppercases to FI, duck keeps ﬁ
+        assert s_upper == "FI" and d_upper == "ﬁ"
