@@ -475,3 +475,90 @@ def sorted_neighborhood_pairs(
             F.col("__nbr.key_b").alias("key_b"),
         )
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Sliding-window exact-substring duplicate spans — the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) re-expressed for Spark: every
+    ``window``-token substring (stride 1) that occurs MORE THAN ONCE
+    in the corpus marks a duplicated region; the first occurrence
+    (ordered by (doc_id, pos)) is the kept original, every later
+    occurrence is a duplicate window, and overlapping duplicate
+    windows per doc are merged into maximal spans (the removable
+    regions). Complements ``segment_dedup_keep_first`` (non-
+    overlapping segments — cheaper, but a duplicate straddling a
+    segment boundary escapes it); stride-1 windows catch ANY
+    ``window``-token repeat at any alignment, which is the property
+    the suffix-array construction buys and a 15-token grid does not.
+
+    Scale shape: no suffix array and no global sort of text —
+    one explode to (docs × positions) rows carrying only an 8-byte
+    xxhash64 plus the window text for collision safety, one shuffle
+    partitioned on (hash, window) for the global occurrence rank,
+    one doc-partitioned window for the island merge. At 100 TB the
+    window column can be dropped from the shuffle (hash-only, with a
+    second verify pass on colliding groups) to keep the exchange
+    narrow; duplicate groups are popularity-bounded, not corpus-
+    bounded.
+
+    Returns one row per merged duplicate span:
+    (doc_id, span_start, span_end, span_tokens), 1-based inclusive
+    token positions.
+    """
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    base = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= window)
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - window + 1),
+                lambda i: F.array_join(F.slice("__toks", i, window), " "),
+            )
+        ).alias("__p0", "win"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "win")
+    # global first-occurrence rank: hash dominates the partitioner,
+    # the raw window rides along as the 64-bit collision guard
+    occ = Window.partitionBy("__h", "win").orderBy(id_col, "pos")
+    dup = (
+        wins.withColumn("__h", F.xxhash64("win"))
+        .withColumn("__rk", F.row_number().over(occ))
+        .filter(F.col("__rk") > 1)
+        .select(id_col, "pos")
+    )
+    # island merge: a duplicate window opens a new span iff it starts
+    # past the furthest end seen so far in this doc
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window - 1).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "__isl", F.sum("__new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -18,13 +18,30 @@ from htmlentityextraction_spark.sources.tables import load_table
 
 # payload: registrant always present (name + country + phone);
 # admin contact only for s_suppkey % 3 = 0 (company only);
-# technical never present -> all N/A
-_PAYLOAD_SQL = """
-    '{"whois_record": {"registrant_contact": {"full_name": "' || s_name ||
-    '", "country_name": "' || n_name || '", "phone_number": "+1-' || s_suppkey || '-555"}' ||
+# technical never present -> all N/A.
+# Names are free text: JSON-escape backslash/quote/control chars when
+# templating (text-fuzz aligned; identical chain Spark-side) — one
+# quoted supplier name otherwise makes the payload malformed, which
+# from_json nulls but DuckDB's json_extract refuses to parse.
+
+
+def _esc_sql(col: str) -> str:
+    return (
+        f"replace(replace(replace(replace(replace({col}, "
+        "chr(92), chr(92) || chr(92)), "
+        "'\"', chr(92) || '\"'), "
+        "chr(10), chr(92) || 'n'), "
+        "chr(13), chr(92) || 'r'), "
+        "chr(9), chr(92) || 't')"
+    )
+
+
+_PAYLOAD_SQL = f"""
+    '{{"whois_record": {{"registrant_contact": {{"full_name": "' || {_esc_sql('s_name')} ||
+    '", "country_name": "' || {_esc_sql('n_name')} || '", "phone_number": "+1-' || s_suppkey || '-555"}}' ||
     CASE WHEN s_suppkey % 3 = 0
-         THEN ', "administrative_contact": {"company_name": "' || s_name || ' Corp"}'
-         ELSE '' END || '}}'
+         THEN ', "administrative_contact": {{"company_name": "' || {_esc_sql('s_name')} || ' Corp"}}'
+         ELSE '' END || '}}}}'
 """
 
 _SHORT = {
@@ -75,11 +92,18 @@ def whois_contact_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity."""
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
+    def esc(col):
+        for needle, repl in (
+            ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+        ):
+            col = F.replace(col, F.lit(needle), F.lit(repl))
+        return col
+
     payload = F.concat(
         F.lit('{"whois_record": {"registrant_contact": {"full_name": "'),
-        F.col("s_name"),
+        esc(F.col("s_name")),
         F.lit('", "country_name": "'),
-        F.col("n_name"),
+        esc(F.col("n_name")),
         F.lit('", "phone_number": "+1-'),
         F.col("s_suppkey").cast("string"),
         F.lit('-555"}'),
@@ -87,7 +111,7 @@ def whois_contact_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod("s_suppkey", F.lit(3)) == 0,
             F.concat(
                 F.lit(', "administrative_contact": {"company_name": "'),
-                F.col("s_name"),
+                esc(F.col("s_name")),
                 F.lit(' Corp"}'),
             ),
         ).otherwise(F.lit("")),

@@ -645,3 +645,61 @@ def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlentityextraction_spark.operators.lmscore import bigram_doc_scores
 
     return bigram_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+_SUBSTR_W = 8  # fixture-scale window; production uses ~50 tokens
+
+
+@register(
+    "exact_substring_dup_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter({_TOKS.format(col='text')}, t -> t <> '') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {_SUBSTR_W}
+    ), wn AS (
+        SELECT doc_id, unnest(generate_series(1, n - {_SUBSTR_W} + 1)) AS pos, toks
+        FROM b
+    ), wv AS (
+        SELECT doc_id, pos,
+               array_to_string(list_slice(toks, pos, pos + {_SUBSTR_W} - 1), ' ') AS win
+        FROM wn
+    ), mk AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rk
+        FROM wv
+    ), d AS (
+        SELECT doc_id, pos FROM mk WHERE rk > 1
+    ), pe AS (
+        SELECT doc_id, pos,
+               max(pos + {_SUBSTR_W} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM d
+    ), fl AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS nf
+        FROM pe
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM fl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SUBSTR_W} - 1 AS BIGINT) AS span_end,
+           CAST(max(pos) + {_SUBSTR_W} - min(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring dedup (Lee et al. 2022 suffix-
+    array dedup, Spark-first): maximal duplicated token spans per doc
+    — every 8-token substring occurring >1x corpus-wide, later
+    occurrences merged into removable regions. See
+    operators/dedup.py exact_substring_spans for the scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_substring_spans(docs, window=_SUBSTR_W)

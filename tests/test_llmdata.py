@@ -241,3 +241,46 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
     assert all(r.cosine is not None for r in out)
     pairs = {(r.query_id, r.neighbor_id) for r in out}
     assert pairs == {(2, 3), (3, 2)}
+
+
+# --- sliding-window exact-substring dedup (Lee et al. 2022 shape) ---
+def _span_rows(spark, texts, window=4):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = dd.exact_substring_spans(df, window=window)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()
+    )
+
+
+def test_substring_spans_full_copy_marks_whole_later_doc(spark):
+    ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 0 is the kept original (no span); doc 1 is a verbatim copy:
+    # its 7 overlapping 4-token duplicate windows merge to one span 1..10
+    assert _span_rows(spark, [ten, ten]) == [(1, 1, 10, 10)]
+
+
+def test_substring_spans_within_doc_repeat(spark):
+    # the second half repeats the first 6 tokens: windows starting at
+    # 7..9 duplicate windows 1..3 -> one merged span 7..12
+    txt = "a b c d e f a b c d e f"
+    assert _span_rows(spark, [txt]) == [(0, 7, 12, 6)]
+
+
+def test_substring_spans_disjoint_repeats_stay_separate(spark):
+    shared = "one two three four"
+    a = f"{shared} fa fb fc fd {shared}"
+    # doc 0: tokens 1-4 original, tokens 9-12 repeat them -> span 9..12;
+    # doc 1 embeds the same 4-gram once more -> its occurrence is a span
+    b = f"pa pb {shared} pz"
+    assert _span_rows(spark, [a, b]) == [(0, 9, 12, 4), (1, 3, 6, 4)]
+
+
+def test_substring_spans_no_false_positives_on_unique_text(spark):
+    # letter-only tokens: tokenize() strips digits, so u1..u6 would
+    # collapse to six copies of "u" and legitimately self-duplicate
+    assert _span_rows(spark, ["ua ub uc ud ue uf", "va vb vc vd ve vf"]) == []
+
+
+def test_substring_spans_short_docs_skipped(spark):
+    # below the window size no spans can exist (and no crash)
+    assert _span_rows(spark, ["a b c", "a b c"]) == []
