@@ -36,7 +36,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the round-4 evidence gap is closed and this list is empty. Any new
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
-_DRIVER_UNCONFIRMED: tuple[str, ...] = ()
+_DRIVER_UNCONFIRMED: tuple[str, ...] = (
+    # round-6 addition — no driver verdict yet (fuzz-green on all six
+    # local axes + clean sf0.01/sf0.001)
+    "exact_substring_dup_spans",
+)
 
 
 def queries() -> dict[str, QueryFn]:
