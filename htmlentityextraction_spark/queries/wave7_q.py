@@ -185,7 +185,10 @@ def sax_symbolization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     paa = seg.groupBy("event_type", "segment").agg(
         F.round(F.avg("v") + F.lit(1e-9), 6).alias("paa")
     )
-    w = Window.orderBy("paa", "event_type", "segment")
+    # paa is NULL for a (type, segment) whose every daily mean is
+    # NULL: order NULLS LAST to match DuckDB's ASC default (same
+    # class as the round-5 ADVICE ntile items — pre-empted here)
+    w = Window.orderBy(F.asc_nulls_last("paa"), "event_type", "segment")
     q = paa.withColumn("qt", F.ntile(4).over(w))
     return q.select(
         "event_type", "segment", "paa", F.char(F.lit(96) + F.col("qt")).alias("letter")
