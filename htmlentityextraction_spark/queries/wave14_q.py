@@ -509,7 +509,8 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            round(avg(abs(v - naive_pred)) + 1e-9, 6) AS mae_naive,
            round(avg(abs(v - snaive_pred)) + 1e-9, 6) AS mae_seasonal_naive,
-           avg(abs(v - snaive_pred)) < avg(abs(v - naive_pred)) AS seasonal_wins
+           coalesce(avg(abs(v - snaive_pred)) < avg(abs(v - naive_pred)), false)
+               AS seasonal_wins
     FROM preds GROUP BY event_type
     """,
 )
@@ -543,7 +544,10 @@ def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(mae_n + F.lit(1e-9), 6).alias("mae_naive"),
         F.round(mae_s + F.lit(1e-9), 6).alias("mae_seasonal_naive"),
-        (mae_s < mae_n).alias("seasonal_wins"),
+        # a type whose MAEs are NULL (all-NULL series) has no winner:
+        # coalesce to false — NULL booleans canonicalize asymmetrically
+        # through the two engines' pandas paths (None vs NaN)
+        F.coalesce(mae_s < mae_n, F.lit(False)).alias("seasonal_wins"),
     )
 
 

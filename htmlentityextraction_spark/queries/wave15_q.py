@@ -321,8 +321,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "holt_linear_forecast_backtest",
     """
     WITH RECURSIVE daily AS (
+        -- a day whose every value is NULL is a MISSING observation,
+        -- not a zero: it must not enter the fold (one NULL level
+        -- poisons every subsequent Holt step) nor the scoring join
         SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
         FROM events GROUP BY 1, 2
+        HAVING avg(value) IS NOT NULL
     ), bounds AS (
         SELECT event_type, max(d) AS dmax FROM daily GROUP BY event_type
     ), train AS (
@@ -384,9 +388,13 @@ def holt_linear_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
     the only shuffles are the daily rollup and the tiny forecast-vs-
     actual equi-join; raw events are never refolded."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.avg("value").alias("v"))
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.avg("value").alias("v"))
+        # all-NULL day = missing observation: excluded from fold and
+        # scoring on both engines (one NULL poisons the Holt fold)
+        .filter(F.col("v").isNotNull())
+    )
     bounds = daily.groupBy("event_type").agg(F.max("d").alias("dmax"))
     train = daily.join(bounds, "event_type").where(
         F.col("d") < F.col("dmax") - F.expr("INTERVAL 6 DAY")
