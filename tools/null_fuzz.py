@@ -119,6 +119,19 @@ GROUP_INJECT: dict[str, tuple[str, list[str]]] = {
     "events": ("user_id", ["value"]),
 }
 
+# ``--kind nullcat|nancat``: poison EVERY value of the first (min)
+# CATEGORY — "one event_type whose every value is NULL/NaN". Distinct
+# from the id-keyed group kinds: category keys have ~3-20 distinct
+# values, so %-of-keys selection can't target them reliably, yet an
+# all-poisoned category is a common production shape (one upstream
+# producer emits a field the schema has but the payloads lack).
+# Round-6 first run found 3 silent divergences (SAX ntile, forecast
+# seasonal_wins, Holt fold poisoning) that every other axis missed.
+CAT_INJECT: dict[str, tuple[str, list[str]]] = {
+    "events": ("event_type", ["value"]),
+    "lineitem": ("l_returnflag", ["l_quantity", "l_extendedprice"]),
+}
+
 
 def _group_mask(key_arr: pa.ChunkedArray, seed: int, pct: int = 7) -> pa.Array:
     """Deterministic ~pct% of group keys, independent of row order:
@@ -156,6 +169,27 @@ def fuzz_table(
             )
             t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
             counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
+    if kind in ("nullcat", "nancat"):
+        if table not in CAT_INJECT:
+            pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+            return counts
+        key_col, cols = CAT_INJECT[table]
+        first = pc.min(t.column(key_col)).as_py()
+        mask = pc.equal(t.column(key_col), first)
+        for col in cols:
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if kind == "nancat" and arr.type not in (pa.float64(), pa.float32()):
+                continue
+            poison = (
+                pa.scalar(float("nan"), type=arr.type)
+                if kind == "nancat"
+                else pa.scalar(None, type=arr.type)
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, poison, arr))
+            counts[f"{col}[{key_col}={first}]"] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
     if kind in ("nullgroup", "nangroup"):
@@ -206,7 +240,7 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument(
-        "--kind", choices=["null", "nan", "nullgroup", "nangroup", "text"], default="null"
+        "--kind", choices=["null", "nan", "nullgroup", "nangroup", "nullcat", "nancat", "text"], default="null"
     )
     args = ap.parse_args()
 
