@@ -934,10 +934,14 @@ class ParquetMergeTable:
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
         affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
         if not affected:
+            # no-op batch (empty stream trigger): carry the recorded
+            # schema forward — dropping it left an empty table
+            # unreadable after any empty micro-batch (empty-fuzz axis)
             return {
                 "version": version,
                 "buckets": dict(m["buckets"]),
                 "stats": dict(m.get("stats", {})),
+                "schema": m.get("schema"),
             }
 
         old_paths = [

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from htmlentityextraction_spark.operators.similarity import valid_vectors
 
 
+def _empty_eval(emb: DataFrame) -> DataFrame:
+    """Typed empty per-class metrics frame (the RF/SVC output shape)."""
+    return emb.sparkSession.createDataFrame([], "klass int, n bigint, accuracy double")
+
+
 def _vectorized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Vectorize for pyspark.ml; corrupt vectors (NULL / NULL-element
     / empty) are dropped first — array_to_vector crashes on them, and
@@ -42,6 +47,10 @@ def random_forest_eval(
         .filter(F.col("label").isNotNull())  # Spark ML: labels must be non-null
         .withColumn("y", (F.col("label") < label_threshold).cast("double"))
     )
+    if data.isEmpty():  # Spark ML fit crashes on an empty dataset;
+        # an empty corpus yields an empty metrics report (matches the
+        # oracle's empty GROUP BY) — the empty-fuzz production shape
+        return _empty_eval(emb)
     rf = RandomForestClassifier(
         labelCol="y", featuresCol="features", numTrees=n_trees, maxDepth=max_depth,
         seed=seed, featureSubsetStrategy="auto",
@@ -67,6 +76,8 @@ def linear_svc_eval(
         .filter(F.col("label").isNotNull())  # Spark ML: labels must be non-null
         .withColumn("y", (F.col("label") < label_threshold).cast("double"))
     )
+    if data.isEmpty():  # see random_forest_eval
+        return _empty_eval(emb)
     svc = LinearSVC(labelCol="y", featuresCol="features", maxIter=max_iter)
     model = svc.fit(data)
     pred = model.transform(data)
@@ -89,6 +100,10 @@ def lda_topics(docs: DataFrame, k: int = 3, vocab_size: int = 500, seed: int = 4
     toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.filter(tokenize(F.col("text")), lambda t: t != "").alias("tokens")
     )
+    if toks.isEmpty():  # CountVectorizer/LDA crash on an empty corpus
+        return docs.sparkSession.createDataFrame(
+            [], "topic int, term_rank int, term_index int, term string"
+        )
     cv = CountVectorizer(inputCol="tokens", outputCol="features", vocabSize=vocab_size, minDF=2.0)
     cvm = cv.fit(toks)
     vecs = cvm.transform(toks)
@@ -111,6 +126,10 @@ def pca_project(emb: DataFrame, k: int = 8) -> DataFrame:
     projection norm per vector (component signs are implementation-
     defined; the norm is not)."""
     data = _vectorized(emb)
+    if data.isEmpty():  # PCA covariance fit crashes on empty input
+        return data.select("vec_id", "label").withColumn(
+            "proj_norm", F.lit(None).cast("double")
+        )
     pca = PCA(k=k, inputCol="features", outputCol="proj")
     model = pca.fit(data)
     out = model.transform(data).withColumn("proj_arr", vector_to_array("proj"))

@@ -55,6 +55,7 @@ def ml_linear_svc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT t.t AS topic, r.r AS term_rank, true AS valid_term
     FROM generate_series(0, 2) t(t), generate_series(1, 5) r(r)
+    WHERE EXISTS (SELECT 1 FROM documents WHERE text IS NOT NULL)
     """,
 )
 def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:

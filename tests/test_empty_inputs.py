@@ -109,3 +109,42 @@ def test_stream_merge_into_empty_stream(spark, tmp_path):
     stream = sp.read_events_stream(spark, "unused", events_dir=topic)
     sp.stream_merge_into(stream, tbl).await_done()
     assert tbl.read().count() == 0
+
+
+def test_mlx_fits_empty_input(spark):
+    """Spark ML fits crash on empty datasets; the operators must
+    instead return typed empty reports — the empty-day production
+    shape (empty-fuzz axis, round 6)."""
+    from htmlentityextraction_spark.operators import mlx
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label long")
+    rf = mlx.random_forest_eval(emb)
+    assert rf.count() == 0 and rf.columns == ["klass", "n", "accuracy"]
+    svc = mlx.linear_svc_eval(emb)
+    assert svc.count() == 0 and svc.columns == ["klass", "n", "accuracy"]
+    pca = mlx.pca_project(emb)
+    assert pca.count() == 0 and pca.columns == ["vec_id", "label", "proj_norm"]
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    lda = mlx.lda_topics(docs)
+    assert lda.count() == 0
+    assert lda.columns == ["topic", "term_rank", "term_index", "term"]
+
+
+def test_merge_table_schema_survives_noop_merge(spark, tmp_path):
+    """A no-op merge batch (zero update rows — an empty stream
+    trigger) must carry the recorded schema forward: before round 6
+    it published a schema-less manifest, making the still-empty
+    table unreadable."""
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    schema = "user_id long, n_events long"
+    tbl = ParquetMergeTable(spark, str(tmp_path / "t"), key_col="user_id", num_buckets=4)
+    tbl.create(spark.createDataFrame([], schema))
+    empty_upd = spark.createDataFrame([], schema).withColumn("op", F.lit("upsert"))
+    tbl.merge(empty_upd, combine={"n_events": "sum"})
+    out = tbl.read()  # raised ValueError before the fix
+    assert out.count() == 0
+    assert out.columns == ["user_id", "n_events"]

@@ -132,6 +132,15 @@ CAT_INJECT: dict[str, tuple[str, list[str]]] = {
     "lineitem": ("l_returnflag", ["l_quantity", "l_extendedprice"]),
 }
 
+# ``--kind empty``: write these tables with ZERO rows (schema intact).
+# The production shape is an empty day/partition of the append-only
+# streams — behavior analytics, corpus prep, and vector search all
+# see no input while the dimension/fact backbone still exists. The
+# TPC-H tables stay populated: the page/serve fixtures derive from
+# orders, and an all-empty warehouse is a bootstrap error a pipeline
+# SHOULD fail loudly on, not silently return empty results for.
+EMPTY_TABLES = ["events", "documents", "embeddings"]
+
 
 def _group_mask(key_arr: pa.ChunkedArray, seed: int, pct: int = 7) -> pa.Array:
     """Deterministic ~pct% of group keys, independent of row order:
@@ -152,6 +161,14 @@ def fuzz_table(
     both occur in production float columns)."""
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     counts: dict[str, int] = {}
+    if kind == "empty":
+        if table in EMPTY_TABLES:
+            t = t.slice(0, 0)
+            counts["__rows_dropped__"] = len(
+                pq.read_table(os.path.join(src, f"{table}.parquet"))
+            )
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind == "text":
         rows = len(t)
         for col in INJECT.get(table, []):
@@ -240,7 +257,12 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument(
-        "--kind", choices=["null", "nan", "nullgroup", "nangroup", "nullcat", "nancat", "text"], default="null"
+        "--kind",
+        choices=[
+            "null", "nan", "nullgroup", "nangroup",
+            "nullcat", "nancat", "text", "empty",
+        ],
+        default="null",
     )
     args = ap.parse_args()
 
