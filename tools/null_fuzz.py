@@ -132,6 +132,22 @@ CAT_INJECT: dict[str, tuple[str, list[str]]] = {
     "lineitem": ("l_returnflag", ["l_quantity", "l_extendedprice"]),
 }
 
+# ``--kind extreme``: cycle pathological-but-representable doubles
+# through FLOAT columns. Distinct from NaN: ±inf passes every
+# ``NOT isnan`` guard yet overflows ANSI casts at cents boundaries;
+# ±1e308 is finite and does the same; 2^53+1 probes integer-precision
+# loss; 5e-324 is subnormal; -0.0 probes sign-of-zero canonicalization
+# divergence between engines.
+EXTREME_POOL = [
+    float("inf"),
+    float("-inf"),
+    1e308,
+    -1e308,
+    9007199254740993.0,  # 2^53 + 1 → rounds to 2^53 in float64
+    5e-324,              # smallest positive subnormal
+    -0.0,
+]
+
 # ``--kind empty``: write these tables with ZERO rows (schema intact).
 # The production shape is an empty day/partition of the append-only
 # streams — behavior analytics, corpus prep, and vector search all
@@ -234,7 +250,17 @@ def fuzz_table(
             continue
         idx = t.column_names.index(col)
         arr = t.column(idx)
-        if kind == "nan" and arr.type not in (pa.float64(), pa.float32()):
+        if kind in ("nan", "extreme") and arr.type not in (pa.float64(), pa.float32()):
+            continue
+        if kind == "extreme":
+            rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}".encode()))
+            mask = pa.array(rng.random(len(t)) < rate)
+            repl = pa.array(
+                [EXTREME_POOL[i % len(EXTREME_POOL)] for i in range(len(t))],
+                type=arr.type,
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
             continue
         # stable across processes (str hash() is salted per-process)
         rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}".encode()))
@@ -260,7 +286,7 @@ def main() -> None:
         "--kind",
         choices=[
             "null", "nan", "nullgroup", "nangroup",
-            "nullcat", "nancat", "text", "empty",
+            "nullcat", "nancat", "text", "empty", "extreme",
         ],
         default="null",
     )
