@@ -10,6 +10,40 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Measurement-domain bound: any |v| ≥ 1e10 — ±inf, ±1e308, 2^53-scale
+# garbage, or a finite-but-absurd magnitude — is a corrupt measurement
+# (no real price/metric in this domain reaches ten billion; clean
+# fixtures top out below 5e5), excluded at the SAME ingestion boundary
+# as NULL/NaN (extreme-fuzz axis). The bound is sized for EXACT cents
+# statistics at cluster scale, not just single values: cents = v*100
+# ≤ 1e12 fits a long with 6 orders of margin, squared cents ≤ 1e24,
+# and a 10^12-row sum of squared cents ≤ 1e36 stays inside
+# decimal(38,0) / int128 exact arithmetic with no overflow.
+MAX_ABS_MEASURE = 1e10
+
+
+def finite_measure(col: Column | str) -> Column:
+    """Predicate: value is a usable measurement (non-NULL, non-NaN,
+    |v| < 1e10). The two range comparisons alone would exclude
+    NULL/NaN on both engines, but the explicit guards are kept for
+    readability and to sidestep engine-specific NaN-comparison
+    vectorization quirks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c > F.lit(-MAX_ABS_MEASURE))
+        & (c < F.lit(MAX_ABS_MEASURE))
+    )
+
+
+def finite_measure_sql(expr: str) -> str:
+    """DuckDB twin of :func:`finite_measure` for oracle SQL strings."""
+    return (
+        f"({expr} IS NOT NULL AND NOT isnan({expr})"
+        f" AND {expr} > -1e10 AND {expr} < 1e10)"
+    )
+
 
 def descretize(cont: Column) -> Column:
     """|Δ| → level 1..6 ladder.
@@ -75,11 +109,14 @@ def price_status(model_price: Column, updated_price: Column) -> Column:
     """
     all_false = model_price == -1.0
     missing = model_price == -2.0
-    # NaN branch first: Scala's Double.NaN.toInt is 0 (reference
-    # parity -> patternFailed), while Spark's ANSI cast throws
-    # CAST_OVERFLOW on NaN (NaN-fuzz hardened)
-    pattern_failed = F.when(F.isnan(updated_price), F.lit(True)).otherwise(
-        updated_price.cast("int") == 0
+    # Scala's `updated_price.toInt == 0` is true exactly for NaN
+    # (Double.NaN.toInt == 0) and for -1 < v < 1 (truncation toward
+    # zero); ±inf/huge truncate to Int.Max/MinValue ≠ 0. Expressed
+    # WITHOUT a cast — Spark's ANSI cast throws CAST_OVERFLOW on
+    # NaN/±inf/out-of-int-range doubles (NaN/extreme-fuzz hardened),
+    # while this range form is reference-exact for every double.
+    pattern_failed = F.isnan(updated_price) | (
+        (updated_price > F.lit(-1.0)) & (updated_price < F.lit(1.0))
     )
     model_ok = ~all_false & ~missing & ~pattern_failed
     equals = model_ok & (F.abs(model_price - updated_price) < 0.009)

@@ -27,19 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.pricing import cv_rank, descretize, rel_place_rank
+from htmlentityextraction_spark.functions.pricing import (
+    cv_rank,
+    descretize,
+    finite_measure,
+    finite_measure_sql,
+    rel_place_rank,
+)
 from htmlentityextraction_spark.sources.tables import load_table
 
 
 def price_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → (sys_prod_id, store_id, tmsp, price) history with
-    deterministic tie-break columns. NULL-price observations are
-    corrupt input (the reference's Double parse would never have
-    produced a row) and are dropped — they would also rank at
-    opposite ends of the two engines' position windows (null-fuzz
-    aligned)."""
+    deterministic tie-break columns. NULL/NaN/out-of-range price
+    observations are corrupt input (the reference's Double parse →
+    cents cast would never have produced a usable row) and are
+    dropped — NULLs would also rank at opposite ends of the two
+    engines' position windows, and ±inf/±1e308 overflow the cents
+    domain (null/NaN/extreme fuzz aligned)."""
     return load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        finite_measure("l_extendedprice")
     ).select(
         F.col("l_partkey").alias("sys_prod_id"),
         F.col("l_suppkey").alias("store_id"),
@@ -131,7 +138,7 @@ WITH obs AS (
            row_number() OVER w AS rn,
            lead(l_extendedprice) OVER w AS prev_price
     FROM lineitem
-    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    WHERE {finite_price}
     WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC)
 ), latest AS (
@@ -196,4 +203,4 @@ SELECT p.sys_prod_id,
             WHEN abs(d.min_rel_delta_val) <= 1.0 THEN 5
             ELSE 6 END AS min_rel_delta_level
 FROM pos p JOIN delta_agg d USING (sys_prod_id)
-"""
+""".format(finite_price=finite_measure_sql("l_extendedprice"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -196,8 +197,9 @@ def automatcher_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
            string_agg(DISTINCT 'S' || l_suppkey, ',' ORDER BY 'S' || l_suppkey) AS competitors
     FROM lineitem
+    WHERE {fp}
     GROUP BY l_partkey
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RT2Report (`emr/RT2Report.scala:58-120`): per product, the
@@ -205,7 +207,7 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     point lookups against Cassandra inside mapPartitions (a
     nested-loop join); here it's one shuffle agg with collect_set —
     the J7 → broadcast/shuffle-join rewrite."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_extendedprice"))
     comp = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
     return (
         li.groupBy(F.col("l_partkey").alias("prodid"))
@@ -225,8 +227,9 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH updates AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 10 = 3 THEN NULL
-                    -- a NaN source keeps its NaN (Spark floor(NaN)=0)
-                    WHEN isnan(o_totalprice) THEN o_totalprice
+                    -- a non-finite/out-of-range source keeps its value
+                    -- (Spark floor(NaN)=0; inf*1.1 overflows the cents cast)
+                    WHEN NOT {fp} THEN o_totalprice
                     ELSE floor(o_totalprice * 1.1 * 100) / 100 END AS new_price,
                o_orderkey % 10 = 3 AS is_delete
         FROM orders WHERE o_orderkey % 5 IN (1, 3)
@@ -237,7 +240,7 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated' ELSE 'kept' END AS merge_action
     FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
     WHERE u.is_delete IS NULL OR NOT u.is_delete
-    """,
+    """.format(fp=finite_measure_sql("o_totalprice")),
 )
 def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K8 upsert + anti-upsert semantics (MySQL `INSERT … ON
@@ -254,7 +257,7 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             k.alias("u_key"),
             F.when(F.pmod(k, F.lit(10)) == 3, F.lit(None).cast("double"))
-            .when(F.isnan("o_totalprice"), F.col("o_totalprice"))
+            .when(~finite_measure("o_totalprice"), F.col("o_totalprice"))
             .otherwise(F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
             .alias("new_price"),
             (F.pmod(k, F.lit(10)) == 3).alias("is_delete"),

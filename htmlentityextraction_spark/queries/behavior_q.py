@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.temporal import epoch_micros
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -137,9 +138,10 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice AS price,
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        WHERE {fp}
     ), m AS (
-        SELECT flag, count(*)::BIGINT AS n, sum(y) AS sy, sum(y*y) AS syy
+        SELECT flag, count(*)::BIGINT AS n, sum(y) AS sy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
         FROM b GROUP BY flag
     ), stats AS (
         SELECT flag,
@@ -151,7 +153,7 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(b.y AS DOUBLE) - s.mu) / s.sigma + 1e-9, 6) AS z
     FROM b JOIN stats s ON b.flag = s.flag
     WHERE abs((CAST(b.y AS DOUBLE) - s.mu) / s.sigma) > 1.5
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical anomaly flags: line items whose price sits more
@@ -164,7 +166,7 @@ def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (3 rows, broadcast back) + one scan. NaN prices are
     excluded — not outliers, corrupt (NaN-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        finite_measure("l_extendedprice")
     )
     dec = "decimal(38,0)"
     b = li.select(
@@ -177,7 +179,9 @@ def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = b.groupBy("flag").agg(
         F.count("*").alias("n"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        # cast BEFORE multiplying: at the admitted domain bound
+        # (|v| < 1e10 -> y <= 1e12 cents) y*y overflows a long
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
     )
     nd = F.col("n").cast("double")
     ndec = F.col("n").cast(dec)

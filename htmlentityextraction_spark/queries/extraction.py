@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import extraction as ex
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -26,7 +27,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — so they are dropped here and in every page oracle
     (null-fuzz hardened)."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+        finite_measure("o_totalprice")
     )
     k = F.col("o_orderkey").cast("string")
     # floor→bigint→string is deterministic across Spark and DuckDB
@@ -49,7 +50,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o_orderkey AS VARCHAR) AS k,
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                o_orderkey % 3 AS bucket
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     SELECT url,
            p2 AS candidate,
@@ -79,7 +80,7 @@ def price_candidate_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                CAST(floor(o_totalprice) AS DOUBLE) + 0.99 AS truth_price,
                o_orderkey % 3 AS bucket, o_orderkey % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     SELECT url, p2 AS candidate,
            CAST(flip = 0 AS BOOLEAN) AS label,

@@ -25,6 +25,7 @@ from htmlentityextraction_spark.operators.incremental import (
     OP_UPSERT,
     ParquetMergeTable,
 )
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -34,9 +35,9 @@ from htmlentityextraction_spark.sources.tables import load_table
     """
     WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
     SELECT k AS o_orderkey,
-           CASE WHEN k % 7 = 1 AND NOT isnan(p) THEN floor(p * 1.05 * 100) / 100
+           CASE WHEN k % 7 = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 1.05 * 100) / 100
                 WHEN k % 14 = 2 THEN 1.0
-                WHEN k % 7 = 3 AND NOT isnan(p) THEN floor(p * 0.9 * 100) / 100
+                WHEN k % 7 = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 0.9 * 100) / 100
                 ELSE p END AS price
     FROM o WHERE k % 14 <> 9
     UNION ALL
@@ -70,7 +71,7 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     # not fabricate a price (null/NaN-fuzz aligned)
     batch1 = orders.filter(
         (F.pmod(k, F.lit(7)) == 2)
-        | ((F.pmod(k, F.lit(7)) == 1) & ~F.isnan("price"))
+        | ((F.pmod(k, F.lit(7)) == 1) & finite_measure("price"))
     ).select(
         "o_orderkey",
         F.when(F.pmod(k, F.lit(7)) == 1, F.floor(F.col("price") * 1.05 * 100) / 100)
@@ -86,7 +87,7 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
         "o_orderkey", F.lit(1.0).alias("price"), F.lit(OP_UPSERT).alias("op")
     )
     discount = orders.filter(
-        (F.pmod(k, F.lit(7)) == 3) & ~F.isnan("price")
+        (F.pmod(k, F.lit(7)) == 3) & finite_measure("price")
     ).select(
         "o_orderkey",
         (F.floor(F.col("price") * 0.9 * 100) / 100).alias("price"),
@@ -156,13 +157,13 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k AS o_orderkey, 'update' AS change_type,
            round(p + 1e-9, 6) AS old_price,
            round(floor(p * 1.05 * 100) / 100 + 1e-9, 6) AS new_price
-    FROM o WHERE k % 7 = 1 AND p IS NOT NULL AND NOT isnan(p)
+    FROM o WHERE k % 7 = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE k % 14 = 2
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6),
            round(floor(p * 0.9 * 100) / 100 + 1e-9, 6)
-    FROM o WHERE k % 7 = 3 AND p IS NOT NULL AND NOT isnan(p)
+    FROM o WHERE k % 7 = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
     UNION ALL
     SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE k % 14 = 9
     UNION ALL
@@ -207,7 +208,7 @@ def mergetable_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey % 100 AS price_group,
            count(*) AS n_orders,
            -- NaN contributes no cents (same as NULL) on both engines
-           CAST(sum(CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
+           CAST(sum(CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
     FROM final GROUP BY price_group
     """,
 )
@@ -225,7 +226,7 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     # NaN -> NULL before the floor: Spark's floor(NaN) is silently 0,
     # so a corrupt price would otherwise contribute 0 cents instead
     # of nothing (NaN-fuzz aligned)
-    cents = lambda c: F.when(~F.isnan(c), F.floor(c * 100 + F.lit(0.5)))  # noqa: E731
+    cents = lambda c: F.when(finite_measure(c), F.floor(c * 100 + F.lit(0.5)))  # noqa: E731
     grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
 
     base = (
@@ -265,7 +266,7 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     "mergetable_zorder_read",
     """
     SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN isnan(l_extendedprice) THEN NULL
+           CAST(sum(CASE WHEN NOT (l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10) THEN NULL
                     ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
                 AS BIGINT) AS sum_cents
     FROM lineitem
@@ -298,7 +299,7 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(
-                ~F.isnan("l_extendedprice"),
+                finite_measure("l_extendedprice"),
                 F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
             )
         ).alias(
@@ -325,9 +326,9 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
         SELECT o_orderkey % 100 AS price_group,
                CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s,
-               CAST(sum((CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)
-                        * (CASE WHEN isnan(price) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS s2
+               CAST(sum(CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s,
+               CAST(sum((CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)
+                        * (CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS s2
         FROM final GROUP BY price_group
     )
     SELECT price_group, n_orders, s AS sum_cents, s2 AS sum_sq_cents FROM agg
@@ -348,7 +349,7 @@ def matview_variance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh."""
     tbl = _merged_orders_table(spark, sf_dir)
     cents = lambda c: F.when(  # noqa: E731 — NaN cents are NULL, see rollup
-        ~F.isnan(c), F.floor(c * 100 + F.lit(0.5)).cast("long")
+        finite_measure(c), F.floor(c * 100 + F.lit(0.5)).cast("long")
     )
     grp = lambda c: F.pmod(c, F.lit(100)).alias("price_group")  # noqa: E731
 

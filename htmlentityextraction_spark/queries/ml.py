@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from htmlentityextraction_spark.functions.text import get_domain
 from htmlentityextraction_spark.operators import extraction as ex
 from htmlentityextraction_spark.operators import models as md
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -83,7 +84,7 @@ def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_totalprice orders template a NULL page — dropped on both
     engines (null-fuzz hardened)."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+        finite_measure("o_totalprice")
     )
     k = F.col("o_orderkey")
     ks = k.cast("string")
@@ -120,7 +121,7 @@ _ORACLE_BASE = """
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     ), pages AS (SELECT * FROM o WHERE bucket <> 1)
 """
 

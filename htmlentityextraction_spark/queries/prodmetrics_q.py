@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import epoch_seconds
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -84,6 +85,7 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(l_extendedprice) OVER w AS prev_price,
                l_extendedprice - lag(l_extendedprice) OVER w AS delta
         FROM lineitem
+        WHERE {fp}
         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
@@ -106,7 +108,7 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(prev_price + 1e-9, 6) AS price_from,
            round(price + 1e-9, 6) AS price_to
     FROM ranked WHERE rn_dec <= 2
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV6 top-2 variant (`analytics/ProdMetricsV6.scala:
@@ -121,6 +123,7 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(finite_measure("l_extendedprice"))
         .select(
             F.col("l_partkey").alias("prodid"),
             F.col("l_suppkey").alias("store_id"),
@@ -164,12 +167,12 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT prodid,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 0 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_0,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 1 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_1,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 2 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_2,
-           coalesce(CAST(round(max(CASE WHEN store_grp = 3 AND rn = 1 AND NOT isnan(price) THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_3
+           coalesce(CAST(round(max(CASE WHEN store_grp = 0 AND rn = 1 AND {fp} THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_0,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 1 AND rn = 1 AND {fp} THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_1,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 2 AND rn = 1 AND {fp} THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_2,
+           coalesce(CAST(round(max(CASE WHEN store_grp = 3 AND rn = 1 AND {fp} THEN price END) + 1e-9, 6) AS VARCHAR), 'NA') AS store_3
     FROM latest GROUP BY prodid
-    """,
+    """.format(fp=finite_measure_sql("price")),
 )
 def pivot_store_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka2ProdXStoreReport (`analytics/Kafka2ProdXStoreReport.scala:
@@ -183,9 +186,10 @@ def pivot_store_price_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("prodid"),
         F.pmod("l_suppkey", F.lit(4)).alias("store_grp"),
-        # NaN latest price renders as 'NA' (NaN-fuzz: duck casts NaN
-        # to the string 'nan', Spark to 'NaN' — neither is a price)
-        F.when(~F.isnan("l_extendedprice"), F.col("l_extendedprice")).alias("price"),
+        # non-finite/out-of-range latest price renders as 'NA'
+        # (NaN-fuzz: duck casts NaN to 'nan', Spark to 'NaN'; extreme
+        # fuzz: 'inf' vs 'Infinity' — none of them are prices)
+        F.when(finite_measure("l_extendedprice"), F.col("l_extendedprice")).alias("price"),
         F.row_number().over(w).alias("rn"),
     ).filter(F.col("rn") == 1)
     pivoted = (
@@ -253,6 +257,7 @@ def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY l_partkey, l_suppkey
                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         FROM lineitem
+        WHERE {fp}
     ), latest AS (SELECT * FROM obs WHERE rn = 1),
     back AS (
         SELECT l.prodid, l.store_id, l.price, l.ts,
@@ -272,7 +277,7 @@ def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN obs o2 ON o2.prodid = b.prodid AND o2.store_id = b.store_id AND o2.ts = b.ts_2d
     LEFT JOIN obs o6 ON o6.prodid = b.prodid AND o6.store_id = b.store_id AND o6.ts = b.ts_6d
     GROUP BY b.prodid, b.store_id, b.price
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeltaCalc day-back windows (`analytics/DeltaCalc.scala:46`,
@@ -282,7 +287,9 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     slow SQL way with joins; Spark uses rangeBetween)."""
     from pyspark.sql import Window
 
-    obs = load_table(spark, sf_dir, "lineitem").select(
+    obs = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
         F.col("l_extendedprice").alias("price"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators.relational import dedup_keep_latest, top_k
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -234,8 +235,8 @@ def groupby_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - (sum(l_extendedprice) / count(*)) ^ 2, 0)), 4) AS std_price,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price
-    FROM lineitem GROUP BY l_partkey
-    """,
+    FROM lineitem WHERE {fp} GROUP BY l_partkey
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def group_stats_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: StatCounter variance/mean per group
@@ -246,7 +247,7 @@ def group_stats_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev_pop: engines disagree on Welford merge order at ~1e-9
     relative, while moment sums agree to ~1e-15 — keeps the oracle
     hash stable under rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_extendedprice"))
     n = F.count(F.lit(1))
     s1 = F.sum("l_extendedprice")
     s2 = F.sum(F.col("l_extendedprice") * F.col("l_extendedprice"))

@@ -188,23 +188,18 @@ def url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT msg_id, model_price, updated_price,
            CASE
              WHEN model_price <> -1.0 AND model_price <> -2.0
-                  AND NOT (CASE WHEN isnan(updated_price) THEN true
-                           ELSE CAST(updated_price AS INT) = 0 END)
+                  AND NOT (isnan(updated_price) OR (updated_price > -1.0 AND updated_price < 1.0))
                   AND abs(model_price - updated_price) < 0.009 THEN 'modeledPatternEquals'
              WHEN model_price <> -1.0 AND model_price <> -2.0
-                  AND NOT (CASE WHEN isnan(updated_price) THEN true
-                           ELSE CAST(updated_price AS INT) = 0 END)
+                  AND NOT (isnan(updated_price) OR (updated_price > -1.0 AND updated_price < 1.0))
                   AND abs(updated_price - model_price) / greatest(updated_price, model_price) <= 0.1
                   THEN 'minorModelPatternConflict'
              WHEN model_price <> -1.0 AND model_price <> -2.0
-                  AND NOT (CASE WHEN isnan(updated_price) THEN true
-                           ELSE CAST(updated_price AS INT) = 0 END)
+                  AND NOT (isnan(updated_price) OR (updated_price > -1.0 AND updated_price < 1.0))
                   THEN 'majorModelPatternConflict'
              WHEN (model_price = -1.0 OR model_price = -2.0)
-                  AND (CASE WHEN isnan(updated_price) THEN true
-                       ELSE CAST(updated_price AS INT) = 0 END) THEN 'bothFailed'
-             WHEN (CASE WHEN isnan(updated_price) THEN true
-                   ELSE CAST(updated_price AS INT) = 0 END) THEN 'patternFailed'
+                  AND (isnan(updated_price) OR (updated_price > -1.0 AND updated_price < 1.0)) THEN 'bothFailed'
+             WHEN (isnan(updated_price) OR (updated_price > -1.0 AND updated_price < 1.0)) THEN 'patternFailed'
              WHEN model_price = -2.0 THEN 'missingModel'
              ELSE 'allFalseCandids'
            END AS issue

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -64,7 +65,7 @@ def topk_percent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) + 1e-9, 6) AS p50,
            round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) + 1e-9, 6) AS p95
     FROM lineitem
-    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
     GROUP BY l_returnflag
     """,
 )
@@ -74,7 +75,7 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for its percentile cut). For 100 TB use approx_percentile with a
     bounded error instead — same plan shape, sketch-mergeable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        finite_measure("l_extendedprice")
     )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.25)) + 1e-9, 6).alias("p25"),
@@ -98,7 +99,7 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CAST(floor(p_retailprice * 0.9) AS BIGINT) || '.00</sale_price>'
                     ELSE '' END || '</item>' AS xml
         FROM part
-        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice) AND p_retailprice > -1e10 AND p_retailprice < 1e10
     )
     SELECT p_partkey,
            regexp_extract(xml, '<gtin>([^<]*)</gtin>', 1) AS gtin,
@@ -119,7 +120,7 @@ def xml_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same constructed XML. NaN retail prices template no feed
     item (Spark's floor(NaN) would fabricate price 0 — NaN-fuzz)."""
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+        finite_measure("p_retailprice")
     )
     price = F.concat(F.floor("p_retailprice").cast("bigint").cast("string"), F.lit(".00"))
     sale = F.concat(
@@ -274,9 +275,9 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT l_returnflag AS flag,
-               (CASE WHEN isnan(l_quantity) THEN NULL
+               (CASE WHEN NOT (l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND l_quantity > -1e10 AND l_quantity < 1e10) THEN NULL
                 ELSE CAST(l_quantity AS BIGINT) END) AS x,
-               (CASE WHEN isnan(l_extendedprice) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
+               (CASE WHEN NOT (l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
         FROM lineitem
     ), m AS (
         SELECT flag, count(*)::BIGINT AS n,
@@ -309,8 +310,8 @@ def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     b = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.when(~F.isnan("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
-        F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
+        F.when(finite_measure("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
+        F.when(finite_measure("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
     )
     m = b.groupBy("flag").agg(
         F.count("*").alias("n"),
@@ -339,11 +340,11 @@ def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT flag, discount_cents, n_obs FROM (
         SELECT l_returnflag AS flag,
-               (CASE WHEN isnan(l_discount) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END) AS discount_cents,
+               (CASE WHEN NOT (l_discount IS NOT NULL AND NOT isnan(l_discount) AND l_discount > -1e10 AND l_discount < 1e10) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END) AS discount_cents,
                count(*) AS n_obs,
                row_number() OVER (PARTITION BY l_returnflag
                                   ORDER BY count(*) DESC,
-                                           (CASE WHEN isnan(l_discount) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END))
+                                           (CASE WHEN NOT (l_discount IS NOT NULL AND NOT isnan(l_discount) AND l_discount > -1e10 AND l_discount < 1e10) THEN NULL ELSE CAST(floor(l_discount * 100 + 0.5) AS BIGINT) END))
                    AS rn
         FROM lineitem GROUP BY 1, 2
     ) WHERE rn = 1
@@ -358,7 +359,7 @@ def mode_discount_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         li.select(
             F.col("l_returnflag").alias("flag"),
-            F.when(~F.isnan("l_discount"), F.floor(F.col("l_discount") * 100 + F.lit(0.5))).alias("discount_cents"),
+            F.when(finite_measure("l_discount"), F.floor(F.col("l_discount") * 100 + F.lit(0.5))).alias("discount_cents"),
         )
         .groupBy("flag", "discount_cents")
         .agg(F.count("*").alias("n_obs"))
@@ -598,9 +599,9 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT l_returnflag AS flag,
-               (CASE WHEN isnan(l_quantity) THEN NULL
+               (CASE WHEN NOT (l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND l_quantity > -1e10 AND l_quantity < 1e10) THEN NULL
                 ELSE CAST(l_quantity AS BIGINT) END) AS x,
-               (CASE WHEN isnan(l_extendedprice) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
+               (CASE WHEN NOT (l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10) THEN NULL ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS y
         FROM lineitem
     ), m AS (
         SELECT flag, count(*)::BIGINT AS n,
@@ -632,8 +633,8 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     b = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.when(~F.isnan("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
-        F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
+        F.when(finite_measure("l_quantity"), F.col("l_quantity").cast("long")).alias("x"),
+        F.when(finite_measure("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("y"),
     )
     m = b.groupBy("flag").agg(
         F.count("*").alias("n"),
@@ -664,7 +665,7 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, event_type,
            count(*) AS n_events,
-           CAST(sum((CASE WHEN isnan(value) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS sum_cents
+           CAST(sum((CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS sum_cents
     FROM events GROUP BY dow, event_type
     """,
 )
@@ -679,7 +680,7 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias("sum_cents"),
+        F.sum(F.when(finite_measure("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias("sum_cents"),
     )
 
 
@@ -687,7 +688,7 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiformat_source_parity",
     """
     SELECT fmt, count(*) AS n_rows,
-           CAST(sum((CASE WHEN isnan(o_totalprice) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT)
+           CAST(sum((CASE WHEN NOT (o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT)
                AS sum_cents,
            count(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
@@ -738,7 +739,7 @@ def multiformat_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.agg(
                 F.lit(fmt).alias("fmt"),
                 F.count("*").alias("n_rows"),
-                F.sum(F.when(~F.isnan("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias(
+                F.sum(F.when(finite_measure("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias(
                     "sum_cents"
                 ),
                 F.countDistinct("o_orderstatus").alias("n_statuses"),
@@ -862,7 +863,7 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
                     ELSE '' END ||
                ', "tags": ["t0", "t' || p_partkey % 3 || '"]}' AS js
         FROM part
-        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice) AND p_retailprice > -1e10 AND p_retailprice < 1e10
     )
     SELECT p_partkey,
            CAST(json_extract(js, '$.id') AS BIGINT) AS id,
@@ -884,7 +885,7 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
     encodes once and every extraction is JVM-side. NaN retail
     prices template no payload (NaN-fuzz aligned)."""
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+        finite_measure("p_retailprice")
     )
     # brand is free text: JSON-escape backslash/quote/control chars
     # before templating, or one quoted brand makes the whole payload
@@ -930,7 +931,7 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
                CAST(quantile_cont(l_extendedprice, 0.01) AS DOUBLE) AS lo,
                CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS hi
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
         GROUP BY flag
     )
     SELECT b.l_returnflag AS flag, count(*) AS n_rows,
@@ -942,7 +943,7 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
                     ELSE b.l_extendedprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS winsorized_sum_cents
     FROM (SELECT * FROM lineitem
-          WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)) b JOIN cuts c ON b.l_returnflag = c.flag
+          WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10) b JOIN cuts c ON b.l_returnflag = c.flag
     GROUP BY b.l_returnflag
     """,
 )
@@ -954,7 +955,7 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (groups-sized, broadcast back); sums are exact cents of
     the clamped values."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        finite_measure("l_extendedprice")
     )
     cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.queries.ml import _registry_rows
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import serve
@@ -26,7 +27,7 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders template no page message (same contract as the batch page
     fixtures — null-fuzz aligned)."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+        finite_measure("o_totalprice")
     )
     k = F.col("o_orderkey")
     ks = k.cast("string")
@@ -62,7 +63,7 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     SELECT url, domain,
            CASE WHEN bucket <> 1 AND flip = 0 THEN p2 ELSE -1.0 END AS model_price,

@@ -20,17 +20,17 @@ from htmlentityextraction_spark.streaming import pipeline as sp
 # Shared status CASE for the oracles (mirror of functions.pricing).
 _STATUS_SQL = """
     CASE WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END)
+              AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
               AND abs(model_price - pattern_price) < 0.009 THEN 'modeledPatternEquals'
          WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END)
+              AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
               AND abs(pattern_price - model_price) / greatest(pattern_price, model_price) <= 0.1
               THEN 'minorModelPatternConflict'
          WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
-              AND NOT (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'majorModelPatternConflict'
+              AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0)) THEN 'majorModelPatternConflict'
          WHEN (model_price = -1.0 OR model_price = -2.0)
-              AND (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'bothFailed'
-         WHEN (CASE WHEN isnan(pattern_price) THEN true ELSE CAST(floor(pattern_price) AS INTEGER) = 0 END) THEN 'patternFailed'
+              AND (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0)) THEN 'bothFailed'
+         WHEN (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0)) THEN 'patternFailed'
          WHEN model_price = -2.0 THEN 'missingModel'
          ELSE 'allFalseCandids' END
 """
@@ -43,7 +43,7 @@ _ENRICH_SQL = f"""
                END AS props_k,
                CASE WHEN event_id % 7 = 0 THEN -1.0
                     WHEN event_id % 11 = 0 THEN -2.0
-                    WHEN event_id % 3 = 0 AND NOT isnan(value) THEN floor(value * 1.05 * 100) / 100
+                    WHEN event_id % 3 = 0 AND (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN floor(value * 1.05 * 100) / 100
                     ELSE value END AS model_price,
                CASE WHEN event_id % 5 = 0 THEN 0.0 ELSE value END AS pattern_price
         FROM events
@@ -248,7 +248,7 @@ def stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CASE WHEN isnan(value) THEN NULL
+           CAST(sum(CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL
                     ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
                AS sum_cents,
            epoch_us(max(ts)) AS last_us
@@ -290,12 +290,12 @@ def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vip AS (
         SELECT user_id,
-               CAST(sum(CASE WHEN isnan(value) THEN NULL
+               CAST(sum(CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL
                         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
                    AS spend_cents
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
-        HAVING sum(CASE WHEN isnan(value) THEN NULL
+        HAVING sum(CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL
                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) >= 75000
     )
     SELECT e.event_id, e.user_id, vip.spend_cents

@@ -60,7 +60,7 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT event_type,
                ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
-               (CASE WHEN isnan(value) THEN NULL
+               (CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL
                 ELSE least(CAST(floor(value / 50) AS BIGINT), 9) END) AS bin
         FROM events
     ), c AS (

@@ -103,7 +103,7 @@ def ks_two_sample_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice AS p,
                l_orderkey, l_linenumber
         FROM lineitem WHERE l_partkey % 20 = 3
-          AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
     ), pairs AS (
         SELECT a.prodid, (b.p - a.p) / (b.d - a.d) AS slope
         FROM obs a JOIN obs b

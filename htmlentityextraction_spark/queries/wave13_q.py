@@ -183,7 +183,7 @@ def sql_lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH r AS (
         SELECT o_custkey,
-               sum(CASE WHEN isnan(o_totalprice) THEN NULL
+               sum(CASE WHEN NOT (o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10) THEN NULL
                    ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
         FROM orders GROUP BY o_custkey
     ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n FROM r),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -257,7 +258,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag AS flag, l_extendedprice AS p,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
           AND (l_quantity IS NULL OR NOT isnan(l_quantity))
         GROUP BY l_returnflag, l_extendedprice
     ), t AS (
@@ -312,7 +313,7 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     "gini_coefficient_revenue",
     """
     WITH r AS (
-        SELECT o_custkey, CAST(sum((CASE WHEN isnan(o_totalprice) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
+        SELECT o_custkey, CAST(sum((CASE WHEN NOT (o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10) THEN NULL ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
         FROM orders GROUP BY o_custkey
     ), rk AS (
         SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM r
@@ -338,7 +339,7 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer rollup does)."""
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy("o_custkey").agg(
-        F.sum(F.when(~F.isnan("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
+        F.sum(F.when(finite_measure("o_totalprice"), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
     )
     rk = r.select(
         "cents",
@@ -392,7 +393,7 @@ def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataF
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
         .agg(
-            F.sum(F.when(~F.isnan("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
+            F.sum(F.when(finite_measure("l_extendedprice"), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))).alias("cents")
         )
     )
     t = s.groupBy("nation").agg(
@@ -468,7 +469,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "cohort_d",
             (day(F.col("ts")) - F.col("cohort_d")).alias("age_d"),
-            F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+            F.when(finite_measure("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
         )
     )
     sz = su.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("cohort_users"))
@@ -875,7 +876,7 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(mx.horizon - max(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
                                                date_trunc('day', ts))) AS BIGINT) AS recency_days,
                CAST(count(*) AS BIGINT) AS frequency,
-               CAST(sum((CASE WHEN isnan(value) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS monetary_cents
+               CAST(sum((CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS monetary_cents
         FROM events CROSS JOIN mx
         WHERE event_type = 'purchase'
         GROUP BY user_id, mx.horizon
@@ -905,7 +906,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(day).alias("last_d"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias(
+            F.sum(F.when(finite_measure("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias(
                 "monetary_cents"
             ),
         )

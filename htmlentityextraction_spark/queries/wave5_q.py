@@ -36,6 +36,7 @@ from htmlentityextraction_spark.operators.survivorship import (
     latest_nonnull,
 )
 from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -320,7 +321,7 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pp AS (
         SELECT p_brand, p_retailprice FROM part
-        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice)),
+        WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice) AND p_retailprice > -1e10 AND p_retailprice < 1e10),
     med AS (
         SELECT p_brand,
                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS med
@@ -352,7 +353,7 @@ def mad_price_outliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp-rounded quantities on BOTH sides so the IEEE tails of each
     engine's interpolation cannot flip a boundary row."""
     part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice").filter(
-        F.col("p_retailprice").isNotNull() & ~F.isnan("p_retailprice")
+        finite_measure("p_retailprice")
     )
     med = part.groupBy("p_brand").agg(
         F.percentile(F.col("p_retailprice").cast("double"), F.lit(0.5)).alias("med")

@@ -26,7 +26,7 @@ from htmlentityextraction_spark.sources.tables import load_table
     WITH p AS (
         SELECT substr(md5('s4lt:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
                date_trunc('day', ts) AS day,
-               (CASE WHEN isnan(value) THEN NULL
+               (CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL
                 ELSE CAST(floor(value / 50) * 50 AS BIGINT) END) AS value_band
         FROM events WHERE event_type = 'purchase'
     ), g AS (

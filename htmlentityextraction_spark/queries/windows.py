@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -227,7 +228,7 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) + 1e-9, 6)
                AS rolling_median
     FROM lineitem
-    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
     """,
 )
 def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +244,7 @@ def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-4, Window.currentRow)
     )
     return load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        finite_measure("l_extendedprice")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),

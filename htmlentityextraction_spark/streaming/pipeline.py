@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+from htmlentityextraction_spark.functions.pricing import finite_measure, price_status, selected_price
 from htmlentityextraction_spark.functions.temporal import epoch_seconds
 
 # events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
@@ -221,9 +221,10 @@ def enrich_events(stream: DataFrame) -> DataFrame:
         # decimal string repr (HALF_UP) while DuckDB rounds the binary
         # double — floor is exact on both
         .when(
-            (F.pmod("event_id", F.lit(3)) == 0) & ~F.isnan("value"),
+            (F.pmod("event_id", F.lit(3)) == 0) & finite_measure("value"),
             F.floor(F.col("value") * 1.05 * 100) / 100.0,
-        )  # NaN passes through (Spark floor(NaN)=0 would fabricate a price)
+        )  # non-finite/out-of-range passes through: Spark floor(NaN)=0
+        # would fabricate a price, floor(±inf) overflows the ANSI long
         .otherwise(F.col("value"))
     )
     pattern_price = F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(0.0)).otherwise(
@@ -522,7 +523,7 @@ def stream_merge_into(stream: DataFrame, tbl, key: str = "user_id") -> "Streamin
         agg = batch.groupBy(key).agg(
             F.count("*").alias("n_events"),
             F.sum(
-                F.when(~F.isnan("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                F.when(finite_measure("value"), F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
             ).alias("sum_cents"),
             F.max(epoch_micros("ts")).alias("last_us"),
         ).withColumn("op", F.lit(OP_UPSERT))
