@@ -140,13 +140,14 @@ def hotspots_hot_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
         SELECT p_partkey, p_brand || '||' || p_size AS match_key, p_retailprice
         FROM part
+        WHERE {fp}
     )
     SELECT a.match_key AS match_key,
            a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
            round(abs(a.p_retailprice - b.p_retailprice) + 1e-9, 6) AS price_gap
     FROM keyed a JOIN keyed b
       ON a.match_key = b.match_key AND a.p_partkey < b.p_partkey
-    """,
+    """.format(fp=finite_measure_sql("p_retailprice")),
 )
 def automatcher_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AutoMatcher (`emr/AutoMatcher.scala:57-86`): candidate product
@@ -159,9 +160,13 @@ def automatcher_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matched: concat_ws would silently SKIP a NULL segment (NULL
     # brand + size 33 → key "33", colliding with every other
     # brandless size-33 part), where the oracle's `||` nullifies the
-    # whole key — require both halves (null-fuzz seed-11 aligned)
+    # whole key — require both halves (null-fuzz seed-11 aligned).
+    # Corrupt (non-finite-domain) prices drop at the same boundary:
+    # a 2^53-scale price makes the gap's round() ulp-dependent
+    # across engines (extreme-fuzz aligned).
     keyed = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isNotNull() & F.col("p_size").isNotNull()
+        & finite_measure("p_retailprice")
     ).select(
         "p_partkey",
         F.concat_ws("||", "p_brand", "p_size").alias("match_key"),

@@ -25,7 +25,7 @@ from htmlentityextraction_spark.operators.incremental import (
     OP_UPSERT,
     ParquetMergeTable,
 )
-from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -107,13 +107,17 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     """
     SELECT o_orderkey, price FROM (
         SELECT o_orderkey,
+               -- the markup applies only to usable prices: a corrupt
+               -- (NULL/NaN/out-of-range) price passes through raw on
+               -- both engines (Spark floor(inf) clamps, duck keeps inf)
                CASE WHEN o_orderkey % 5 = 0 AND o_orderkey BETWEEN 8000 AND 16000
+                         AND {fp}
                     THEN floor(o_totalprice * 1.10 * 100) / 100
                     ELSE o_totalprice END AS price
         FROM orders
         WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey BETWEEN 8000 AND 16000)
     ) WHERE o_orderkey BETWEEN 10000 AND 14000
-    """,
+    """.format(fp=finite_measure_sql("o_totalprice")),
 )
 def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-bucketed merge table (bucket = key div 2000, the Iceberg
@@ -134,7 +138,7 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.create(orders)
     in_band = k.between(8000, 16000)
-    batch = orders.filter(in_band & (F.pmod(k, 5) == 0)).select(
+    batch = orders.filter(in_band & (F.pmod(k, 5) == 0) & finite_measure("price")).select(
         "o_orderkey",
         (F.floor(F.col("price") * 1.10 * 100) / 100).alias("price"),
         F.lit(OP_UPSERT).alias("op"),

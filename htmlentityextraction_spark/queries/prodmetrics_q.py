@@ -23,6 +23,7 @@ from htmlentityextraction_spark.sources.tables import load_table
                    PARTITION BY l_partkey, l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS delta
         FROM lineitem
+        WHERE {fp}
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
     ranked AS (
         SELECT prodid, store_id, price, delta,
@@ -39,7 +40,7 @@ from htmlentityextraction_spark.sources.tables import load_table
            max(CASE WHEN rn_dec = 1 THEN store_id END) AS max_dec_store,
            round(max(CASE WHEN rn_dec = 1 THEN delta END) + 1e-9, 6) AS max_dec_delta
     FROM ranked GROUP BY prodid
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV7 extremes (`analytics/ProdMetricsV7.scala:116-151`):
@@ -49,7 +50,9 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
-    deltas = load_table(spark, sf_dir, "lineitem").select(
+    deltas = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
         F.col("l_extendedprice").alias("price"),

@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.pricing import price_status, selected_price
+from htmlentityextraction_spark.functions.pricing import (
+    finite_measure,
+    price_status,
+    selected_price,
+)
 from htmlentityextraction_spark.functions.text import get_domain, shrink_string, text_only
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -19,9 +23,11 @@ from htmlentityextraction_spark.sources.tables import load_table
     """
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            count(*) AS n,
-           -- NaN sum stays NaN: Spark floor(NaN)=0, duck floor(nan)=nan
-           CASE WHEN isnan(sum(value)) THEN sum(value)
-                ELSE floor(sum(value) * 100 + 0.5) / 100 END AS total_value
+           -- corrupt values (NULL/NaN/|v|>=1e10) are excluded from the
+           -- rollup, not from the event count; all-corrupt group -> NULL
+           floor(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                           AND value > -1e10 AND value < 1e10
+                          THEN value END) * 100 + 0.5) / 100 AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -36,8 +42,7 @@ def date_trunc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.when(F.isnan(F.sum("value")), F.sum("value"))
-        .otherwise(F.floor(F.sum("value") * 100 + 0.5) / 100)
+        (F.floor(F.sum(F.when(finite_measure("value"), F.col("value"))) * 100 + 0.5) / 100)
         .alias("total_value"),
     )
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -790,8 +790,8 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT n.n_name AS nation, r.r_name AS region,
-               CAST(sum(CASE WHEN isnan(l_extendedprice) OR isnan(l_discount) THEN NULL
-                        ELSE CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               CAST(sum(CASE WHEN {fp} AND {fd}
+                        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                              AS BIGINT) END) AS BIGINT) AS rev_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -806,7 +806,10 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank() OVER (PARTITION BY region ORDER BY rev_cents DESC, nation)
                 AS BIGINT) AS region_rank
     FROM rev
-    """,
+    """.format(
+        fp=finite_measure_sql("l_extendedprice"),
+        fd=finite_measure_sql("l_discount"),
+    ),
 )
 def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report contribution analysis: each nation's share of
@@ -819,7 +822,7 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     cents = F.when(
-        ~F.isnan("l_extendedprice") & ~F.isnan("l_discount"),
+        finite_measure("l_extendedprice") & finite_measure("l_discount"),
         F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)),
     )
     rev = (

@@ -65,14 +65,42 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
         FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
-    SELECT url, domain,
-           CASE WHEN bucket <> 1 AND flip = 0 THEN p2 ELSE -1.0 END AS model_price,
-           CASE WHEN flip = 0 THEN p2 ELSE p2 + 1.0 END AS pattern_price,
-           CASE WHEN bucket <> 1 AND flip = 0 THEN 'modeledPatternEquals'
-                ELSE 'allFalseCandids' END AS status,
-           CASE WHEN bucket <> 1 AND flip = 0 THEN p2
-                WHEN flip = 0 THEN p2 ELSE p2 + 1.0 END AS final_price
-    FROM o
+    , m AS (
+        SELECT url, domain,
+               CASE WHEN bucket <> 1 AND flip = 0 THEN p2 ELSE -1.0 END AS model_price,
+               CASE WHEN flip = 0 THEN p2 ELSE p2 + 1.0 END AS pattern_price
+        FROM o
+    ), s AS (
+        -- full price_status truth table (functions/pricing.py):
+        -- a planted price inside (-1, 1) (floor(-0.0/subnormal).99
+        -- = 0.99) hits the reference's toInt==0 patternFailed branch
+        SELECT url, domain, model_price, pattern_price,
+               CASE WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+                         AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
+                         AND abs(model_price - pattern_price) < 0.009 THEN 'modeledPatternEquals'
+                    WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+                         AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
+                         AND abs(pattern_price - model_price) / greatest(pattern_price, model_price) <= 0.1
+                         THEN 'minorModelPatternConflict'
+                    WHEN NOT (model_price = -1.0) AND NOT (model_price = -2.0)
+                         AND NOT (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
+                         THEN 'majorModelPatternConflict'
+                    WHEN (model_price = -1.0 OR model_price = -2.0)
+                         AND (isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0))
+                         THEN 'bothFailed'
+                    WHEN isnan(pattern_price) OR (pattern_price > -1.0 AND pattern_price < 1.0)
+                         THEN 'patternFailed'
+                    WHEN model_price = -2.0 THEN 'missingModel'
+                    ELSE 'allFalseCandids' END AS status
+        FROM m
+    )
+    SELECT url, domain, model_price, pattern_price, status,
+           CASE WHEN status IN ('modeledPatternEquals', 'minorModelPatternConflict',
+                                'patternFailed') THEN model_price
+                WHEN status IN ('majorModelPatternConflict', 'missingModel',
+                                'allFalseCandids') THEN pattern_price
+                ELSE 0.0 END AS final_price
+    FROM s
     """,
 )
 def stream_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

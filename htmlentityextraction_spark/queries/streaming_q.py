@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import pipeline as sp
@@ -110,9 +111,9 @@ def stream_multiplex_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value) + 1e-9, 6) AS sum_value
+           round(sum(CASE WHEN {fv} THEN value END) + 1e-9, 6) AS sum_value
     FROM events GROUP BY 1, 2
-    """,
+    """.format(fv=finite_measure_sql("value")),
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 upgrade: tumbling 1h event-time windows + watermark
@@ -132,9 +133,9 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT window_start, event_type,
-           round(avg(value) + 1e-9, 6) AS avg_value
+           round(avg(CASE WHEN {fv} THEN value END) + 1e-9, 6) AS avg_value
     FROM expanded GROUP BY 1, 2
-    """,
+    """.format(fv=finite_measure_sql("value")),
 )
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2h/1h windows: each event lands in two windows — the
@@ -325,7 +326,7 @@ def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(
-                    ~F.isnan("value"),
+                    finite_measure("value"),
                     F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
                 )
             ).alias(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -105,7 +106,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_ref"),
         F.when(
-            ~F.isnan("value"),
+            finite_measure("value"),
             F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)),
         ).alias("bin"),
     )

@@ -23,7 +23,8 @@ from htmlentityextraction_spark.sources.tables import load_table
     WITH d AS (
         SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
                     AS BIGINT) AS digit
-        FROM orders WHERE o_totalprice > 0 AND NOT isnan(o_totalprice)
+        FROM orders WHERE o_totalprice >= 0.01 AND NOT isnan(o_totalprice)
+          AND o_totalprice < 1e10
     ), c AS (
         SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
     ), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tot FROM c)
@@ -45,9 +46,13 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts)."""
     # NaN > 0 is TRUE on both engines (NaN compares greatest), so the
     # positivity filter alone does not exclude it — and floor(log10(NaN))
-    # fabricates digit 0 (div-by-zero) on Spark (NaN-fuzz aligned)
+    # fabricates digit 0 (div-by-zero) on Spark (NaN-fuzz aligned).
+    # Domain-bounded to [0.01, 1e10): a subnormal total underflows
+    # pow(10, floor(log10(x))) to 0 (div-by-zero), a 1e308 total has
+    # no meaning in a price feed (extreme-fuzz aligned)
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_totalprice") > 0) & ~F.isnan("o_totalprice")
+        (F.col("o_totalprice") >= 0.01) & ~F.isnan("o_totalprice")
+        & (F.col("o_totalprice") < 1e10)
     )
     digit = F.floor(
         F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -130,10 +131,8 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts once."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.pmod(F.col("l_partkey"), F.lit(20)) == 3)
-        # finite only: NULL/NaN prices have no slope (isnan(NULL) is
-        # false in Spark but NULL in DuckDB — both named explicitly)
-        & F.col("l_extendedprice").isNotNull()
-        & ~F.isnan("l_extendedprice")
+        # finite only: NULL/NaN/out-of-range prices have no slope
+        & finite_measure("l_extendedprice")
     )
     obs = li.select(
         F.col("l_partkey").alias("prodid"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.queries.llmdata import _FT
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -217,7 +218,7 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = orders.groupBy("o_custkey").agg(
         F.sum(
             F.when(
-                ~F.isnan("o_totalprice"),
+                finite_measure("o_totalprice"),
                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
             )
         ).alias("cents")

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -160,6 +160,7 @@ def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_partkey % 25 = 7 AND l_extendedprice IS NOT NULL
           AND NOT isnan(l_extendedprice)
+          AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
     ), stats AS (
         SELECT prodid, store, stddev_pop(p) AS sigma
         FROM obs GROUP BY prodid, store
@@ -198,8 +199,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is numbered (null-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
-        & F.col("l_extendedprice").isNotNull()
-        & ~F.isnan("l_extendedprice")
+        & finite_measure("l_extendedprice")
     )
     w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
@@ -259,7 +259,8 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
-          AND (l_quantity IS NULL OR NOT isnan(l_quantity))
+          AND (l_quantity IS NULL OR (NOT isnan(l_quantity)
+               AND l_quantity > -1e10 AND l_quantity < 1e10))
         GROUP BY l_returnflag, l_extendedprice
     ), t AS (
         SELECT flag, CAST(sum(wt) AS BIGINT) AS tot FROM c GROUP BY flag
@@ -286,11 +287,10 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     NULL prices have no position in the cumulative-weight order and
     are dropped (null-fuzz aligned)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull()
-        & ~F.isnan("l_extendedprice")
-        # NaN weight cannot cast to long under ANSI; NULL weight just
-        # drops out of the sum on both engines
-        & (F.col("l_quantity").isNull() | ~F.isnan("l_quantity"))
+        finite_measure("l_extendedprice")
+        # an out-of-domain weight cannot cast to long under ANSI;
+        # NULL weight just drops out of the sum on both engines
+        & (F.col("l_quantity").isNull() | finite_measure("l_quantity"))
     )
     c = li.groupBy(
         F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("p")
@@ -367,7 +367,7 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
-               CAST(sum((CASE WHEN isnan(l.l_extendedprice) THEN NULL ELSE CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
+               CAST(sum((CASE WHEN l.l_extendedprice IS NOT NULL AND NOT isnan(l.l_extendedprice) AND l.l_extendedprice > -1e10 AND l.l_extendedprice < 1e10 THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS cents
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY s.s_nationkey, l.l_suppkey
     ), t AS (
@@ -423,7 +423,7 @@ def herfindahl_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataF
         SELECT e.user_id,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
                          date_trunc('day', e.ts)) - su.cohort_d AS age_d,
-               (CASE WHEN isnan(e.value) THEN NULL ELSE CAST(floor(e.value * 100 + 0.5) AS BIGINT) END) AS cents
+               (CASE WHEN e.value IS NOT NULL AND NOT isnan(e.value) AND e.value > -1e10 AND e.value < 1e10 THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) END) AS cents
         FROM events e JOIN su ON su.user_id = e.user_id
         WHERE e.event_type = 'purchase'
           AND date_diff('day', TIMESTAMP '1970-01-01 00:00:00',

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -85,7 +86,8 @@ def _sql_poisson(u_sql: str) -> str:
                user_id % 2 = 1 AS treated,
                avg(CASE WHEN ts <  TIMESTAMP '{_CUT}' THEN value END) AS x,
                avg(CASE WHEN ts >= TIMESTAMP '{_CUT}' THEN value END) AS y
-        FROM events WHERE NOT isnan(value) GROUP BY user_id
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value > -1e10 AND value < 1e10 GROUP BY user_id
     ), both_periods AS (
         SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
     ), pooled AS (
@@ -117,9 +119,10 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto user rows, one final 2-group agg — two shuffles total, no
     driver state; at 100 TB the user-level table is the only shuffled
     payload."""
-    # NaN metric values are excluded on both engines (duck var_pop
-    # over NaN raises; Spark avg would propagate NaN into theta)
-    ev = load_table(spark, sf_dir, "events").filter(~F.isnan("value"))
+    # non-finite metric values are excluded on both engines (duck
+    # var_pop over NaN/1e308 raises out-of-range; Spark avg would
+    # propagate NaN into theta)
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     cut = F.lit(_CUT).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
         F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),

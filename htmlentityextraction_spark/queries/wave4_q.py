@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import epoch_micros
 from htmlentityextraction_spark.operators.asof import asof_join
 from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
@@ -238,14 +239,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_nationkey AS nk,
                CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
                    AS yyyymm,
-               (CASE WHEN isnan(o.o_totalprice) THEN NULL
-                ELSE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
+               (CASE WHEN {fp}
+                THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
     SELECT CAST(nk * 1000000 + yyyymm AS BIGINT) AS view_key,
            CAST(nk AS BIGINT) AS c_nationkey, yyyymm,
            count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM j GROUP BY 1, 2, 3
-    """,
+    """.format(fp=finite_measure_sql("o.o_totalprice")),
 )
 def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance: the materialized view
@@ -271,7 +272,7 @@ def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_nationkey").cast("long").alias("c_nationkey"),
                 yyyymm.alias("yyyymm"),
                 F.when(
-                    ~F.isnan("o_totalprice"),
+                    finite_measure("o_totalprice"),
                     F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
                 ).alias("cents"),
             )

@@ -36,7 +36,7 @@ from htmlentityextraction_spark.operators.survivorship import (
     latest_nonnull,
 )
 from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
-from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -46,7 +46,11 @@ from htmlentityextraction_spark.sources.tables import load_table
     """
     WITH m AS (
         SELECT p_size, max(p_retailprice) AS best_price
-        FROM part GROUP BY p_size)
+        FROM part
+        WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+          AND NOT isnan(p_retailprice)
+          AND p_retailprice > -1e10 AND p_retailprice < 1e10
+        GROUP BY p_size)
     SELECT p_size, best_price FROM m a
     WHERE NOT EXISTS (
         SELECT 1 FROM m b
@@ -60,8 +64,15 @@ def skyline_size_price_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction in `operators/frontier.py` — a parallel groupBy down to
     one row per distinct size, then one window over that
     domain-bounded set. Hash equality proves the O(n) frontier IS the
-    skyline."""
-    part = load_table(spark, sf_dir, "part").select("p_size", "p_retailprice")
+    skyline. A part with unknown size or corrupt price has no place
+    on the frontier: a NULL size would sort FIRST in the running-max
+    window (poisoning every real size's dominance check) while the
+    oracle's NULL comparisons keep it mutually non-dominating —
+    dropped at ingestion on both engines (null/extreme-fuzz
+    aligned)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & finite_measure("p_retailprice")
+    ).select("p_size", "p_retailprice")
     out = skyline_2d(part, "p_size", "p_retailprice")
     return out.select("p_size", F.col("p_retailprice").alias("best_price"))
 
@@ -790,7 +801,10 @@ def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    'ln': l_linenumber,
                                    'p': CAST(l_extendedprice AS DOUBLE)})),
                    s -> s.p) AS ps
-        FROM lineitem GROUP BY 1),
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+        GROUP BY 1),
     e AS (SELECT prodid, len(ps) AS n, ps,
                  unnest(generate_series(1, len(ps))) AS i
           FROM g),
@@ -820,7 +834,9 @@ def max_drawdown_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent, float-op for float-op.)"""
     from htmlentityextraction_spark.functions.temporal import epoch_seconds
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(
             F.array_sort(
@@ -989,7 +1005,10 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    'ln': l_linenumber,
                                    'p': CAST(l_extendedprice AS DOUBLE)})),
                    s -> s.p) AS ps
-        FROM lineitem GROUP BY 1),
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+        GROUP BY 1),
     m AS (
         SELECT prodid, ps, len(ps) AS n,
                list_reduce(ps, (a, x) -> a + x) / len(ps) AS mean
@@ -1018,7 +1037,9 @@ def cusum_price_shift_per_product(spark: SparkSession, sf_dir: str) -> DataFrame
     to make s_0 = 0 explicit on both sides."""
     from htmlentityextraction_spark.functions.temporal import epoch_seconds
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(
             F.array_sort(

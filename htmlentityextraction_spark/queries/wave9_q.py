@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -60,7 +61,7 @@ def kanonymous_user_value_release(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("day_epoch"),
         F.when(
-            ~F.isnan("value"), (F.floor(F.col("value") / 50) * 50).cast("long")
+            finite_measure("value"), (F.floor(F.col("value") / 50) * 50).cast("long")
         ).alias("value_band"),
     )
     g = p.groupBy("day_epoch", "value_band").agg(

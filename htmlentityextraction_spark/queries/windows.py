@@ -18,7 +18,12 @@ from htmlentityextraction_spark.sources.tables import load_table
 
 
 def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "lineitem").select(
+    # corrupt price observations (NULL/NaN/|v|>=1e10) drop at
+    # ingestion: a 2^53-scale price makes every lag-delta's round()
+    # ulp-dependent across engines (extreme-fuzz aligned)
+    return load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    ).select(
         F.col("l_partkey").alias("prod"),
         F.col("l_suppkey").alias("store"),
         F.col("l_shipdate").alias("tmsp"),
@@ -32,6 +37,8 @@ _OBS_SQL = """
     SELECT l_partkey AS prod, l_suppkey AS store, l_shipdate AS tmsp,
            l_extendedprice AS price, l_orderkey AS k1, l_linenumber AS k2
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
 """
 
 

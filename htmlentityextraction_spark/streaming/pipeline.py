@@ -307,7 +307,11 @@ def windowed_counts(enriched: DataFrame, window: str = "1 hour", watermark: str 
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") + 1e-9, 6).alias("sum_value"),
+            # corrupt values (NULL/NaN/|v|>=1e10) are excluded from the
+            # rollup, not from the event count (extreme-fuzz aligned:
+            # a 2^53-scale addend makes the float sum order-dependent)
+            F.round(F.sum(F.when(finite_measure("value"), F.col("value"))) + 1e-9, 6)
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -323,7 +327,10 @@ def sliding_avg(enriched: DataFrame, size: str = "2 hours", slide: str = "1 hour
     return (
         enriched.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
-        .agg(F.round(F.avg("value") + 1e-9, 6).alias("avg_value"))
+        .agg(
+            F.round(F.avg(F.when(finite_measure("value"), F.col("value"))) + 1e-9, 6)
+            .alias("avg_value")
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
     )
 

@@ -225,7 +225,7 @@ def fuzz_table(
             counts[f"{col}[{key_col}={first}]"] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
-    if kind in ("nullgroup", "nangroup"):
+    if kind in ("nullgroup", "nangroup", "extremegroup"):
         if table not in GROUP_INJECT:
             pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
             return counts
@@ -234,14 +234,28 @@ def fuzz_table(
         for col in cols:
             idx = t.column_names.index(col)
             arr = t.column(idx)
-            if kind == "nangroup" and arr.type not in (pa.float64(), pa.float32()):
+            if kind in ("nangroup", "extremegroup") and arr.type not in (
+                pa.float64(), pa.float32()
+            ):
                 continue
-            poison = (
-                pa.scalar(float("nan"), type=arr.type)
-                if kind == "nangroup"
-                else pa.scalar(None, type=arr.type)
-            )
-            t = t.set_column(idx, col, pc.if_else(mask, poison, arr))
+            if kind == "extremegroup":
+                # every value of the selected groups becomes an
+                # extreme (cycled) — manufactures "customer whose
+                # every price is out-of-domain" so per-group
+                # aggregates go NULL through the finite_measure
+                # boundary, the extreme twin of nullgroup
+                repl = pa.array(
+                    [EXTREME_POOL[i % len(EXTREME_POOL)] for i in range(len(t))],
+                    type=arr.type,
+                )
+                t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            else:
+                poison = (
+                    pa.scalar(float("nan"), type=arr.type)
+                    if kind == "nangroup"
+                    else pa.scalar(None, type=arr.type)
+                )
+                t = t.set_column(idx, col, pc.if_else(mask, poison, arr))
             counts[col] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
@@ -285,7 +299,7 @@ def main() -> None:
     ap.add_argument(
         "--kind",
         choices=[
-            "null", "nan", "nullgroup", "nangroup",
+            "null", "nan", "nullgroup", "nangroup", "extremegroup",
             "nullcat", "nancat", "text", "empty", "extreme",
         ],
         default="null",
