@@ -298,14 +298,17 @@ _ANN_ORACLE = f"""
 
 @register("similarity_ann_ivf", _ANN_ORACLE)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (KMeans coarse quantizer, 4/16 cells probed),
+    """IVF-flat ANN (KMeans coarse quantizer, 6/16 cells probed),
     gated as a recall contract: every query must return k results
-    with recall@10 >= 0.3 vs the exact scan (observed 0.4-1.0 on the
-    fixtures; random would be ~0.02 at 25% of the scan cost).
-    Raw-output recall is also pytest-checked."""
+    with recall@10 >= 0.3 vs the exact scan (observed 0.4-1.0 across
+    the clean and fuzzed fixtures; random would be ~0.02, at 37.5% of
+    the scan cost). 6 probes, not 4: a corrupted-corpus refit shifts
+    cell boundaries enough that 4-probe recall dipped to 0.2 on one
+    query (mixed-fuzz) — the extra probes buy the contract its
+    margin. Raw-output recall is also pytest-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = sim.ann_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    approx = sim.ann_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=6)
     exact = sim.cosine_topk(emb, queries, k=10)
     return _ann_recall_contract(approx, exact, floor=0.3)
 

@@ -157,17 +157,22 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
     -- p IS NOT NULL on the derived-update branches: a NULL price
     -- maps to a NULL new price, and NULL -> NULL is NOT a change
-    -- under CDC's null-safe diff (null-fuzz aligned)
+    -- under CDC's null-safe diff (null-fuzz aligned). The derived
+    -- price must also DIFFER from the old one: upserting the same
+    -- value is a no-op to CDC (p = -0.0 -> floor(...) = 0.0 compares
+    -- equal, so no change row — mixed-fuzz aligned)
     SELECT k AS o_orderkey, 'update' AS change_type,
            round(p + 1e-9, 6) AS old_price,
            round(floor(p * 1.05 * 100) / 100 + 1e-9, 6) AS new_price
     FROM o WHERE k % 7 = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
+      AND NOT (floor(p * 1.05 * 100) / 100 = p)
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE k % 14 = 2
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6),
            round(floor(p * 0.9 * 100) / 100 + 1e-9, 6)
     FROM o WHERE k % 7 = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
+      AND NOT (floor(p * 0.9 * 100) / 100 = p)
     UNION ALL
     SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE k % 14 = 9
     UNION ALL

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import skew
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import pipeline as sp
@@ -50,7 +51,10 @@ _SESS_SQL = """
            round(avg(l_extendedprice) + 1e-9, 6) AS mean,
            min(l_extendedprice) AS vmin,
            max(l_extendedprice) AS vmax
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+    GROUP BY l_returnflag
     """,
 )
 def salted_skew_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +62,12 @@ def salted_skew_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain GROUP BY, proving algebraic-aggregate recombination is
     exact. At 100 TB this turns a 3-reducer bottleneck into
     3x16 partials."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # corrupt measurements drop at ingestion: a NaN/+inf/-inf mix in
+    # one group makes sum() engine-dependent (inf + -inf = NaN on one
+    # accumulation order, -inf on another) — mixed-fuzz aligned
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     return skew.salted_group_stats(
         li, ["l_returnflag"], "l_extendedprice", salt_buckets=16,
         salt_on=F.col("l_orderkey"),

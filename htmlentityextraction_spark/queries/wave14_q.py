@@ -499,7 +499,8 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
                avg(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
+        GROUP BY 1, 2
     ), preds AS (
         SELECT a.event_type, a.d, a.v,
                n1.v AS naive_pred, n7.v AS snaive_pred
@@ -524,7 +525,10 @@ def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF(7)). Equi self-joins on (type, day−k) over the day-domain
     aggregate; only days with both predecessors score, so both models
     are compared on the identical test set."""
-    ev = load_table(spark, sf_dir, "events")
+    # corrupt measurements (NULL/NaN/|v|>=1e10) drop at ingestion:
+    # a 2^53-scale addend makes the daily avg ulp-order-dependent
+    # across engines (mixed-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
@@ -804,7 +808,8 @@ def fulfillment_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
                avg(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
+        GROUP BY 1, 2
     ), tr AS (
         SELECT event_type, d, v,
                avg(v) OVER (PARTITION BY event_type ORDER BY d
@@ -837,7 +842,10 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     modeling (the residual is what CUSUM/EWMA should monitor, not
     the raw series). All windows and aggregates run on the
     day-domain table; the seasonal profile is a 7×|types| broadcast."""
-    ev = load_table(spark, sf_dir, "events")
+    # corrupt measurements (NULL/NaN/|v|>=1e10) drop at ingestion:
+    # a 2^53-scale addend makes the daily avg ulp-order-dependent
+    # across engines (mixed-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
@@ -984,7 +992,8 @@ def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
                avg(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
+        GROUP BY 1, 2
     ), s AS (
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                sum(v) AS sv, avg(v) AS theta
@@ -1013,7 +1022,10 @@ def jackknife_se_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, no RNG, no replicate loop. The uncertainty
     quantification a metrics platform attaches to its headline
     numbers."""
-    ev = load_table(spark, sf_dir, "events")
+    # corrupt measurements (NULL/NaN/|v|>=1e10) drop at ingestion:
+    # a 2^53-scale addend makes the daily avg ulp-order-dependent
+    # across engines (mixed-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),

@@ -232,7 +232,8 @@ _N_BOOT = 200
     WITH per_user AS (
         SELECT event_type, user_id,
                sum(value) AS su, CAST(count(*) AS BIGINT) AS cu
-        FROM events GROUP BY event_type, user_id
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
+        GROUP BY event_type, user_id
     ), reps AS (
         SELECT p.event_type, r.r,
                ({_sql_poisson(_sql_u01(
@@ -270,7 +271,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     table → equi groupBy (event_type, rep) → exact percentile per
     event type. The fan-out multiplies the user aggregate, never the
     raw events, so cost at 100 TB is O(users × 200), not O(rows)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum("value").alias("su"), F.count(F.lit(1)).alias("cu")
     )
@@ -328,7 +329,8 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- not a zero: it must not enter the fold (one NULL level
         -- poisons every subsequent Holt step) nor the scoring join
         SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
+        GROUP BY 1, 2
         HAVING avg(value) IS NOT NULL
     ), bounds AS (
         SELECT event_type, max(d) AS dmax FROM daily GROUP BY event_type
@@ -390,7 +392,7 @@ def holt_linear_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
     sequence is bitwise-reproducible. Per-group state is O(days),
     the only shuffles are the daily rollup and the tiny forecast-vs-
     actual equi-join; raw events are never refolded."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
         .agg(F.avg("value").alias("v"))

@@ -259,6 +259,37 @@ def fuzz_table(
             counts[col] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
+    if kind == "mixed":
+        # every poison class at once, interleaved per row — the shape
+        # real production data has (a NULL category, a NaN metric,
+        # an inf outlier, and an emoji string CAN share one group):
+        # floats cycle NULL+NaN+extremes, strings cycle NULL+text
+        # adversaries, other types take NULLs. Interactions between
+        # per-axis fixes (e.g. NULL-key ordering x extreme-value
+        # exclusion in the same window) only surface here.
+        for col in INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:{col}:mixed".encode()))
+            mask = pa.array(rng.random(len(t)) < rate)
+            if arr.type in (pa.float64(), pa.float32()):
+                pool = [None, float("nan")] + EXTREME_POOL
+                repl = pa.array(
+                    [pool[i % len(pool)] for i in range(len(t))], type=arr.type
+                )
+            elif arr.type in (pa.string(), pa.large_string()):
+                pool = [None] + (JSON_POOL if col == "props" else TEXT_POOL)
+                repl = pa.array(
+                    [pool[i % len(pool)] for i in range(len(t))], type=arr.type
+                )
+            else:
+                repl = pa.nulls(len(t), type=arr.type)
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     for col in INJECT.get(table, []):
         if col not in t.column_names:
             continue
@@ -300,7 +331,7 @@ def main() -> None:
         "--kind",
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
-            "nullcat", "nancat", "text", "empty", "extreme",
+            "nullcat", "nancat", "text", "empty", "extreme", "mixed",
         ],
         default="null",
     )
