@@ -175,3 +175,16 @@ def test_kanonymity_release_no_nlj(spark):
     plan = _plan(spark, "kanonymous_user_value_release")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange" in plan  # a real aggregate, not a collect
+
+
+def test_finite_measure_filter_reaches_parquet_scan(spark):
+    """The corrupt-measurement boundary (NULL/NaN/|v|>=1e10) must be
+    a SCAN-level predicate, not a post-scan filter: at 100 TB the
+    range halves push into parquet row-group stats and prune whole
+    row groups of corrupt spill. isnan() itself is not pushable, but
+    the null + range conjuncts are — assert they reached the scan."""
+    plan = _plan(spark, "price_candidate_extraction")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_totalprice)" in plan
+    assert "GreaterThan(o_totalprice,-1.0E10)" in plan
+    assert "LessThan(o_totalprice,1.0E10)" in plan
