@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -139,7 +140,9 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_diff('day', TIMESTAMP '1970-01-01 00:00:00', date_trunc('day', ts)) AS d,
                avg(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value > -1e10 AND value < 1e10
+        GROUP BY 1, 2
     ), rng AS (
         SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM daily GROUP BY 1
     ), seg AS (
@@ -167,7 +170,10 @@ def sax_symbolization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment-domain window (≤ 8·|types| rows); the quartile window
     orders by the ROUNDED mean so the cut points are reproducible
     across engines."""
-    ev = load_table(spark, sf_dir, "events")
+    # corrupt measurements (NULL/NaN/|v|>=1e10) drop at ingestion:
+    # a 2^53-scale addend makes the PAA mean ulp-order-dependent
+    # across engines (sf0.001 extreme-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")).alias("d"),
