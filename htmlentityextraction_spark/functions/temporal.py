@@ -60,3 +60,33 @@ def assert_timestamp_col(df: DataFrame, name: str) -> None:
             f"conversion, got {dtype!r} — cast explicitly at the call site "
             "if a numeric epoch column is intended"
         )
+
+
+# Event-time validity window: an event timestamp outside
+# [2000-01-01, 2100-01-01) is a corrupt producer clock (epoch-zero
+# defaults, 1900-era sentinel dates, far-future garbage), not a
+# measurement. It is excluded at the SAME ingestion boundary as
+# NULL/NaN/out-of-range values (functions.pricing.finite_measure),
+# and for streams it MUST be: one far-future event advances the
+# watermark past every real event (late-drop starvation), and one
+# pre-epoch event explodes calendar spines (a 1900 minimum turns a
+# per-user day spine into ~45k rows). Deliberately wide — 2038 and
+# leap-day instants are VALID and must flow through.
+VALID_EVENT_TIME_MIN = "2000-01-01"
+VALID_EVENT_TIME_MAX = "2100-01-01"
+
+
+def valid_event_time(col: Column | str) -> Column:
+    """Predicate: event timestamp within the sane-clock window."""
+    c = _as_col(col)
+    return (c >= F.lit(VALID_EVENT_TIME_MIN).cast("timestamp")) & (
+        c < F.lit(VALID_EVENT_TIME_MAX).cast("timestamp")
+    )
+
+
+def valid_event_time_sql(expr: str) -> str:
+    """DuckDB twin of :func:`valid_event_time` for oracle SQL."""
+    return (
+        f"({expr} >= TIMESTAMP '2000-01-01 00:00:00'"
+        f" AND {expr} < TIMESTAMP '2100-01-01 00:00:00')"
+    )

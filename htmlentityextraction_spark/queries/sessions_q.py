@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import skew
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.temporal import valid_event_time
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import pipeline as sp
@@ -24,6 +25,7 @@ _SESS_SQL = """
                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
                     THEN 1 ELSE 0 END AS brk
         FROM events
+        WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
         SELECT user_id, ts,
@@ -77,8 +79,10 @@ def salted_skew_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sessionize_events", _SESS_SQL)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gaps-and-islands sessionization over the events table
-    (30-min inactivity gap): one window shuffle on user_id."""
-    ev = load_table(spark, sf_dir, "events")
+    (30-min inactivity gap): one window shuffle on user_id. Corrupt
+    clocks (pre-2000 / post-2100) carry no session semantics and are
+    rejected at ingestion (time-fuzz aligned)."""
+    ev = load_table(spark, sf_dir, "events").filter(valid_event_time("ts"))
     return skew.sessionize(ev, gap_minutes=30)
 
 
@@ -102,7 +106,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the last session per user. Session numbering here is
     0-based from the stream; the batch oracle's sum-of-breaks is
     1-based — aligned by +1."""
-    stream = sp.read_events_stream(spark, sf_dir)
+    stream = sp.read_events_stream(spark, sf_dir).filter(valid_event_time("ts"))
     out = sp.run_to_memory(spark, sp.sessionize_stream(stream, gap_minutes=30))
     return out.withColumn("session_seq", F.col("session_seq") + 1)
 
@@ -116,6 +120,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
+        WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), s AS (
         SELECT user_id, us,
@@ -126,7 +131,8 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, seq, count(*) AS n_events,
                min(us) AS start_us, max(us) AS end_us
         FROM s GROUP BY user_id, seq
-    ), wm AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+    ), wm AS (SELECT max(epoch_us(ts)) AS mx FROM events
+              WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00')
     SELECT user_id, start_us, end_us, n_events
     FROM g, wm WHERE end_us + 1800000000 < mx
     """,
@@ -145,7 +151,9 @@ def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     loop."""
     from htmlentityextraction_spark.functions.temporal import epoch_micros
 
-    ev = sp.read_events_stream(spark, sf_dir)
+    # sane-clock guard before the watermark (one far-future corrupt
+    # ts would mark every real session late — time-fuzz aligned)
+    ev = sp.read_events_stream(spark, sf_dir).filter(valid_event_time("ts"))
     sessions = (
         ev.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

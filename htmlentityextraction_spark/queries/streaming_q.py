@@ -146,7 +146,11 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_events",
-    "SELECT event_id, user_id, event_type, value FROM events",
+    # the pipeline's sane-clock guard drops corrupt event times
+    # BEFORE the watermark (one far-future ts would starve the
+    # stream) - the oracle mirrors the validity window
+    """SELECT event_id, user_id, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'""",
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the source is unioned with itself (every
@@ -169,6 +173,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = c.user_id
      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
     WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND v.ts >= TIMESTAMP '2000-01-01 00:00:00' AND v.ts < TIMESTAMP '2100-01-01 00:00:00'
+      AND c.ts >= TIMESTAMP '2000-01-01 00:00:00' AND c.ts < TIMESTAMP '2100-01-01 00:00:00'
     """,
 )
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,9 +213,11 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_attribution_outer",
     """
     WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
-               FROM events WHERE event_type = 'view'),
+               FROM events WHERE event_type = 'view'
+                 AND ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
          c AS (SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
-               FROM events WHERE event_type = 'click'),
+               FROM events WHERE event_type = 'click'
+                 AND ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'),
          matched AS (
              SELECT v.view_id, c.click_id, v.user_id,
                     CAST(floor(epoch(c.click_ts)) - floor(epoch(v.view_ts)) AS BIGINT)

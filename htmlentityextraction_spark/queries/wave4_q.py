@@ -301,6 +301,7 @@ def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            round(value + 1e-9, 6) AS value
     FROM events
+    WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
     """,
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +318,14 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     topic = tempfile.mkdtemp(prefix="dup_topic_")
     ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(topic)
-    stream = sp.read_events_stream(spark, sf_dir, events_dir=topic)
+    from htmlentityextraction_spark.functions.temporal import valid_event_time
+
+    # sane-clock guard BEFORE the watermark: one far-future corrupt
+    # ts advances the watermark past every real event, evicting dedup
+    # state early and re-admitting duplicates (time-fuzz aligned)
+    stream = sp.read_events_stream(spark, sf_dir, events_dir=topic).filter(
+        valid_event_time("ts")
+    )
     dedup = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.temporal import epoch_micros
+from htmlentityextraction_spark.functions.temporal import epoch_micros, valid_event_time
 from htmlentityextraction_spark.operators.basket import pair_cooccurrence
 from htmlentityextraction_spark.operators.components import pagerank
 from htmlentityextraction_spark.operators.dataquality import (
@@ -203,6 +203,7 @@ def golden_user_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(ts AS DATE) AS day,
                sum(value) AS day_value
         FROM events WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
         GROUP BY user_id, CAST(ts AS DATE)),
     spine AS (
         SELECT user_id,
@@ -230,7 +231,9 @@ def gap_fill_user_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     then forward fill via last(ignorenulls) over one keyed window
     (`operators/timeseries.py`). The oracle rebuilds the spine with
     generate_series and IGNORE NULLS last_value."""
-    ev = load_table(spark, sf_dir, "events")
+    # sane-clock guard: one corrupt 1900-era event would widen the
+    # per-user calendar spine to ~45k days (time-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(valid_event_time("ts"))
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
@@ -738,6 +741,7 @@ def item_item_similarity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
           AND value IS NOT NULL AND NOT isnan(value)
           AND value > -1e10 AND value < 1e10
+          AND ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
         GROUP BY user_id, CAST(ts AS DATE)),
     spine AS (
         SELECT user_id,
@@ -782,7 +786,9 @@ def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     after via the following frame); no self-joins."""
     from htmlentityextraction_spark.operators.timeseries import gap_fill_linear
 
-    ev = load_table(spark, sf_dir, "events")
+    # sane-clock guard: one corrupt 1900-era event would widen the
+    # per-user calendar spine to ~45k days (time-fuzz aligned)
+    ev = load_table(spark, sf_dir, "events").filter(valid_event_time("ts"))
     daily = (
         ev.filter((F.col("event_type") == "purchase") & finite_measure("value"))
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, price_status, selected_price
-from htmlentityextraction_spark.functions.temporal import epoch_seconds
+from htmlentityextraction_spark.functions.temporal import epoch_seconds, valid_event_time
 
 # events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
 # long; see sources/tables.load_table)
@@ -344,8 +344,17 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
     the WithinWatermark variant evicts each key once the watermark
     passes its event time + delay, so state is horizon-bounded at any
     stream length. Duplicates are assumed to arrive within the
-    2-hour horizon (true for the at-least-once replay this models)."""
-    return stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    2-hour horizon (true for the at-least-once replay this models).
+
+    Event-time validity is enforced BEFORE the watermark: one
+    far-future corrupt timestamp would advance the watermark past
+    every real event and both evict dedup state early AND mark the
+    whole stream late (time-fuzz aligned)."""
+    return (
+        stream.filter(valid_event_time("ts"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
 
 
 def stream_stream_attribution(
@@ -367,12 +376,15 @@ def stream_stream_attribution(
     surface is stateless per-message (`streaming/Htmls2PredsPipe.
     scala`) — this is the idiomatic-Spark extension (SURVEY §2.10).
     """
-    v = views.select(
+    # sane-clock guard before the watermark: a single corrupt
+    # far-future event on either side would drag the global watermark
+    # forward and silently drop every real pair (time-fuzz aligned)
+    v = views.filter(valid_event_time("ts")).select(
         F.col("event_id").alias("view_id"),
         "user_id",
         F.col("ts").alias("view_ts"),
     ).withWatermark("view_ts", horizon)
-    c = clicks.select(
+    c = clicks.filter(valid_event_time("ts")).select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("click_user_id"),
         F.col("ts").alias("click_ts"),
@@ -409,12 +421,15 @@ def stream_stream_attribution_outer(
 
     Same user_id shuffle and horizon-bounded state as the inner form.
     """
-    v = views.select(
+    # sane-clock guard before the watermark: a single corrupt
+    # far-future event on either side would drag the global watermark
+    # forward and silently drop every real pair (time-fuzz aligned)
+    v = views.filter(valid_event_time("ts")).select(
         F.col("event_id").alias("view_id"),
         "user_id",
         F.col("ts").alias("view_ts"),
     ).withWatermark("view_ts", horizon)
-    c = clicks.select(
+    c = clicks.filter(valid_event_time("ts")).select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("click_user_id"),
         F.col("ts").alias("click_ts"),

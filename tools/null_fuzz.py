@@ -148,6 +148,25 @@ EXTREME_POOL = [
     -0.0,
 ]
 
+# ``--kind time``: cycle pathological-but-valid TIMESTAMPS through
+# events.ts ONLY (event-time is the one column every window, session,
+# watermark, and cohort derivation keys on). All values stay inside
+# pandas' datetime64[ns] range so the driver's canon can represent
+# them; what they probe is semantics, not representability: negative
+# epochs (pre-1970 % vs pmod sign, epoch truncation direction),
+# epoch zero, the 2038 32-bit rollover, a near-pandas-max future
+# timestamp (advances any watermark past every real event - the
+# classic poisoned-producer streaming failure), a leap-day instant
+# with max microseconds.
+TIME_POOL_US = [
+    -14182940000000,          # 1969-07-20 20:17:40 (negative epoch)
+    0,                        # 1970-01-01 00:00:00
+    2147483648000000,         # 2038-01-19 03:14:08 (32-bit rollover)
+    9214646400000000,         # 2262-01-01 00:00:00 (near pandas ns max)
+    1709251199999999,         # 2024-02-29 23:59:59.999999 (leap day)
+    -2208988800000000,        # 1900-01-01 00:00:00 (far pre-epoch)
+]
+
 # ``--kind empty``: write these tables with ZERO rows (schema intact).
 # The production shape is an empty day/partition of the append-only
 # streams — behavior analytics, corpus prep, and vector search all
@@ -259,6 +278,22 @@ def fuzz_table(
             counts[col] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
+    if kind == "time":
+        if table != "events":
+            pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+            return counts
+        idx = t.column_names.index("ts")
+        arr = t.column(idx)
+        rng = np.random.default_rng(zlib.crc32(f"{seed}:{table}:ts".encode()))
+        mask = pa.array(rng.random(len(t)) < rate)
+        repl = pa.array(
+            [TIME_POOL_US[i % len(TIME_POOL_US)] for i in range(len(t))],
+            type=pa.timestamp("us"),
+        ).cast(arr.type)
+        t = t.set_column(idx, "ts", pc.if_else(mask, repl, arr.combine_chunks()))
+        counts["ts"] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind == "mixed":
         # every poison class at once, interleaved per row — the shape
         # real production data has (a NULL category, a NaN metric,
@@ -331,7 +366,7 @@ def main() -> None:
         "--kind",
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
-            "nullcat", "nancat", "text", "empty", "extreme", "mixed",
+            "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
         ],
         default="null",
     )
