@@ -470,7 +470,9 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
-        FROM events GROUP BY user_id),
+        FROM events
+        WHERE ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
+        GROUP BY user_id),
     lags AS (
         SELECT (epoch_us(first_buy) - epoch_us(first_view)) / 1e6 AS lag_s
         FROM per_user
@@ -487,8 +489,11 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase lag in seconds, summarized as exact p50/p90. One
     conditional-min groupBy (no self-join: both "first X" aggregates
     ride the same shuffle) and one scalar percentile aggregate —
-    the funnel-latency companion to `funnel_stage_per_user`."""
-    ev = load_table(spark, sf_dir, "events")
+    the funnel-latency companion to `funnel_stage_per_user`. Corrupt
+    clocks are rejected at ingestion: a 1900-era first_view makes the
+    lag a 124-year artifact whose quantile interpolation diverges in
+    the last ulp across engines (time-fuzz aligned)."""
+    ev = load_table(spark, sf_dir, "events").filter(valid_event_time("ts"))
     per_user = ev.groupBy("user_id").agg(
         F.min(
             F.when(F.col("event_type") == "view", F.col("ts"))
