@@ -17,19 +17,34 @@ then the standard gate runs against the copy:
         --dst /tmp/nullfuzz_sf0.001
     python tools/check_correctness.py --sf-dir /tmp/nullfuzz_sf0.001
 
-Four poison kinds: ``--kind null`` (default; every eligible column)
-and ``--kind nan`` (float NaN into DOUBLE columns — NaN groups as a
-plain value, compares unordered, and poisons sums where NULL would
-be skipped, a distinct failure surface from NULL); plus the
-group-level variants ``--kind nullgroup`` / ``--kind nangroup``,
-which pick ~7% of GROUP KEYS (customers, users, parts) and
-poison EVERY value row of those groups. Row-level rates almost never
-produce a group whose every value is poisoned, so "customer whose
-every order price is NaN → SUM() is NULL → rank/ntile windows order
-a NULL key" stayed latent under row fuzz (ADVICE round 5 found four
-such divergences by reading; the group kinds manufacture those
-fixtures by construction). A query is hardened when it is hash-green
-on the clean dir AND all fuzzed dirs.
+Twelve poison kinds, one failure surface each:
+
+- ``null`` (default) — NULLs into every eligible value column.
+- ``nan`` — float NaN into DOUBLE columns (groups as a plain value,
+  compares unordered, poisons sums NULL would skip).
+- ``nullgroup`` / ``nangroup`` / ``extremegroup`` — pick ~7% of GROUP
+  KEYS (customers, users, parts) and poison EVERY value row of those
+  groups: row-level rates almost never produce an all-poisoned group,
+  so "customer whose every price is corrupt → SUM() is NULL →
+  rank/ntile windows order a NULL key" stays latent under row fuzz.
+- ``nullcat`` / ``nancat`` — poison EVERY value of the first CATEGORY
+  (event_type, returnflag): category keys are too few for %-of-keys
+  selection, yet one dead upstream producer is a common shape.
+- ``text`` — adversarial-but-valid strings (empty/NFC-vs-NFD/emoji/
+  entity bait/quote soup) into STRING columns; malformed JSON into
+  props.
+- ``empty`` — the append-only stream tables with ZERO rows.
+- ``extreme`` — ±inf/±1e308/2^53+1/subnormal/−0.0 into FLOAT columns
+  (pass every NOT-isnan guard, overflow ANSI cents casts, make float
+  sums ulp-order-dependent).
+- ``mixed`` — every class at once, interleaved per row (interactions
+  between per-axis fixes only surface here).
+- ``time`` — pathological-but-valid timestamps into events.ts
+  (negative epochs, epoch zero, 2038, near-pandas-max 2262, leap-day):
+  watermark starvation and calendar-spine explosion.
+
+A query is hardened when it is hash-green on the clean dir AND all
+fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
 """
 
 from __future__ import annotations
