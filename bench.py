@@ -57,7 +57,21 @@ EXTENDED = [
 ]
 
 
+def _uptime_sec() -> int:
+    try:
+        with open("/proc/uptime") as fh:
+            return int(float(fh.read().split()[0]))
+    except (OSError, ValueError):
+        return -1
+
+
 def main() -> None:
+    # snapshot the environment BEFORE the run generates its own load —
+    # an end-of-run loadavg mostly measures the bench itself
+    env_note = {
+        "loadavg_1m_at_start": round(os.getloadavg()[0], 2),
+        "uptime_sec_at_start": _uptime_sec(),
+    }
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -82,12 +96,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    # min-of-2 timing: session first-touch costs (JIT, codegen compile,
-    # first shuffle, one-time cached fits) migrate between queries in a
-    # shared session and made r4's single-shot numbers unattributable
-    # (text_quality_profile +165% with zero plan change). Run 1 absorbs
-    # them (kept visible under "cold"); min is the steady-state number
-    # round-over-round deltas are judged on.
+    # median-of-3 timing (r7+): session first-touch costs (JIT, codegen
+    # compile, first shuffle, one-time cached fits) migrate between
+    # queries in a shared session and made r4's single-shot numbers
+    # unattributable; r5-r6's min-of-2 still let a single slow warm run
+    # distort the figure when run 1 failed to fully amortize warm-up
+    # (BENCH_r06's basket_brand_lift read 10.1s vs a ~3.9s steady
+    # state). Run 1 absorbs first-touch (kept visible under "cold");
+    # the median of the two warm runs + one extra run is the
+    # steady-state number round-over-round deltas are judged on.
     cold: dict[str, float] = {}
 
     def run_set(set_names: list[str], tag: str) -> dict[str, float]:
@@ -95,9 +112,10 @@ def main() -> None:
         for name in set_names:
             t1 = run_once(name)
             t2 = run_once(name)
+            t3 = run_once(name)
             cold[name] = t1
-            out[name] = min(t1, t2)
-            print(f"# {name}: {out[name]}s (cold {t1}s){tag}", file=sys.stderr)
+            out[name] = sorted((t1, t2, t3))[1]
+            print(f"# {name}: {out[name]}s (runs {t1}/{t2}/{t3}){tag}", file=sys.stderr)
         return out
 
     timings = run_set(names, "")
@@ -112,10 +130,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # timing basis provenance: r1 timed df.count() (Catalyst prunes
         # non-cardinality work); r2-r4 timed one noop-sink write per
-        # query; r5+ is min-of-2 noop-sink writes (steady-state — see
+        # query; r5-r6 min-of-2 noop-sink writes; r7+ median-of-3 (see
         # the run_set comment). Never compare across bases; first-run
         # times stay visible under "cold".
-        "basis": "noop-write-min2",
+        "basis": "noop-write-median3",
+        # measurement environment: judged r6's numbers untrustworthy
+        # because the bench ran after ~15h of accumulated session state;
+        # record load + uptime so future readers can adjudicate noise.
+        "env": env_note,
         "cold": cold,
         # round-3 families, timed on the same basis; NOT in `value`
         # so the headline total stays comparable across rounds

@@ -201,12 +201,18 @@ def pagerank(
     are node-scale scalars, not edge-scale.
 
     Dangling nodes (no out-edges) are supported: their mass is
-    redistributed uniformly, the standard correction. The dangling
-    aggregate is a broadcast 1-row frame folded INTO the round's
-    lazy plan (crossJoin-of-scalar), not a driver-side collect — so
-    every round costs exactly one Spark job on any graph, dangling
-    or not. Fixed iteration count (not convergence-tested) keeps the
-    result deterministic and SQL-expressible for the oracle.
+    redistributed uniformly, the standard correction. Rather than a
+    separate per-round aggregate over the dangling set, each dangling
+    node gets ONE static pseudo-edge (node -> NULL, outdeg 1) so its
+    whole rank flows into the NULL-key group of the SAME join +
+    groupBy that sums real contributions — the dangling mass is just
+    another row of ``incoming``. Distributing that one scalar back to
+    every node is a broadcast of a 1-row filter over the round's
+    already-checkpointed aggregate (no recomputation, no driver
+    collect). General graphs therefore cost the same one
+    materialization per round as sink-free ones. Fixed iteration
+    count (not convergence-tested) keeps the result deterministic and
+    SQL-expressible for the oracle.
     """
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
@@ -219,13 +225,27 @@ def pagerank(
     # fold the out-degree into the materialized edge list once, so
     # each round is ONE join + ONE groupBy (the division stays
     # rank/outdeg, bit-identical to the SQL oracle's recurrence)
-    edges_deg = edges.join(outdeg, "src").localCheckpoint()
+    edges_deg = edges.join(outdeg, "src")
     # the dangling SET is static; detect it once so graphs without
     # sinks (e.g. symmetrized edge lists) skip the correction entirely
     dangling_nodes = verts.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).localCheckpoint()
+    )
     has_dangling = bool(dangling_nodes.limit(1).count())
+    if has_dangling:
+        # static pseudo-edges: each dangling node "sends" its whole
+        # rank (outdeg 1) to a NULL sentinel dst, so the dangling-mass
+        # sum rides the SAME join + groupBy as real contributions —
+        # no per-round aggregate over the dangling set
+        dst_type = dict(edges.dtypes)["dst"]
+        edges_deg = edges_deg.unionByName(
+            dangling_nodes.select(
+                F.col("node").alias("src"),
+                F.lit(None).cast(dst_type).alias("dst"),
+                F.lit(1).cast("long").alias("__outdeg"),
+            )
+        )
+    edges_deg = edges_deg.localCheckpoint()
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -237,19 +257,32 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("__outdeg")).alias("__c"),
         )
-        incoming = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        new_ranks = verts.join(incoming, "node", "left")
+        # the round's ONE materialization: per-node incoming mass,
+        # with the dangling total in the NULL-key group (if any)
+        incoming = (
+            contribs.groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+            .localCheckpoint()
+        )
+        new_ranks = verts.join(
+            incoming.filter(F.col("node").isNotNull()), "node", "left"
+        )
         if has_dangling:
-            # dangling mass: total rank held by nodes with no
-            # out-edges, as a broadcast 1-row scalar INSIDE this
-            # round's plan — no driver sync between rounds
-            dmass = dangling_nodes.join(ranks, "node").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            # distribute the dangling scalar: broadcast the 1-row
+            # NULL-key filter over the checkpointed aggregate — a
+            # trivial scan, no recomputation, no driver sync. The
+            # pseudo-edges guarantee the NULL group exists, so the
+            # crossJoin never empties the result.
+            dmass = incoming.filter(F.col("node").isNull()).select(
+                F.coalesce(F.col("__s"), F.lit(0.0)).alias("__dm")
             )
             new_ranks = new_ranks.crossJoin(F.broadcast(dmass))
             dm_per_node = F.col("__dm") / F.lit(float(n))
         else:
             dm_per_node = F.lit(0.0)
+        # ranks stays LAZY: it is a bounded plan over the checkpointed
+        # `incoming` (one join + one 1-row broadcast), consumed once
+        # by the next round's contribs join — no lineage growth
         ranks = new_ranks.select(
             "node",
             (
@@ -257,5 +290,5 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("__s"), F.lit(0.0)) + dm_per_node)
             ).alias("rank"),
-        ).localCheckpoint()
+        )
     return ranks

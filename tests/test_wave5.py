@@ -194,6 +194,63 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert by[2] > by[1]  # sink accumulates
 
 
+def test_pagerank_dangling_exact_recurrence(spark):
+    # 1->2, 2->3, 1->3; node 3 dangling. Hand-unrolled recurrence with
+    # uniform dangling redistribution protects the pseudo-edge fold
+    # (r6 VERDICT item 5): the dangling mass must enter each round as
+    # sum(rank over dangling)/n, not be dropped or double-counted.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    d, n = 0.85, 3
+    r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    for _ in range(3):
+        dm = r[3]  # node 3 is the only dangling node
+        inc = {1: 0.0, 2: r[1] / 2, 3: r[1] / 2 + r[2]}
+        r = {v: (1 - d) / n + d * (inc[v] + dm / n) for v in r}
+    got = {row.node: row.rank for row in pagerank(edges, iterations=3).collect()}
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_one_materialization_per_round(spark):
+    # Scale contract: the per-round cost is ONE materialization (the
+    # incoming aggregate's checkpoint); on dangling graphs the only
+    # extra Spark job is the 1-row broadcast of the NULL-key filter
+    # over that already-checkpointed aggregate — never a separate
+    # aggregate over the dangling set, and never growing with the
+    # iteration count. Measured with AQE off (AQE legitimately splits
+    # a query into per-stage jobs, which is not what this asserts).
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def last_job() -> int:
+            ids = sc.statusTracker().getJobIdsForGroup(None) or []
+            return max(ids) if ids else -1
+
+        def jobs_for(edges, iters: int) -> int:
+            j0 = last_job()
+            pagerank(edges, iterations=iters).collect()
+            return last_job() - j0
+
+        dangling = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+        )
+        cycle = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        for edges, per_round_max in ((dangling, 2), (cycle, 1)):
+            jobs_for(edges, 2)  # warm: absorbs one-time session jobs
+            base = jobs_for(edges, 2)
+            more = jobs_for(edges, 6)
+            per_iter = (more - base) / 4
+            assert per_iter <= per_round_max, (
+                f"{per_iter} jobs/iteration (base={base}, 6-iter={more})"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 # ---------------------------------------------- sorted neighborhood
 
 
