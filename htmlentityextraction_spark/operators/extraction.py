@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 NUM_PATTERN = re.compile(r"([0-9,.]*[0-9])(?:[^0-9,.])")
-# Hot-path scan: NUM_PATTERN + the "must contain . or ," rejection
+# r5's hot-path scan: NUM_PATTERN + the "must contain . or ," rejection
 # folded into ONE pattern, so bare integer runs (the vast majority of
 # digit runs in real HTML — ids, counts, dimensions) never surface as
 # Python Match objects at all. Provably the same match set: a
@@ -51,6 +51,27 @@ NUM_PATTERN = re.compile(r"([0-9,.]*[0-9])(?:[^0-9,.])")
 # Equivalence property-tested against the plain two-step reference in
 # tests/test_extraction.py.
 FAST_NUM_PATTERN = re.compile(r"((?=[0-9.,]*[.,])[0-9,.]*[0-9])(?:[^0-9,.])")
+# r7's scan (the one the hot path uses): digits* separator rest*
+# final-digit, plus one next-char check in Python, is equivalent to a
+# FAST_NUM_PATTERN match — and it keeps sre's first-charset skip loop
+# (the leading lookahead above defeats it: measured 25 MB/s/core on
+# digit-free 10 KB text vs 33 for this pattern) while still rejecting
+# BARE integer runs inside C (a plain [0-9,.]+ run-scan was 2x faster
+# still on prose but surfaced every bare id/count as a Python Match —
+# a measured regression on digit-heavy pages). Equivalence: a
+# FAST/NUM match's group always spans run-start..run-final-digit with
+# the trailing char outside the class, which forces the group to be
+# its ENTIRE maximal [0-9,.] run (any digit earlier in the run is
+# followed by a class char); greedy matching makes this pattern
+# produce exactly that run when the run ends in a digit and contains
+# a separator, and the next-char check enforces the trailing
+# [^0-9,.] (the reference's findFast quirk, `utils/PriceParcer.scala:
+# 15-37`: a number at end-of-input never matches — and a match whose
+# next char is still in-class means the run went on past its last
+# digit, which FAST/NUM reject). Property-tested against the frozen
+# two-step reference in tests/test_extraction.py.
+SEP_RUN_PATTERN = re.compile(r"[0-9,.]*[.,][0-9,.]*[0-9]")
+_RUN_CLASS = frozenset("0123456789,.")
 # \p{Sc} in Java; the common currency symbols + the Sc block in BMP
 CURRENCY = re.compile("[$¢-¥֏؋৲৳૱௹฿"
                       "៛₠-₿꠸﷼﹩＄￠￡￥￦]")
@@ -76,19 +97,32 @@ def extract_candidates_py(html: str, snippet_size: int = 150) -> list[dict]:
     if html is None:
         return []
     out = []
-    # FAST_NUM_PATTERN already enforces the has-separator rejection;
-    # the remaining checks run cheapest-first (candidate-only string
-    # scans before any snippet slicing)
-    for m in FAST_NUM_PATTERN.finditer(html):
-        price = m.group(1)
+    n = len(html)
+    # SEP_RUN_PATTERN already enforces ends-in-digit + has-separator
+    # inside C; the next-char check reconstructs the trailing
+    # [^0-9,.] (see the pattern comment), then the remaining
+    # rejections run cheapest-first (candidate-only string scans
+    # before any snippet slicing). Locals bound once: this loop is
+    # the serve path's per-byte cost.
+    in_class = _RUN_CLASS.__contains__
+    search = CURRENCY_OR_PRICE.search
+    append = out.append
+    for m in SEP_RUN_PATTERN.finditer(html):
+        end = m.end()
+        # number at end-of-input never matches (parity quirk), and a
+        # next char still in-class means the maximal run continued
+        # past its last digit — FAST/NUM reject both
+        if end >= n or in_class(html[end]):
+            continue
+        price = m.group()
         if ",," in price or ".," in price or ",." in price or ".." in price:
             continue
         start = m.start()
         before = html[max(start - snippet_size, 0) : start]
-        after = html[m.end() - 1 : m.end() - 1 + snippet_size]
-        if not CURRENCY_OR_PRICE.search(before + price + after):
+        after = html[end : end + snippet_size]
+        if not search(before + price + after):
             continue
-        out.append(
+        append(
             {
                 "candidate": price,
                 "location": start,

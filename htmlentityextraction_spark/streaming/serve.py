@@ -76,7 +76,20 @@ def serve_stream(
     `utils/Utils.scala:442-460`, not a silent drop)."""
     registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
+    want_parallelism = spark.sparkContext.defaultParallelism
+
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        # A micro-batch inherits the SOURCE's partitioning (Kafka topic
+        # partitions / input files). With fewer partitions than cores
+        # the whole narrow parse->extract->score pipeline serializes
+        # onto that many Python workers — measured 19x slower on a
+        # 1-file 300 MB batch (tools/serve_throughput.py --files 1).
+        # One up-front repartition of the raw payloads buys full
+        # parallelism for every downstream stage; skipped when the
+        # source already supplies enough splits (the 100 TB posture:
+        # provision topic partitions >= fleet cores and this is free).
+        if batch.rdd.getNumPartitions() < want_parallelism:
+            batch = batch.repartition(want_parallelism)
         parsed = schemas.parse_page_messages(batch)
         parsed.persist()
         result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
