@@ -215,6 +215,79 @@ class ParquetMergeTable:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_file)
 
+    # -- column mapping (rename without rewrite) ---------------------------
+    #
+    # Delta's column-mapping model, reduced to its load-bearing part:
+    # parquet files always store PHYSICAL column names, which never
+    # change after a column is first written; the manifest's optional
+    # ``mapping`` {logical -> physical} defines the user-visible view.
+    # RENAME is therefore a metadata-only commit (no bucket rewrite,
+    # old snapshots stay readable), and CDC diffs across a rename
+    # boundary stay aligned because they compare physical columns.
+    # Everything internal (bucket files, stats, blooms, manifest
+    # schema) lives in physical space; the public surfaces translate
+    # at the boundary.
+
+    @staticmethod
+    def _mapping(manifest: dict) -> dict[str, str]:
+        """logical -> physical for this snapshot (identity entries
+        omitted)."""
+        return dict(manifest.get("mapping") or {})
+
+    def _phys(self, manifest: dict, logical: str) -> str:
+        return self._mapping(manifest).get(logical, logical)
+
+    def _to_logical_df(self, df: DataFrame, manifest: dict) -> DataFrame:
+        inv = {p: l for l, p in self._mapping(manifest).items()}
+        if not inv:
+            return df
+        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+    def _to_physical_df(self, df: DataFrame, manifest: dict) -> DataFrame:
+        mp = self._mapping(manifest)
+        if not mp:
+            return df
+        return df.select(*[F.col(c).alias(mp.get(c, c)) for c in df.columns])
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (no data rewrite): publishes a
+        new snapshot whose ``mapping`` points the logical name ``new``
+        at the column's unchanged physical name. Time travel shows
+        each snapshot under ITS names; CDC across the rename boundary
+        is unaffected (diffs run on physical columns). The bucketing
+        key cannot be renamed (its physical identity is baked into
+        the table spec), matching the fixed-at-creation bucketing
+        contract."""
+        m = self._read_manifest()
+        mapping = self._mapping(m)
+        inv = {p: l for l, p in mapping.items()}
+        logical_cols = {inv.get(p, p) for p in self._physical_cols(m)}
+        if old == self.key_col:
+            raise ValueError(f"cannot rename bucketing key column {old!r}")
+        if old not in logical_cols:
+            raise ValueError(f"no such column {old!r} (have {sorted(logical_cols)})")
+        if new in logical_cols or new == self.key_col:
+            raise ValueError(f"column {new!r} already exists")
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        staged = {
+            "version": m["version"] + 1,
+            "buckets": dict(m["buckets"]),
+            "stats": dict(m.get("stats", {})),
+            "schema": m.get("schema"),
+            "mapping": {l: p for l, p in mapping.items() if l != p},
+        }
+        self.commit(staged)
+        return staged
+
+    def _physical_cols(self, manifest: dict) -> list[str]:
+        sj = manifest.get("schema")
+        if not sj:
+            return []
+        from pyspark.sql import types as T
+
+        return [f.name for f in T.StructType.fromJson(json.loads(sj)).fields]
+
     def _bucket(self, key: Column) -> Column:
         if self.bucketing == "range":
             # exact integer division (Iceberg truncate transform)
@@ -305,8 +378,19 @@ class ParquetMergeTable:
         ``_bloom_positions`` on a 1-row frame with the literal cast to
         the table's stored column type — identical hash/type semantics
         to the build path (xxhash64 is type-sensitive, so an untyped
-        probe literal could light different bits than the build did)."""
-        dtype = dict(self.read().dtypes).get(col)
+        probe literal could light different bits than the build did).
+        ``col`` is PHYSICAL here (callers translate), so the type
+        comes from the manifest's recorded (physical) schema."""
+        m = self._read_manifest()
+        if m.get("schema"):
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(json.loads(m["schema"]))
+            dtype = next(
+                (f.dataType.simpleString() for f in st.fields if f.name == col), None
+            )
+        else:  # pre-schema manifest: fall back to a footer read
+            dtype = dict(self.read().dtypes).get(col)
         lit = F.lit(value).cast(dtype) if dtype else F.lit(value)
         row = (
             self.spark.range(1)
@@ -326,6 +410,7 @@ class ParquetMergeTable:
         scanned. Returns {"scanned": [...], "skipped": [...]} like
         ``prune_report``."""
         m = self._manifest_for(version)
+        col = self._phys(m, col)  # blooms are keyed by physical name
         positions = self._bloom_probe_positions(col, value)
         kept, pruned = [], []
         for b in m["buckets"]:
@@ -356,9 +441,10 @@ class ParquetMergeTable:
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        dtype = dict(df.dtypes).get(col)
+        pcol = self._phys(m, col)  # filter on the stored physical column
+        dtype = dict(df.dtypes).get(pcol)
         probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
-        return df.filter(F.col(col) == probe)
+        return self._to_logical_df(df.filter(F.col(pcol) == probe), m)
 
     def _write_buckets(self, df: DataFrame, version: int) -> tuple[dict[str, str], dict]:
         """Write one dir per bucket under v{version}-{uuid}/; return
@@ -440,8 +526,11 @@ class ParquetMergeTable:
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
         # mergeSchema: after column-adding merges, untouched buckets
-        # still hold the pre-evolution schema (null-filled on read)
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # still hold the pre-evolution schema (null-filled on read);
+        # _to_logical_df applies this snapshot's column mapping
+        return self._to_logical_df(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
+        )
 
     def affected_buckets(self, keys: DataFrame, key_col: str | None = None) -> list[str]:
         """Distinct bucket ids the given key column lands in —
@@ -472,7 +561,9 @@ class ParquetMergeTable:
         ]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._to_logical_df(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
+        )
 
     # -- pruned reads (zone maps / bucket transform) -----------------------
     def prune_report(self, col: str, lo=None, hi=None, version: int | None = None) -> dict:
@@ -488,6 +579,7 @@ class ParquetMergeTable:
         an error — pruning is an optimization, not a correctness
         gate."""
         m = self._manifest_for(version)
+        col = self._phys(m, col)  # stats are keyed by physical name
         lo = self._json_scalar(lo)
         hi = self._json_scalar(hi)
         kept, pruned = [], []
@@ -521,13 +613,13 @@ class ParquetMergeTable:
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        c = F.col(col)
+        c = F.col(self._phys(m, col))  # predicate on the physical column
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (c >= F.lit(lo))
         if hi is not None:
             cond = cond & (c <= F.lit(hi))
-        return df.filter(cond)
+        return self._to_logical_df(df.filter(cond), m)
 
     def _bucket_of_value(self, key_value) -> int:
         """Bucket id for one key, evaluated with the engine's own
@@ -604,7 +696,8 @@ class ParquetMergeTable:
                 z = zvalue_n(
                     [
                         scale_to_bits(
-                            F.col(c),
+                            # bucket files store PHYSICAL names
+                            F.col(self._phys(m, c)),
                             F.lit(zbounds[f"lo{i}"]),
                             F.lit(zbounds[f"hi{i}"]),
                             zbits,
@@ -637,6 +730,7 @@ class ParquetMergeTable:
                 "buckets": entries,
                 "stats": dict(m.get("stats", {})),
                 "schema": m.get("schema"),
+                "mapping": m.get("mapping"),
             }
         )
         return {"version": version, "compacted": compacted}
@@ -747,8 +841,10 @@ class ParquetMergeTable:
         transform. One full-table rewrite — the same cost class as
         OPTIMIZE ZORDER; at production scale schedule it like any
         table-maintenance job."""
-        cur = self.read().localCheckpoint()  # materialize BEFORE the spec flips
         m = self._read_manifest()
+        # materialize BEFORE the spec flips; bucket files store
+        # PHYSICAL names, so the rewrite round-trips through them
+        cur = self._to_physical_df(self.read(), m).localCheckpoint()
         if bucketing is not None:
             if bucketing not in ("hash", "range"):
                 raise ValueError(f"bucketing must be hash|range, got {bucketing!r}")
@@ -767,10 +863,13 @@ class ParquetMergeTable:
                 "buckets": entries,
                 "stats": stats,
                 "schema": m.get("schema"),
+                "mapping": m.get("mapping"),
                 "spec": {
                     "num_buckets": self.num_buckets,
                     "bucketing": self.bucketing,
                     "range_width": self.range_width,
+                    "bloom_cols": self.bloom_cols,
+                    "key_col": self.key_col,
                 },
             }
         )
@@ -797,8 +896,12 @@ class ParquetMergeTable:
         m_new = self._manifest_for(to_version)
         ob, nb = m_old["buckets"], m_new["buckets"]
         changed = sorted(b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b))
-        old = self.read_buckets([b for b in changed if b in ob], from_version)
-        new = self.read_buckets([b for b in changed if b in nb], to_version)
+        # diff in PHYSICAL space: physical names are stable across
+        # renames, so old/new stay column-aligned even when the two
+        # snapshots straddle a rename boundary; output switches to the
+        # TO-version's logical names at the end (Delta CDF convention)
+        old = self._read_buckets_physical(m_old, [b for b in changed if b in ob])
+        new = self._read_buckets_physical(m_new, [b for b in changed if b in nb])
         k = self.key_col
         # column union from the manifest schemas (authoritative at
         # each version): a changed-bucket subset may predate a
@@ -824,16 +927,36 @@ class ParquetMergeTable:
             .when(F.col("__nk").isNull(), F.lit("delete"))
             .when(changed, F.lit("update"))
         )
+        inv_new = {p: l for l, p in self._mapping(m_new).items()}
         return (
             j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
             .select(
                 F.coalesce(F.col("__ok"), F.col("__nk")).alias(k),
                 "change_type",
-                *[F.col(f"old_{c}") for c in data_cols],
-                *[F.col(f"new_{c}") for c in data_cols],
+                *[F.col(f"old_{c}").alias(f"old_{inv_new.get(c, c)}") for c in data_cols],
+                *[F.col(f"new_{c}").alias(f"new_{inv_new.get(c, c)}") for c in data_cols],
             )
         )
+
+    def _read_buckets_physical(self, m: dict, bucket_ids: list[str]) -> DataFrame:
+        """``read_buckets`` without the logical-name translation — the
+        CDC diff path compares snapshots under their stable physical
+        columns."""
+        from pyspark.sql import types as T
+
+        want = {str(b) for b in bucket_ids}
+        paths = [
+            os.path.join(self.path, rel)
+            for b, rel in m["buckets"].items()
+            if b in want
+        ]
+        if not paths:
+            sj = m.get("schema")
+            if sj is None:
+                raise ValueError("cannot read an empty table with no recorded schema")
+            return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_key(self, key_value) -> DataFrame:
         """Point lookup: the bucket transform sends the key to exactly
@@ -846,10 +969,11 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, m["buckets"][b])] if b in m["buckets"] else [
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
-        return (
+        return self._to_logical_df(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*paths)
-            .filter(F.col(self.key_col) == F.lit(key_value))
+            .filter(F.col(self.key_col) == F.lit(key_value)),
+            m,
         )
 
     def history(self) -> list[dict]:
@@ -931,6 +1055,28 @@ class ParquetMergeTable:
         ``combine``: see merge()."""
         m = self._read_manifest()
         version = m["version"] + 1
+        # updates arrive under LOGICAL names; everything below (bucket
+        # files, stats, evolved-column detection) runs in physical
+        # space. A NEW column whose name collides with a RETIRED
+        # physical name (add "a" after renaming a->b: files still
+        # store physical "a" for logical "b") gets a minted physical
+        # name — writing it as-is would silently corrupt the renamed
+        # column's storage.
+        mapping = self._mapping(m)
+        inv = {p: l for l, p in mapping.items()}
+        phys_cols = set(self._physical_cols(m))
+        logical_cols = {inv.get(p, p) for p in phys_cols}
+        for c in updates.columns:
+            if c in (op_col, self.key_col) or c in logical_cols:
+                continue
+            if c in phys_cols:
+                minted = f"{c}__p{version}"
+                while minted in phys_cols:
+                    minted += "x"
+                mapping[c] = minted
+        m_view = {**m, "mapping": {l: p for l, p in mapping.items() if l != p}}
+        updates = self._to_physical_df(updates, m_view)
+        combine = {self._phys(m_view, c): how for c, how in (combine or {}).items()} or None
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
         affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
         if not affected:
@@ -942,6 +1088,7 @@ class ParquetMergeTable:
                 "buckets": dict(m["buckets"]),
                 "stats": dict(m.get("stats", {})),
                 "schema": m.get("schema"),
+                "mapping": m.get("mapping"),
             }
 
         old_paths = [
@@ -1021,6 +1168,7 @@ class ParquetMergeTable:
             "buckets": entries,
             "stats": stats,
             "schema": schema_json,
+            "mapping": m_view["mapping"] or None,
         }
 
     def commit(self, manifest: dict) -> None:
@@ -1079,4 +1227,10 @@ class ParquetMergeTable:
         sj = manifest.get("schema")
         if sj is None:  # table created before schemas were recorded
             raise ValueError("cannot read an empty table with no recorded schema")
-        return T.StructType.fromJson(_json.loads(sj))
+        st = T.StructType.fromJson(_json.loads(sj))
+        inv = {p: l for l, p in self._mapping(manifest).items()}
+        if inv:  # recorded schema is physical; empty reads are logical
+            st = T.StructType(
+                [T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable) for f in st.fields]
+            )
+        return st

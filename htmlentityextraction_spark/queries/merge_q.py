@@ -436,3 +436,50 @@ def mergetable_history_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("bigint").alias("version"),
         F.col("total_rows").alias("total_rows"),
     )
+
+
+@register(
+    "mergetable_schema_evolution",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k AS o_orderkey,
+           CASE WHEN k % 11 = 4 AND {fp}
+                THEN floor(p * 1.10 * 100) / 100 ELSE p END AS unit_price,
+           CASE WHEN k % 11 = 4 AND {fp}
+                THEN CAST(k % 5 AS INT) ELSE NULL END AS qty
+    FROM o
+    """.format(fp=finite_measure_sql("p")),
+)
+def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the merge table (round 7, Delta
+    column-mapping model): create from orders → RENAME price →
+    unit_price (metadata-only commit — zero buckets rewritten, old
+    snapshots keep their names) → MERGE under the NEW logical name
+    that also ADDS a typed qty column (existing rows null-fill) →
+    read the final snapshot. The oracle states the net effect in
+    closed form, so the hash match proves the rename routed updates
+    into the original physical column, the added column landed in its
+    own storage, and untouched rows read back unchanged under the new
+    name. Corrupt source measurements are excluded from the update
+    batch per the finite-measure ingestion contract (floor(NaN)
+    diverges across engines)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    path = tempfile.mkdtemp(prefix="evo_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
+    tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
+    tbl.create(orders)
+    tbl.rename_column("price", "unit_price")
+    k = F.col("o_orderkey")
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.pmod(k, F.lit(11)) == 4) & finite_measure("o_totalprice"))
+        .select(
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 1.10 * 100) / 100).alias("unit_price"),
+            F.pmod(k, F.lit(5)).cast("int").alias("qty"),
+            F.lit(OP_UPSERT).alias("op"),
+        )
+    )
+    tbl.merge(updates)
+    return tbl.read().select("o_orderkey", "unit_price", "qty")

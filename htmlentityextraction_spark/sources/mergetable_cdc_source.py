@@ -25,9 +25,17 @@ Semantics (mirrors ``ParquetMergeTable.table_changes``):
   comparison, old_*/new_* side-by-side — identical layout to the
   batch ``table_changes`` plus ``_commit_version``.
 
-Scope notes (documented, not hidden): the source schema is fixed at
-stream start from the CURRENT manifest schema — restart the stream
-to pick up later schema evolution (Delta requires the same). The
+Schema evolution contract (round 7): the source schema is fixed at
+stream start from the CURRENT manifest schema + column mapping
+(logical old_/new_ names; bucket files are read under their stable
+PHYSICAL names, so replayed history spanning a rename stays
+column-aligned). A column add/rename published AFTER stream start
+fails the stream LOUDLY at ``partitions()`` with a restart
+instruction — silently diffing the pinned column set would
+under-report changes (Delta CDF requires the same restart).
+Historical steps replayed via ``startingVersion`` that predate the
+pinned schema null-fill instead. The restart resumes from the
+checkpointed offset under the evolved schema. The
 ``startingVersion`` option replays history from that snapshot
 (``1`` = full-table bootstrap: version 1's rows arrive as inserts);
 default is changes published after stream start.
@@ -83,6 +91,10 @@ class MergeTableCDCDataSource(DataSource):
             raise ValueError(
                 "table manifest predates key_col in spec; pass .option('keyCol', ...)"
             )
+        # manifest schema records PHYSICAL names; the optional column
+        # mapping (rename-without-rewrite) supplies the user-visible
+        # logical names for the old_/new_ output columns
+        inv = {p: l for l, p in (m.get("mapping") or {}).items()}
         tbl_schema = StructType.fromJson(json.loads(m["schema"]))
         key_field = next(f for f in tbl_schema.fields if f.name == key)
         data_fields = [f for f in tbl_schema.fields if f.name != key]
@@ -91,8 +103,14 @@ class MergeTableCDCDataSource(DataSource):
                 StructField(key, key_field.dataType, True),
                 StructField("change_type", StringType(), True),
                 StructField("_commit_version", LongType(), True),
-                *[StructField(f"old_{f.name}", f.dataType, True) for f in data_fields],
-                *[StructField(f"new_{f.name}", f.dataType, True) for f in data_fields],
+                *[
+                    StructField(f"old_{inv.get(f.name, f.name)}", f.dataType, True)
+                    for f in data_fields
+                ],
+                *[
+                    StructField(f"new_{inv.get(f.name, f.name)}", f.dataType, True)
+                    for f in data_fields
+                ],
             ]
         )
 
@@ -121,8 +139,15 @@ class MergeTableCDCStreamReader(DataSourceStreamReader):
         self.path = path
         self.key = schema.fields[0].name
         # schema layout: key, change_type, _commit_version, old_*, new_*
-        n_data = (len(schema.fields) - 3) // 2
-        self.data_cols = [f.name[len("old_"):] for f in schema.fields[3 : 3 + n_data]]
+        # — LOGICAL names; bucket files are read under the manifest's
+        # PHYSICAL names (stable across renames), in schema order
+        m0 = _read_manifest_file(path)
+        self._pinned_fingerprint = (m0.get("schema"), m0.get("mapping") or None)
+        self._start_version = int(m0["version"])
+        phys_fields = json.loads(m0["schema"])["fields"]
+        self.data_cols = [
+            f["name"] for f in phys_fields if f["name"] != self.key
+        ]
         starting = options.get("startingversion")
         if starting is not None:
             self._initial = max(int(starting) - 1, 0)
@@ -160,6 +185,21 @@ class MergeTableCDCStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             new_m = _read_manifest_file(self.path, v)
+            # fail-loud on schema evolution published AFTER stream
+            # start: the pinned output schema cannot represent added/
+            # renamed columns, and silently diffing the old column set
+            # would under-report changes. Historical steps (replay via
+            # startingVersion) legitimately predate the pinned schema
+            # and null-fill instead — same contract as Delta CDF.
+            if v > self._start_version:
+                fp = (new_m.get("schema"), new_m.get("mapping") or None)
+                if fp != self._pinned_fingerprint:
+                    raise RuntimeError(
+                        f"merge-table schema changed at version {v} (column "
+                        "add/rename published after stream start); restart "
+                        "the stream to adopt the evolved schema — offsets "
+                        "are checkpointed, the restart resumes exactly here"
+                    )
             old_b = (
                 _read_manifest_file(self.path, v - 1)["buckets"] if v > 1 else {}
             )

@@ -209,7 +209,12 @@ def fuzz_table(
     kind='nan' injects float NaN into DOUBLE/FLOAT columns only (NaN
     and NULL have different grouping/ordering/aggregate semantics —
     both occur in production float columns)."""
-    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    # combine_chunks: pc.if_else over a multi-chunk string column
+    # produces corrupt binary offsets ("First or last binary offset
+    # out of bounds" at write time) in this pyarrow build; sf0.01
+    # tables fit one chunk, sf0.1 tables don't — the single-chunk
+    # rewrite makes every kind safe at every scale
+    t = pq.read_table(os.path.join(src, f"{table}.parquet")).combine_chunks()
     counts: dict[str, int] = {}
     if kind == "empty":
         if table in EMPTY_TABLES:
