@@ -1,0 +1,139 @@
+"""One-decade scale probe: sf0.1 → sf1 for the three worst 0.01→0.1
+scalers from SCALE_PROBE.md (`setsim_prefix_join_docs` ×3.09,
+`pagerank_copurchase_parts` ×2.89, `exact_substring_dup_spans`
+×2.58 per 10×). VERDICT r6 item 6.
+
+The driver only ships sf ≤ 0.1, so the sf1 inputs are DERIVED from
+sf0.1 by 10-fold replication with structure-preserving key/token
+isolation (documented fixture, not driver data — ratios are the
+point, not absolutes):
+
+- ``lineitem``: replica i shifts l_orderkey by i*(max+1) and
+  l_partkey by i*(max+1) → the co-purchase graph becomes 10 disjoint
+  copies: 10× vertices, 10× edges, identical local structure (the
+  TPC-H scaling shape: more orders/parts, same per-key cardinality).
+- ``documents``: replica i shifts doc_id and SALTS every token with
+  a per-replica alphabetic suffix (tokenizers here split on
+  whitespace / strip non-letters, so the salt must be letters).
+  Within a replica, shingle and window structure is IDENTICAL to
+  sf0.1 (same duplicate clusters, same Jaccard cliques); across
+  replicas nothing collides — so the corpus grows 10× while
+  duplicate-group and clique sizes stay constant, the honest
+  scale-up shape for both operators. Un-salted replication would
+  instead inflate every duplicate group 10× (a different, quadratic
+  workload the operators do not claim).
+
+Run AFTER generation on an otherwise-idle box:
+    python tools/sf1_probe.py --generate   # build /tmp/sf1_probe
+    python tools/sf1_probe.py              # timed probe, prints JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_probe"
+PROBES = [
+    "setsim_prefix_join_docs",
+    "pagerank_copurchase_parts",
+    "exact_substring_dup_spans",
+]
+REPLICAS = 10
+
+
+def generate() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet")).combine_chunks()
+    ok_shift = int(pc.max(li.column("l_orderkey")).as_py()) + 1
+    pk_shift = int(pc.max(li.column("l_partkey")).as_py()) + 1
+    parts = []
+    for i in range(REPLICAS):
+        t = li
+        t = t.set_column(
+            t.column_names.index("l_orderkey"),
+            "l_orderkey",
+            pc.add(t.column("l_orderkey"), i * ok_shift),
+        )
+        t = t.set_column(
+            t.column_names.index("l_partkey"),
+            "l_partkey",
+            pc.add(t.column("l_partkey"), i * pk_shift),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(DST, "lineitem.parquet"))
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).combine_chunks()
+    id_shift = int(pc.max(docs.column("doc_id")).as_py()) + 1
+    texts = docs.column("text").to_pylist()
+    parts = []
+    for i in range(REPLICAS):
+        salt = chr(ord("a") + i)  # alphabetic: survives the tokenizers
+        salted = pa.array(
+            [
+                None
+                if t is None
+                else " ".join(w + "q" + salt for w in t.split(" "))
+                for t in texts
+            ],
+            type=docs.column("text").type,
+        )
+        t = docs.set_column(
+            docs.column_names.index("doc_id"),
+            "doc_id",
+            pc.add(docs.column("doc_id"), i * id_shift),
+        )
+        t = t.set_column(t.column_names.index("text"), "text", salted)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(DST, "documents.parquet"))
+    print(f"wrote {DST}: lineitem x{REPLICAS}, documents x{REPLICAS} (token-salted)")
+
+
+def probe() -> None:
+    from htmlentityextraction_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("sf1-probe")
+    qs = entry.queries()
+    out = {"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}
+
+    def run(name: str, sf_dir: str) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 2))
+        return sorted(ts)[1]  # median-of-3, run 1 absorbs warm-up
+
+    for name in PROBES:
+        t01 = run(name, SRC)
+        t1 = run(name, DST)
+        out[name] = {
+            "sf0.1_s": t01,
+            "sf1_s": t1,
+            "ratio_per_10x": round(t1 / t01, 2),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generate", action="store_true")
+    args = ap.parse_args()
+    if args.generate:
+        generate()
+    else:
+        probe()
