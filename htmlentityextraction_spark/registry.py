@@ -37,9 +37,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-6 addition — no driver verdict yet (fuzz-green on all six
-    # local axes + clean sf0.01/sf0.001)
-    "exact_substring_dup_spans",
+    # round-7 addition — no driver verdict yet (green in the builder's
+    # sf0.001/0.01/0.1 sweeps + all 12 fuzz axes; exact_substring_dup_spans
+    # got its driver verdict in CORRECTNESS_r07.json row 1 and rotates out)
+    "mergetable_schema_evolution",
 )
 
 
