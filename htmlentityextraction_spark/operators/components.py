@@ -32,8 +32,42 @@ of the LLM-training-data extension surface (SURVEY.md §6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _persistent_rdds(spark: SparkSession) -> dict:
+    """Snapshot of the JVM's persistent-RDD registry: {id: JavaRDD}.
+
+    ``DataFrame.localCheckpoint`` persists its internal RDD outside the
+    SQL cache manager, so ``DataFrame.unpersist()`` cannot release the
+    blocks — the only handle is the context's persistent-RDD map.
+    ``getPersistentRDDs`` returns a copy, so this is a stable snapshot.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(e.getKey()): e.getValue() for e in jmap.entrySet().toArray()}
+
+
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, dict]:
+    """Eagerly localCheckpoint ``df`` and return (checkpointed df,
+    {id: JavaRDD} of the blocks the checkpoint just pinned).
+
+    Iterative operators use this to unpersist round N-1's blocks once
+    round N materializes: without it, every round's checkpoint
+    accumulates in executor storage for the whole loop (observed as
+    GC-locker retries in the sf1 PageRank probe on a single 128 GiB
+    JVM; on a cluster it is the same leak spread across executors).
+    """
+    spark = df.sparkSession
+    before = _persistent_rdds(spark)
+    out = df.localCheckpoint(eager=True)
+    after = _persistent_rdds(spark)
+    return out, {i: h for i, h in after.items() if i not in before}
+
+
+def _unpersist_handles(handles: dict) -> None:
+    for h in handles.values():
+        h.unpersist(False)  # non-blocking: let removal overlap the next round
 
 
 def connected_components(
@@ -64,27 +98,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, prev_round = _checkpoint_tracked(
         edges.select("u")
         .distinct()
         .select("u", F.col("u").alias("component"))
-        .localCheckpoint(eager=True)
-    )
+    )  # prev_round: round N-1's checkpoint blocks, freed at round N
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
+        new_labels, this_round = _checkpoint_tracked(
+            labels.join(nbr_min, "u", "left").select(
                 "u",
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -93,6 +124,10 @@ def connected_components(
             .limit(1)  # existence check, not a full count
             .count()
         )
+        # the fixpoint check above was old `labels`' last consumer —
+        # free its blocks so storage stays bounded at one round
+        _unpersist_handles(prev_round)
+        prev_round = this_round
         labels = new_labels
         if changed == 0:
             return labels.select(F.col("u").alias("node"), "component")
@@ -214,6 +249,12 @@ def pagerank(
     count (not convergence-tested) keeps the result deterministic and
     SQL-expressible for the oracle.
     """
+    # Drop NULL-endpoint rows up front: the dangling-mass correction
+    # below reserves the NULL dst key for its pseudo-edges, so a dirty
+    # edge list with real NULL dst would have that mass silently
+    # redistributed (and NULL src/dst would pollute verts and n).
+    # Filtering here makes the NULL group provably pseudo-edge-only.
+    edges = edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
     edges = edges.localCheckpoint()
@@ -248,6 +289,7 @@ def pagerank(
     edges_deg = edges_deg.localCheckpoint()
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev_round: dict = {}  # round N-1's checkpoint blocks, freed at round N
     for _ in range(iterations):
         # no broadcast hint: (node, rank) is node-scale and can be
         # arbitrarily large — AQE broadcasts it when it is small
@@ -258,12 +300,16 @@ def pagerank(
             (F.col("rank") / F.col("__outdeg")).alias("__c"),
         )
         # the round's ONE materialization: per-node incoming mass,
-        # with the dangling total in the NULL-key group (if any)
-        incoming = (
-            contribs.groupBy("node")
-            .agg(F.sum("__c").alias("__s"))
-            .localCheckpoint()
+        # with the dangling total in the NULL-key group (if any).
+        # Once this round's blocks exist, round N-1's checkpoint is
+        # referenced by nothing (the old lazy `ranks` plan was its
+        # only consumer and is reassigned below) — unpersist it so
+        # storage stays bounded at ONE round's worth across the loop.
+        incoming, this_round = _checkpoint_tracked(
+            contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         )
+        _unpersist_handles(prev_round)
+        prev_round = this_round
         new_ranks = verts.join(
             incoming.filter(F.col("node").isNotNull()), "node", "left"
         )

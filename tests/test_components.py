@@ -60,3 +60,18 @@ def test_resolve_keeps_exactly_one_per_cluster_and_singletons(spark):
     # exactly one keep per cluster
     keeps = out.filter("keep").groupBy("cluster_id").count().collect()
     assert all(r["count"] == 1 for r in keeps)
+
+
+def test_checkpoint_storage_bounded_across_rounds(spark):
+    # Per-round label checkpoints are freed once the fixpoint check
+    # consumes them: the persistent-RDD residue of a run is constant
+    # (edges + final labels), not proportional to the round count.
+    long_chain = _pairs(spark, [(i, i + 1) for i in range(12)])
+    short = _pairs(spark, [(1, 2)])
+
+    def leftover(pairs) -> int:
+        before = set(cc._persistent_rdds(spark))
+        cc.connected_components(pairs).collect()
+        return len(set(cc._persistent_rdds(spark)) - before)
+
+    assert leftover(long_chain) == leftover(short)

@@ -251,6 +251,48 @@ def test_pagerank_one_materialization_per_round(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
+def test_pagerank_null_endpoint_edges_ignored(spark):
+    # The NULL dst key is reserved for the dangling-mass pseudo-edges;
+    # a dirty edge list with real NULL endpoints must behave exactly
+    # like the cleaned list (not redistribute the NULL-dst mass, not
+    # inflate n with a NULL vertex).
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, None), (None, 2), (None, None)],
+        "src long, dst long",
+    )
+    want = {r.node: r.rank for r in pagerank(clean, iterations=3).collect()}
+    got = {r.node: r.rank for r in pagerank(dirty, iterations=3).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_checkpoint_storage_bounded(spark):
+    # Storage contract: per-round checkpoints are unpersisted once the
+    # next round materializes, so the number of persistent RDDs a run
+    # leaves behind is a constant (static edges/verts + the LAST
+    # round's aggregate), independent of the iteration count. Before
+    # the r8 fix every round's blocks accumulated for the whole loop
+    # (sf1 probe: GC-locker retries on the single JVM).
+    from htmlentityextraction_spark.operators.components import (
+        _persistent_rdds,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+
+    def leftover(iters: int) -> int:
+        before = set(_persistent_rdds(spark))
+        pagerank(edges, iterations=iters).collect()
+        return len(set(_persistent_rdds(spark)) - before)
+
+    assert leftover(8) == leftover(2)
+
+
 # ---------------------------------------------- sorted neighborhood
 
 
