@@ -73,6 +73,26 @@ OP_DELETE = "delete"
 _BLOOM_BITS = 2048
 _BLOOM_K = 3
 
+# legal (from, to) physical type widenings for schema evolution — the
+# lossless core of Delta's type-widening feature; every pair is also a
+# widening conversion Spark's parquet readers apply at scan time
+# (SPARK-40876), so untouched narrow bucket files stay readable under
+# the widened manifest schema without a rewrite
+_WIDENINGS = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"),
+        ("smallint", "double"),
+        ("int", "double"),
+    }
+)
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer published a snapshot between staging and commit;
@@ -116,6 +136,7 @@ class ParquetMergeTable:
         align_writes: bool = True,
         max_records_per_file: int | None = 5_000_000,
         bloom_cols: list[str] | None = None,
+        stale_lock_sec: float = 600.0,
     ):
         """``bucketing``:
 
@@ -164,6 +185,9 @@ class ParquetMergeTable:
         self.align_writes = align_writes
         self.max_records_per_file = max_records_per_file
         self.bloom_cols = list(bloom_cols) if bloom_cols else []
+        # commit-lock staleness threshold: a lock file older than this
+        # is treated as a crashed writer's residue and broken
+        self.stale_lock_sec = stale_lock_sec
         # the bucket SPEC belongs to the table, not the client
         # (Iceberg partition-spec semantics): an existing manifest's
         # recorded spec overrides constructor defaults, so a table
@@ -234,14 +258,68 @@ class ParquetMergeTable:
         omitted)."""
         return dict(manifest.get("mapping") or {})
 
+    def _logical_cols(self, manifest: dict) -> set[str]:
+        """Current user-visible column names of a snapshot."""
+        inv = {p: l for l, p in self._mapping(manifest).items()}
+        dropped = set(manifest.get("dropped") or [])
+        return {
+            inv.get(p, p)
+            for p in self._physical_cols(manifest)
+            if p not in dropped
+        }
+
     def _phys(self, manifest: dict, logical: str) -> str:
-        return self._mapping(manifest).get(logical, logical)
+        """Logical → stored physical name, guarding RETIRED names:
+        after rename price → unit_price, a probe for 'price' must
+        raise, not silently resolve to unit_price's physical storage
+        (that column's data would come back under the wrong name);
+        likewise a dropped column must not resurrect. Names that
+        never existed pass through — downstream either degrades
+        conservatively (prune/bloom: scan-all, the pinned
+        pre-evolution contract) or fails with Spark's own
+        missing-column analysis error."""
+        mp = self._mapping(manifest)
+        if logical in mp:
+            return mp[logical]
+        if self._physical_cols(manifest):
+            have = self._logical_cols(manifest)
+            if logical not in have:
+                retired = set(manifest.get("dropped") or ()) | set(mp.values())
+                if logical in retired:
+                    raise ValueError(
+                        f"column {logical!r} was renamed or dropped; "
+                        f"current columns: {sorted(have)}"
+                    )
+        return logical
 
     def _to_logical_df(self, df: DataFrame, manifest: dict) -> DataFrame:
         inv = {p: l for l, p in self._mapping(manifest).items()}
-        if not inv:
+        dropped = set(manifest.get("dropped") or [])
+        if not inv and not dropped:
             return df
-        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+        return df.select(
+            *[
+                F.col(c).alias(inv.get(c, c))
+                for c in df.columns
+                if c not in dropped
+            ]
+        )
+
+    def _read_physical(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """Bucket-file read pinned to the manifest's recorded
+        (physical) schema — the authority for what this snapshot's
+        columns ARE: files that predate an added column null-fill it,
+        files narrower than a widened column upcast at scan time
+        (Parquet widening reads, SPARK-40876), and physical columns
+        retired by a DROP are simply never selected. Pre-schema
+        manifests fall back to mergeSchema."""
+        from pyspark.sql import types as T
+
+        sj = manifest.get("schema")
+        if sj:
+            st = T.StructType.fromJson(json.loads(sj))
+            return self.spark.read.schema(st).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _to_physical_df(self, df: DataFrame, manifest: dict) -> DataFrame:
         mp = self._mapping(manifest)
@@ -260,8 +338,7 @@ class ParquetMergeTable:
         contract."""
         m = self._read_manifest()
         mapping = self._mapping(m)
-        inv = {p: l for l, p in mapping.items()}
-        logical_cols = {inv.get(p, p) for p in self._physical_cols(m)}
+        logical_cols = self._logical_cols(m)
         if old == self.key_col:
             raise ValueError(f"cannot rename bucketing key column {old!r}")
         if old not in logical_cols:
@@ -276,6 +353,57 @@ class ParquetMergeTable:
             "stats": dict(m.get("stats", {})),
             "schema": m.get("schema"),
             "mapping": {l: p for l, p in mapping.items() if l != p},
+            "dropped": m.get("dropped"),
+        }
+        self.commit(staged)
+        return staged
+
+    def drop_column(self, col: str) -> dict:
+        """Metadata-only column DROP (the column-mapping model's other
+        half, mirroring ``rename_column``): the physical column stays
+        in existing bucket files but leaves the table schema — reads
+        stop selecting it (schema-pinned scans never touch it), future
+        merges neither require nor rewrite it, and every later rewrite
+        (merge/optimize/rebucket) retires it physically for the
+        buckets it touches. The retired PHYSICAL name is recorded in
+        the manifest's ``dropped`` list so a later ADD of the same
+        logical name mints a fresh physical name instead of
+        resurrecting old storage (`staged_merge`'s collision guard).
+        Old snapshots still time-travel with the column. The bucketing
+        key cannot be dropped."""
+        from pyspark.sql import types as T
+
+        m = self._read_manifest()
+        if not m.get("schema"):
+            raise ValueError("cannot drop a column from a pre-schema manifest")
+        mapping = self._mapping(m)
+        logical_cols = self._logical_cols(m)
+        if col == self.key_col:
+            raise ValueError(f"cannot drop bucketing key column {col!r}")
+        if col not in logical_cols:
+            raise ValueError(f"no such column {col!r} (have {sorted(logical_cols)})")
+        phys = mapping.pop(col, col)
+        st = T.StructType.fromJson(json.loads(m["schema"]))
+        new_schema = T.StructType([f for f in st.fields if f.name != phys])
+        # the retired column can no longer be indexed or zone-mapped
+        self.bloom_cols = [c for c in self.bloom_cols if c != phys]
+        self.stats_cols = [c for c in self.stats_cols if c != phys]
+        staged = {
+            "version": m["version"] + 1,
+            "buckets": dict(m["buckets"]),
+            "stats": dict(m.get("stats", {})),
+            "schema": new_schema.json(),
+            "mapping": {l: p for l, p in mapping.items() if l != p} or None,
+            "dropped": list(m.get("dropped") or []) + [phys],
+            # bloom_cols changed above, so re-record the spec instead
+            # of letting _swap_manifest copy a stale default
+            "spec": {
+                "num_buckets": self.num_buckets,
+                "bucketing": self.bucketing,
+                "range_width": self.range_width,
+                "bloom_cols": self.bloom_cols,
+                "key_col": self.key_col,
+            },
         }
         self.commit(staged)
         return staged
@@ -311,8 +439,12 @@ class ParquetMergeTable:
         ``__rows`` count (the integrity-audit expectation —
         ``verify_integrity`` recounts storage against it); ≤ one row
         per bucket, so the collect is bounded by the bucket count."""
+        # stats cols absent from this frame (e.g. dropped since the
+        # table was opened) just record no zone map — conservative
+        # must-scan, never an error
+        cols = [c for c in self.stats_cols if c in out.columns]
         aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in self.stats_cols:
+        for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
         rows = out.groupBy("__bucket").agg(*aggs).collect()
@@ -321,7 +453,7 @@ class ParquetMergeTable:
                 "__rows": int(r["__rows"]),
                 **{
                     c: [self._json_scalar(r[f"__mn_{c}"]), self._json_scalar(r[f"__mx_{c}"])]
-                    for c in self.stats_cols
+                    for c in cols
                 },
             }
             for r in rows
@@ -440,7 +572,7 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, m["buckets"][b]) for b in kept] or [
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_physical(m, paths)
         pcol = self._phys(m, col)  # filter on the stored physical column
         dtype = dict(df.dtypes).get(pcol)
         probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
@@ -508,6 +640,15 @@ class ParquetMergeTable:
     def _manifest_for(self, version: int | None) -> dict:
         if version is None:
             return self._read_manifest()
+        current = self._read_manifest()["version"]
+        if version > current:
+            # a manifest-v{N}.json beyond the current pointer is crash
+            # residue from a commit that died between the version-file
+            # write and the pointer swap — it was never published and
+            # must not be time-travel-readable
+            raise FileNotFoundError(
+                f"version {version} not published (current is {current})"
+            )
         vfile = os.path.join(self.path, f"manifest-v{version}.json")
         if not os.path.exists(vfile):
             raise FileNotFoundError(
@@ -525,12 +666,11 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, p) for p in m["buckets"].values()]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
-        # mergeSchema: after column-adding merges, untouched buckets
-        # still hold the pre-evolution schema (null-filled on read);
-        # _to_logical_df applies this snapshot's column mapping
-        return self._to_logical_df(
-            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
-        )
+        # schema-pinned read: after column-adding merges, untouched
+        # buckets null-fill; after widening they upcast; after drops
+        # the retired column is never selected. _to_logical_df applies
+        # this snapshot's column mapping
+        return self._to_logical_df(self._read_physical(m, paths), m)
 
     def affected_buckets(self, keys: DataFrame, key_col: str | None = None) -> list[str]:
         """Distinct bucket ids the given key column lands in —
@@ -561,9 +701,7 @@ class ParquetMergeTable:
         ]
         if not paths:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
-        return self._to_logical_df(
-            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
-        )
+        return self._to_logical_df(self._read_physical(m, paths), m)
 
     # -- pruned reads (zone maps / bucket transform) -----------------------
     def prune_report(self, col: str, lo=None, hi=None, version: int | None = None) -> dict:
@@ -612,7 +750,7 @@ class ParquetMergeTable:
         paths = [os.path.join(self.path, m["buckets"][b]) for b in kept] or [
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_physical(m, paths)
         c = F.col(self._phys(m, col))  # predicate on the physical column
         cond = F.lit(True)
         if lo is not None:
@@ -691,7 +829,10 @@ class ParquetMergeTable:
             if zorder_by is None and n_files <= target_files_per_bucket:
                 continue
             out_rel = os.path.join(vdir, f"__bucket={b}")
-            df = self.spark.read.parquet(full)
+            # schema-pinned: compaction materializes the CURRENT
+            # schema — retired (dropped) columns leave the rewritten
+            # files physically, widened columns land at the wide type
+            df = self._read_physical(m, [full])
             if zorder_by is not None:
                 z = zvalue_n(
                     [
@@ -731,6 +872,7 @@ class ParquetMergeTable:
                 "stats": dict(m.get("stats", {})),
                 "schema": m.get("schema"),
                 "mapping": m.get("mapping"),
+                "dropped": m.get("dropped"),
             }
         )
         return {"version": version, "compacted": compacted}
@@ -743,8 +885,9 @@ class ParquetMergeTable:
         pre-count manifests), and the bucket spec it was written
         under. Reads only manifests (kilobytes), never data files."""
         rows = []
+        current = self._read_manifest()["version"]
         v = 1
-        while True:
+        while v <= current:  # never expose un-published (orphan) versions
             vfile = os.path.join(self.path, f"manifest-v{v}.json")
             if not os.path.exists(vfile):
                 break
@@ -864,6 +1007,7 @@ class ParquetMergeTable:
                 "stats": stats,
                 "schema": m.get("schema"),
                 "mapping": m.get("mapping"),
+                "dropped": m.get("dropped"),
                 "spec": {
                     "num_buckets": self.num_buckets,
                     "bucketing": self.bucketing,
@@ -908,7 +1052,13 @@ class ParquetMergeTable:
         # schema-evolving merge and lack its added columns
         old_types = self._manifest_types(m_old, old)
         new_types = self._manifest_types(m_new, new)
-        data_cols = [c for c in old_types if c != k] + [
+        # diff under the TO version's column set (Delta CDF
+        # convention): a column DROPPED between the versions leaves
+        # the feed entirely — the metadata-only drop commit itself has
+        # identical bucket paths (zero change rows), and later
+        # rewrites must not report every row as updated just because
+        # a dropped column's values went away
+        data_cols = [c for c in old_types if c != k and c in new_types] + [
             c for c in new_types if c != k and c not in old_types
         ]
         for c in data_cols:  # null-fill across schema evolution
@@ -956,7 +1106,7 @@ class ParquetMergeTable:
             if sj is None:
                 raise ValueError("cannot read an empty table with no recorded schema")
             return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_physical(m, paths)
 
     def read_key(self, key_value) -> DataFrame:
         """Point lookup: the bucket transform sends the key to exactly
@@ -970,20 +1120,27 @@ class ParquetMergeTable:
             os.path.join(self.path, next(iter(m["buckets"].values())))
         ]
         return self._to_logical_df(
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
-            .filter(F.col(self.key_col) == F.lit(key_value)),
+            self._read_physical(m, paths).filter(
+                F.col(self.key_col) == F.lit(key_value)
+            ),
             m,
         )
 
     def history(self) -> list[dict]:
-        """Published versions, oldest first: [{version, n_buckets}]."""
+        """Published versions, oldest first: [{version, n_buckets}].
+        Versions beyond the current pointer (crash residue of a commit
+        that never swapped the pointer) are not published and are
+        excluded."""
+        current = self._read_manifest()["version"]
         out = []
         for name in sorted(os.listdir(self.path)):
             if name.startswith("manifest-v") and name.endswith(".json"):
                 with open(os.path.join(self.path, name)) as f:
                     m = json.load(f)
-                out.append({"version": m["version"], "n_buckets": len(m["buckets"])})
+                if m["version"] <= current:
+                    out.append(
+                        {"version": m["version"], "n_buckets": len(m["buckets"])}
+                    )
         return sorted(out, key=lambda r: r["version"])
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -991,39 +1148,60 @@ class ParquetMergeTable:
         and delete bucket dirs no KEPT manifest references. Copy-on-
         write means an old version dir can still back the current
         snapshot, so deletion is reference-counted against the kept
-        manifests, never by version-dir age. Returns deleted paths."""
-        hist = self.history()
-        keep_versions = {h["version"] for h in hist[-max(keep_last, 1):]}
-        keep_versions.add(self._read_manifest()["version"])
-        referenced: set[str] = set()
-        for v in keep_versions:
-            vfile = os.path.join(self.path, f"manifest-v{v}.json")
-            if os.path.exists(vfile):
-                with open(vfile) as f:
-                    referenced.update(json.load(f)["buckets"].values())
-        deleted = []
-        for h in hist:
-            if h["version"] not in keep_versions:
-                os.remove(os.path.join(self.path, f"manifest-v{h['version']}.json"))
-        for vdir in sorted(os.listdir(self.path)):
-            # v{N} (pre-unique-staging layout) or v{N}-{uuid}
-            if not re.fullmatch(r"v\d+(-[0-9a-f]+)?", vdir):
-                continue
-            for bdir in sorted(os.listdir(os.path.join(self.path, vdir))):
-                rel = os.path.join(vdir, bdir)
-                if bdir.startswith("__bucket=") and rel not in referenced:
-                    import shutil
+        manifests, never by version-dir age. Returns deleted paths.
 
-                    shutil.rmtree(os.path.join(self.path, rel))
-                    deleted.append(rel)
-            if not any(
-                b.startswith("__bucket=")
-                for b in os.listdir(os.path.join(self.path, vdir))
-            ):
-                import shutil
+        Runs under the commit lock: otherwise a commit publishing a
+        new snapshot between vacuum's reference scan and its deletes
+        could have its fresh bucket dirs reclaimed as "unreferenced".
+        Version dirs AHEAD of the current pointer (a concurrent
+        writer's staged-but-uncommitted merge) are left alone for the
+        same reason; orphan ``manifest-v{N}.json`` files ahead of the
+        pointer (crash residue — see ``commit``) ARE removed, since
+        under the lock no in-flight commit can be mid-swap."""
+        import shutil
 
-                shutil.rmtree(os.path.join(self.path, vdir))
-        return deleted
+        fd = self._acquire_lock()
+        try:
+            current = self._read_manifest()["version"]
+            hist = self.history()
+            keep_versions = {h["version"] for h in hist[-max(keep_last, 1):]}
+            keep_versions.add(current)
+            referenced: set[str] = set()
+            for v in keep_versions:
+                vfile = os.path.join(self.path, f"manifest-v{v}.json")
+                if os.path.exists(vfile):
+                    with open(vfile) as f:
+                        referenced.update(json.load(f)["buckets"].values())
+            deleted = []
+            for h in hist:
+                if h["version"] not in keep_versions:
+                    os.remove(
+                        os.path.join(self.path, f"manifest-v{h['version']}.json")
+                    )
+            for name in os.listdir(self.path):  # orphan version files
+                mm = re.fullmatch(r"manifest-v(\d+)\.json", name)
+                if mm and int(mm.group(1)) > current:
+                    os.remove(os.path.join(self.path, name))
+            for vdir in sorted(os.listdir(self.path)):
+                # v{N} (pre-unique-staging layout) or v{N}-{uuid}
+                mv = re.fullmatch(r"v(\d+)(-[0-9a-f]+)?", vdir)
+                if not mv:
+                    continue
+                if int(mv.group(1)) > current:
+                    continue  # in-flight staging by a live writer
+                for bdir in sorted(os.listdir(os.path.join(self.path, vdir))):
+                    rel = os.path.join(vdir, bdir)
+                    if bdir.startswith("__bucket=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(self.path, rel))
+                        deleted.append(rel)
+                if not any(
+                    b.startswith("__bucket=")
+                    for b in os.listdir(os.path.join(self.path, vdir))
+                ):
+                    shutil.rmtree(os.path.join(self.path, vdir))
+            return deleted
+        finally:
+            self._release_lock(fd)
 
     def merge(
         self, updates: DataFrame, op_col: str = "op", combine: dict[str, str] | None = None
@@ -1063,9 +1241,12 @@ class ParquetMergeTable:
         # name — writing it as-is would silently corrupt the renamed
         # column's storage.
         mapping = self._mapping(m)
-        inv = {p: l for l, p in mapping.items()}
-        phys_cols = set(self._physical_cols(m))
-        logical_cols = {inv.get(p, p) for p in phys_cols}
+        # a RETIRED physical name (renamed-away or dropped) is still
+        # occupied storage in old bucket files — a new logical column
+        # reusing it must mint a fresh physical name
+        retired = set(m.get("dropped") or [])
+        phys_cols = set(self._physical_cols(m)) | retired
+        logical_cols = self._logical_cols(m)
         for c in updates.columns:
             if c in (op_col, self.key_col) or c in logical_cols:
                 continue
@@ -1076,7 +1257,32 @@ class ParquetMergeTable:
                 mapping[c] = minted
         m_view = {**m, "mapping": {l: p for l, p in mapping.items() if l != p}}
         updates = self._to_physical_df(updates, m_view)
-        combine = {self._phys(m_view, c): how for c, how in (combine or {}).items()} or None
+        # lenient translation for combine: its columns may be ADDED by
+        # this very batch (not yet in the snapshot), which strict
+        # _phys would reject
+        mp_view = self._mapping(m_view)
+        combine = {mp_view.get(c, c): how for c, how in (combine or {}).items()} or None
+        # the bucket transform hashes by TYPE (xxhash64(int 57) !=
+        # xxhash64(long 57)): a batch carrying the key at a narrower
+        # type than the table stores must be upcast BEFORE bucketing,
+        # and a wider-than-table key is refused — widening the key
+        # would relocate every existing row's bucket
+        tbl_types = self._manifest_types(m, updates) if m.get("schema") else {}
+        k_t = tbl_types.get(self.key_col)
+        if k_t is not None:
+            u_kt = updates.schema[self.key_col].dataType
+            if u_kt != k_t:
+                pair = (u_kt.simpleString(), k_t.simpleString())
+                if pair not in _WIDENINGS:
+                    raise ValueError(
+                        f"update batch key {self.key_col!r} is "
+                        f"{u_kt.simpleString()} but the table stores "
+                        f"{k_t.simpleString()}; the bucket hash is "
+                        "type-sensitive, so key types cannot widen"
+                    )
+                updates = updates.withColumn(
+                    self.key_col, F.col(self.key_col).cast(k_t)
+                )
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
         affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
         if not affected:
@@ -1089,6 +1295,7 @@ class ParquetMergeTable:
                 "stats": dict(m.get("stats", {})),
                 "schema": m.get("schema"),
                 "mapping": m.get("mapping"),
+                "dropped": m.get("dropped"),
             }
 
         old_paths = [
@@ -1098,7 +1305,11 @@ class ParquetMergeTable:
         ]
         data_cols = [c for c in upd.columns if c not in (op_col, "__bucket")]
         if old_paths:
-            old = self.spark.read.parquet(*old_paths)
+            # schema-pinned read: dropped physical columns are never
+            # selected (this rewrite retires them physically for the
+            # affected buckets), narrow files upcast if the table
+            # already widened
+            old = self._read_physical(m, old_paths)
         else:
             old = self.spark.createDataFrame([], updates.drop(op_col).schema)
 
@@ -1110,13 +1321,44 @@ class ParquetMergeTable:
         # between rewritten and untouched buckets.
         missing_in_upd = [c for c in old.columns if c not in data_cols]
         if missing_in_upd:
+            inv_view = {p: l for l, p in self._mapping(m_view).items()}
             raise ValueError(
-                f"update batch is missing existing columns {missing_in_upd}; "
+                "update batch is missing existing columns "
+                f"{[inv_view.get(c, c) for c in missing_in_upd]}; "
                 "upserts are full-row (schema evolution only ADDS columns)"
             )
         evolved = [c for c in data_cols if c not in old.columns]
         for c in evolved:
             old = old.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
+
+        # TYPE WIDENING (Delta type-widening shape): a batch may carry
+        # an existing column at a WIDER type — the table's schema
+        # widens (lossless casts only), existing narrow bucket files
+        # upcast at scan time (SPARK-40876), and only the affected
+        # buckets rewrite. A batch NARROWER than the table upcasts
+        # into the stored type; anything else (string vs int,
+        # long -> int, ...) fails loudly rather than corrupting.
+        widened: list[str] = []
+        for c in data_cols:
+            if c == self.key_col or c not in old.columns or c in evolved:
+                continue
+            o_t = old.schema[c].dataType
+            u_t = upd.schema[c].dataType
+            if o_t == u_t:
+                continue
+            pair = (o_t.simpleString(), u_t.simpleString())
+            if pair in _WIDENINGS:  # batch widens the table
+                old = old.withColumn(c, F.col(c).cast(u_t))
+                widened.append(c)
+            elif (pair[1], pair[0]) in _WIDENINGS:  # batch is narrower
+                upd = upd.withColumn(c, F.col(c).cast(o_t))
+            else:
+                inv_view = {p: l for l, p in self._mapping(m_view).items()}
+                raise ValueError(
+                    f"column {inv_view.get(c, c)!r} is {pair[0]} in the "
+                    f"table but {pair[1]} in the update batch; only "
+                    f"lossless widenings are supported: {sorted(_WIDENINGS)}"
+                )
 
         k = self.key_col
         upd_named = upd.select(
@@ -1161,38 +1403,85 @@ class ParquetMergeTable:
             else:  # bucket emptied by deletes
                 entries.pop(b, None)
                 stats.pop(b, None)
+        if widened:
+            # bloom bits are xxhash64-of-TYPED-value: untouched
+            # buckets' blooms for a widened column were built from the
+            # narrow type, and future probes cast to the wide type —
+            # a stale bloom could prune a bucket that HAS the value
+            # (false negative). Invalidate them; absent entry =
+            # conservative must-scan, and the next rewrite of each
+            # bucket rebuilds its bloom at the wide type.
+            rewritten = {str(b) for b in affected}
+            for c in widened:
+                if c in self.bloom_cols:
+                    for b, st in stats.items():
+                        if b not in rewritten and isinstance(st, dict):
+                            st.pop(f"__bloom_{c}", None)
         upd.unpersist()
-        schema_json = merged.schema.json() if evolved else m.get("schema")
+        schema_json = (
+            merged.schema.json() if (evolved or widened) else m.get("schema")
+        )
         return {
             "version": version,
             "buckets": entries,
             "stats": stats,
             "schema": schema_json,
             "mapping": m_view["mapping"] or None,
+            "dropped": m.get("dropped"),
         }
 
-    def commit(self, manifest: dict) -> None:
-        """Publish a staged manifest with OPTIMISTIC CONCURRENCY
-        CONTROL (Delta-style): the commit holds a lock file
-        (O_CREAT|O_EXCL — a conditional PUT on an object store),
-        re-reads the current version, and REFUSES if another writer
-        published since this merge was staged — last-writer-wins
-        would silently drop the other writer's buckets (the staged
-        manifest embeds the base snapshot's entries). The loser
-        re-stages on the new base and retries; its written files are
-        orphans that vacuum reclaims."""
+    def _acquire_lock(self):
+        """Take the table's commit lock (O_CREAT|O_EXCL — a
+        conditional PUT on an object store). A writer that crashed
+        while holding the lock (between manifest swap and unlock)
+        would otherwise wedge the table forever; a lock older than
+        ``stale_lock_sec`` is presumed abandoned and broken — the
+        O_EXCL retry arbitrates racing breakers. Returns the fd."""
         import time
 
         lock = os.path.join(self.path, "_commit.lock")
-        fd = None
         for _ in range(100):
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > self.stale_lock_sec:
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                    continue
                 time.sleep(0.05)
-        if fd is None:
-            raise TimeoutError(f"could not acquire commit lock {lock}")
+        raise TimeoutError(f"could not acquire commit lock {lock}")
+
+    def _release_lock(self, fd) -> None:
+        os.close(fd)
+        os.remove(os.path.join(self.path, "_commit.lock"))
+
+    def commit(self, manifest: dict) -> None:
+        """Publish a staged manifest with OPTIMISTIC CONCURRENCY
+        CONTROL (Delta-style): the commit holds a lock file, re-reads
+        the current version, and REFUSES if another writer published
+        since this merge was staged — last-writer-wins would silently
+        drop the other writer's buckets (the staged manifest embeds
+        the base snapshot's entries). The loser re-stages on the new
+        base and retries; its written files are orphans that vacuum
+        reclaims.
+
+        Crash behavior at every step (the crash-matrix test walks
+        these): before the lock → nothing published, retry converges;
+        holding the lock → stale-lock breaking unwedges later
+        writers; after ``manifest-v{N}.json`` but before the pointer
+        swap → readers stay on the old snapshot and the orphan
+        version file is invisible to history/time-travel until a
+        successful commit of N overwrites it; after the pointer swap →
+        the commit IS published (retrying raises
+        ConcurrentWriteError, which the caller treats as
+        already-won-or-lost and re-checks)."""
+        fd = self._acquire_lock()
         try:
             current = self._read_manifest()["version"]
             if current != manifest["version"] - 1:
@@ -1203,8 +1492,7 @@ class ParquetMergeTable:
                 )
             self._swap_manifest(manifest)
         finally:
-            os.close(fd)
-            os.remove(lock)
+            self._release_lock(fd)
 
     def _manifest_types(self, manifest: dict, df: DataFrame) -> dict:
         """col → DataType from the manifest's recorded schema
@@ -1229,8 +1517,13 @@ class ParquetMergeTable:
             raise ValueError("cannot read an empty table with no recorded schema")
         st = T.StructType.fromJson(_json.loads(sj))
         inv = {p: l for l, p in self._mapping(manifest).items()}
-        if inv:  # recorded schema is physical; empty reads are logical
+        dropped = set(manifest.get("dropped") or [])
+        if inv or dropped:  # recorded schema is physical; empty reads are logical
             st = T.StructType(
-                [T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable) for f in st.fields]
+                [
+                    T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in st.fields
+                    if f.name not in dropped
+                ]
             )
         return st

@@ -70,6 +70,17 @@ def _read_manifest_file(path: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _schema_fingerprint(m: dict) -> tuple:
+    """What the fail-loud evolution check compares: physical schema,
+    column mapping, and the dropped-column list (a DROP changes the
+    output column set just like an add/rename does)."""
+    return (
+        m.get("schema"),
+        m.get("mapping") or None,
+        tuple(m.get("dropped") or ()),
+    )
+
+
 class MergeTableCDCDataSource(DataSource):
     """``format("mergetable-cdc")``; options: ``path`` (required),
     ``startingVersion`` (optional, see module docstring)."""
@@ -84,8 +95,22 @@ class MergeTableCDCDataSource(DataSource):
             raise ValueError("mergetable-cdc requires a 'path' option")
         return p
 
+    def _pinned(self) -> dict:
+        """The ONE manifest read this stream's schema, column set, and
+        evolution fingerprint all derive from. ``schema()`` and the
+        reader previously each read the manifest; a schema-evolving
+        commit landing between those two reads could pin a column set
+        that disagrees with the output schema (row arity mismatch) or
+        mis-pin the fingerprint so the fail-loud evolution check is
+        silently skipped."""
+        m = getattr(self, "_pinned_manifest", None)
+        if m is None:
+            m = _read_manifest_file(self._table_path())
+            self._pinned_manifest = m
+        return m
+
     def schema(self) -> StructType:
-        m = _read_manifest_file(self._table_path())
+        m = self._pinned()
         key = (m.get("spec") or {}).get("key_col") or self.options.get("keycol")
         if not key:
             raise ValueError(
@@ -95,9 +120,12 @@ class MergeTableCDCDataSource(DataSource):
         # mapping (rename-without-rewrite) supplies the user-visible
         # logical names for the old_/new_ output columns
         inv = {p: l for l, p in (m.get("mapping") or {}).items()}
+        dropped = set(m.get("dropped") or [])
         tbl_schema = StructType.fromJson(json.loads(m["schema"]))
         key_field = next(f for f in tbl_schema.fields if f.name == key)
-        data_fields = [f for f in tbl_schema.fields if f.name != key]
+        data_fields = [
+            f for f in tbl_schema.fields if f.name != key and f.name not in dropped
+        ]
         return StructType(
             [
                 StructField(key, key_field.dataType, True),
@@ -115,7 +143,9 @@ class MergeTableCDCDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> "MergeTableCDCStreamReader":
-        return MergeTableCDCStreamReader(self._table_path(), schema, self.options)
+        return MergeTableCDCStreamReader(
+            self._table_path(), schema, self.options, manifest=self._pinned()
+        )
 
 
 class _BucketDiffPartition(InputPartition):
@@ -135,24 +165,38 @@ class _BucketDiffPartition(InputPartition):
 
 
 class MergeTableCDCStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: StructType, options: dict):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        options: dict,
+        manifest: dict | None = None,
+    ):
         self.path = path
         self.key = schema.fields[0].name
         # schema layout: key, change_type, _commit_version, old_*, new_*
         # — LOGICAL names; bucket files are read under the manifest's
-        # PHYSICAL names (stable across renames), in schema order
-        m0 = _read_manifest_file(path)
-        self._pinned_fingerprint = (m0.get("schema"), m0.get("mapping") or None)
+        # PHYSICAL names (stable across renames), in schema order.
+        # ``manifest`` is the SAME pinned snapshot the DataSource
+        # resolved the output schema from (one read for both — a
+        # commit between two reads could desync column set and
+        # schema); reading here is only a fallback for direct
+        # construction outside the DataSource.
+        m0 = manifest if manifest is not None else _read_manifest_file(path)
+        self._pinned_fingerprint = _schema_fingerprint(m0)
         self._start_version = int(m0["version"])
+        dropped = set(m0.get("dropped") or [])
         phys_fields = json.loads(m0["schema"])["fields"]
         self.data_cols = [
-            f["name"] for f in phys_fields if f["name"] != self.key
+            f["name"]
+            for f in phys_fields
+            if f["name"] != self.key and f["name"] not in dropped
         ]
         starting = options.get("startingversion")
         if starting is not None:
             self._initial = max(int(starting) - 1, 0)
         else:
-            self._initial = int(_read_manifest_file(path)["version"])
+            self._initial = self._start_version
         # bounded ingest (the maxOffsetsPerTrigger analogue): cap how
         # many published snapshots one micro-batch may cover, so a
         # long-idle consumer catching up on a busy table cannot pull
@@ -192,13 +236,14 @@ class MergeTableCDCStreamReader(DataSourceStreamReader):
             # startingVersion) legitimately predate the pinned schema
             # and null-fill instead — same contract as Delta CDF.
             if v > self._start_version:
-                fp = (new_m.get("schema"), new_m.get("mapping") or None)
+                fp = _schema_fingerprint(new_m)
                 if fp != self._pinned_fingerprint:
                     raise RuntimeError(
                         f"merge-table schema changed at version {v} (column "
-                        "add/rename published after stream start); restart "
-                        "the stream to adopt the evolved schema — offsets "
-                        "are checkpointed, the restart resumes exactly here"
+                        "add/rename/drop/widen published after stream "
+                        "start); restart the stream to adopt the evolved "
+                        "schema — offsets are checkpointed, the restart "
+                        "resumes exactly here"
                     )
             old_b = (
                 _read_manifest_file(self.path, v - 1)["buckets"] if v > 1 else {}
