@@ -483,3 +483,63 @@ def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(updates)
     return tbl.read().select("o_orderkey", "unit_price", "qty")
+
+
+@register(
+    "mergetable_schema_drop_widen",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k AS o_orderkey,
+           CASE WHEN k % 13 = 6 AND {fp}
+                THEN floor(p * 1.05 * 100) / 100 ELSE p END AS price,
+           CASE WHEN k % 13 = 6 AND {fp}
+                THEN 3000000000 + (k % 5) ELSE k % 5 END AS qty,
+           CASE WHEN k % 13 = 6 AND {fp}
+                THEN 'update' ELSE NULL END AS change_type
+    FROM o
+    """.format(fp=finite_measure_sql("p")),
+)
+def mergetable_schema_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 schema-evolution surface: column DROP + type WIDENING
+    (`operators/incremental.py:drop_column`, `_WIDENINGS`), plus CDC
+    across the drop boundary. Create from orders with an extra tag
+    column and an INT qty → DROP tag (metadata-only commit, zero
+    buckets rewritten) → MERGE a batch that carries qty as BIGINT
+    with values beyond int range (the table widens; untouched narrow
+    buckets upcast at scan, SPARK-40876) → join the final snapshot
+    with ``table_changes`` spanning the drop. The oracle states the
+    net effect in closed form: a hash match proves (a) the dropped
+    column is gone without disturbing other columns, (b) widened and
+    upcast values agree exactly, and (c) CDC across the drop reports
+    ONLY the genuinely merged keys as updates — a diff that compared
+    the dropped column would mark every row updated and mismatch.
+    Corrupt measurements are excluded from the update batch per the
+    finite-measure ingestion contract."""
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.pmod(k, F.lit(5)).cast("int").alias("qty"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    path = tempfile.mkdtemp(prefix="dw_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
+    tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
+    tbl.create(orders)  # v1
+    tbl.drop_column("tag")  # v2: metadata-only
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.pmod(k, F.lit(13)) == 6) & finite_measure("o_totalprice"))
+        .select(
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 1.05 * 100) / 100).alias("price"),
+            (F.lit(3_000_000_000) + F.pmod(k, F.lit(5))).cast("long").alias("qty"),
+            F.lit(OP_UPSERT).alias("op"),
+        )
+    )
+    tbl.merge(updates)  # v3: widens qty int -> bigint
+    changes = tbl.table_changes(1, 3).select("o_orderkey", "change_type")
+    return (
+        tbl.read()
+        .join(changes, "o_orderkey", "left")
+        .select("o_orderkey", "price", "qty", "change_type")
+    )
