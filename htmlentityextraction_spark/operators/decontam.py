@@ -118,6 +118,92 @@ def dedup_against_corpus(
     return first.select(id_col, "fingerprint")
 
 
+def advance_dedup_index(
+    index_tbl,
+    corpus_tbl,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    fp_col: str = "fingerprint",
+    id_col: str = "doc_id",
+) -> dict:
+    """Advance a (fingerprint → doc_id) dedup-index merge table from
+    the corpus table's CHANGE FEED — the corpus-version-level half of
+    incremental dedup (VERDICT r7 item 8): the fingerprint set a new
+    batch probes is maintained at O(delta) cost, never by rescanning
+    the corpus.
+
+    ``table_changes`` reads ONLY buckets whose manifest paths differ
+    between the two versions (copy-on-write manifest-diff pruning), so
+    a trickle merge into a 100 TB corpus costs a handful of bucket
+    reads here. Inserts/updates upsert the doc's new fingerprint;
+    deletes (and fingerprint-changing updates) retire the old one. The
+    feed is netted per fingerprint first — a doc deleted and another
+    inserted with the same fingerprint inside one version window must
+    collapse to a single live upsert, not a conflicting delete+upsert
+    pair in one MERGE batch. The corpus is assumed deduped (only
+    fresh-fingerprint docs are ever merged in — this module's probe
+    enforces that), so each fingerprint maps to exactly one live doc.
+    """
+    ch = corpus_tbl.table_changes(from_version, to_version)
+    old_fp, new_fp = f"old_{fp_col}", f"new_{fp_col}"
+    adds = ch.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col(new_fp).alias(fp_col), F.col(id_col), F.lit("upsert").alias("op")
+    )
+    drops = ch.filter(
+        (F.col("change_type") == "delete")
+        | (
+            (F.col("change_type") == "update")
+            & ~F.col(old_fp).eqNullSafe(F.col(new_fp))
+        )
+    ).select(F.col(old_fp).alias(fp_col), F.col(id_col), F.lit("delete").alias("op"))
+    net = (
+        adds.unionByName(drops)
+        .groupBy(fp_col)
+        .agg(F.min(F.when(F.col("op") == "upsert", F.col(id_col))).alias("__doc"))
+    )
+    ops = net.select(
+        fp_col,
+        F.col("__doc").alias(id_col),
+        F.when(F.col("__doc").isNotNull(), F.lit("upsert"))
+        .otherwise(F.lit("delete"))
+        .alias("op"),
+    )
+    return index_tbl.merge(ops)
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    index_tbl,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against the LIVE corpus state via the
+    fingerprint-index merge table: bucket-transform pruning reads only
+    the index buckets the batch's fingerprints land in (O(batch), not
+    O(corpus) — at production bucket counts a small batch touches a
+    sliver of the index), then anti-join + keep-min-id within the
+    batch. Returns the accepted (id, fingerprint) rows — the exact
+    frame the caller merges into the corpus table, which keeps the
+    index's one-live-doc-per-fingerprint invariant. NULL-text docs
+    carry no fingerprint and are excluded (quality gates drop them
+    upstream)."""
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+
+    fps = batch.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())
+    bks = index_tbl.affected_buckets(fps, "fingerprint")
+    known = index_tbl.read_buckets(bks).select("fingerprint")
+    fresh = fps.join(known, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
 def segment_dedup_keep_first(
     docs: DataFrame,
     *,

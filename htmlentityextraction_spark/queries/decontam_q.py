@@ -166,3 +166,124 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, never raw text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dc.boilerplate_segments(docs, seg_len=15, min_docs=3)
+
+
+_FP = (
+    "md5(lower(trim(regexp_replace(regexp_replace({col},"
+    "'[^A-Za-z]+',' ','g'),' +',' ','g'))))"
+)
+
+
+@register(
+    "incremental_dedup_via_cdc",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, {_FP.format(col='text')} AS fingerprint
+        FROM documents WHERE text IS NOT NULL
+    ), c0 AS (  -- corpus v1: internal keep-min dedup of the seed split
+        SELECT min(doc_id) AS doc_id, fingerprint
+        FROM fp WHERE doc_id % 4 = 1 GROUP BY fingerprint
+    ), a1 AS (   -- batch 1 accepted: fresh vs corpus v1, keep-min in batch
+        SELECT min(doc_id) AS doc_id, fingerprint
+        FROM fp
+        WHERE doc_id % 4 = 2
+          AND fingerprint NOT IN (SELECT fingerprint FROM c0)
+        GROUP BY fingerprint
+    ), live AS ( -- live fingerprints after v3's deletes propagate
+        SELECT fingerprint FROM c0 WHERE doc_id % 7 <> 0
+        UNION ALL SELECT fingerprint FROM a1
+    ), a2 AS (   -- batch 2 accepted: fresh vs the POST-delete live state
+        SELECT min(doc_id) AS doc_id, fingerprint
+        FROM fp
+        WHERE (doc_id % 4 = 3 OR doc_id % 4 = 0)
+          AND fingerprint NOT IN (SELECT fingerprint FROM live)
+        GROUP BY fingerprint
+    )
+    SELECT doc_id, fingerprint, CAST(1 AS INT) AS batch FROM a1
+    UNION ALL
+    SELECT doc_id, fingerprint, CAST(2 AS INT) AS batch FROM a2
+    """,
+)
+def incremental_dedup_via_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version-level incremental dedup (VERDICT r7 item 8): the
+    deduped corpus lives in a ParquetMergeTable; a (fingerprint →
+    doc_id) INDEX merge table is maintained from the corpus table's
+    CDC feed (`operators/decontam.py:advance_dedup_index` — cost
+    O(changed buckets) via manifest-diff pruning, never a corpus
+    rescan); each arriving batch dedups against the index with
+    bucket-transform pruning (`dedup_batch_against_index`).
+
+    The scenario exercises the full loop: seed corpus (v1, internal
+    dedup) → index bootstrap → batch 1 probe + merge (v2) → index
+    advance via CDC(1→2) → corpus DELETES (v3) → index advance via
+    CDC(2→3) → batch 2 probe against the post-delete live state. The
+    closed-form oracle proves the CDC-maintained index tracked every
+    transition exactly: batch-2 acceptances include docs whose
+    fingerprints were RETIRED by the deletes — a stale index (or one
+    rebuilt from the wrong version window) diverges immediately."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    base = _tempfile.mkdtemp(
+        prefix="cdcdedup_", dir=_os.environ.get("TMPDIR", "/tmp")
+    )
+    corpus = ParquetMergeTable(
+        spark, _os.path.join(base, "corpus"), key_col="doc_id", num_buckets=8
+    )
+    index = ParquetMergeTable(
+        spark, _os.path.join(base, "index"), key_col="fingerprint", num_buckets=8
+    )
+    fps = docs.select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())
+
+    # v1: seed corpus = internal keep-min dedup of the %4==1 split
+    seed = (
+        fps.filter(F.col("doc_id") % 4 == 1)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+    corpus.create(seed)
+    # index bootstrap: the initial build is the one full read the
+    # pipeline ever does; every later maintenance step is CDC-driven
+    index.create(corpus.read().select("fingerprint", "doc_id"))
+    synced = 1
+
+    # batch 1 arrives: probe the index, merge acceptances, advance
+    batch1 = docs.filter(F.col("doc_id") % 4 == 2)
+    a1 = dc.dedup_batch_against_index(batch1, index)
+    corpus.merge(a1.withColumn("op", F.lit("upsert")))  # v2
+    dc.advance_dedup_index(index, corpus, synced)
+    synced = 2
+
+    # retention pass deletes part of the seed corpus (v3); the index
+    # follows from the feed alone
+    dels = corpus.read().filter(
+        (F.col("doc_id") % 4 == 1) & (F.col("doc_id") % 7 == 0)
+    )
+    corpus.merge(
+        dels.select(
+            "doc_id", F.lit(None).cast("string").alias("fingerprint"),
+            F.lit("delete").alias("op"),
+        )
+    )  # v3
+    dc.advance_dedup_index(index, corpus, synced)
+    synced = 3
+
+    # batch 2 probes the post-delete live state
+    batch2 = docs.filter(
+        (F.col("doc_id") % 4 == 3) | (F.col("doc_id") % 4 == 0)
+    )
+    a2 = dc.dedup_batch_against_index(batch2, index)
+    return a1.withColumn("batch", F.lit(1)).unionByName(
+        a2.withColumn("batch", F.lit(2))
+    )

@@ -68,3 +68,103 @@ def test_boilerplate_segments_flags_common_segment(spark):
     assert rows[4].n_segments == 2  # "g h" + trailing "i"
     assert rows[4].n_boilerplate == 0
     assert rows[4].tokens_kept == 3
+
+
+def _mk_tables(spark, tmp_path):
+    import os
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    corpus = ParquetMergeTable(
+        spark, os.path.join(str(tmp_path), "corpus"), "doc_id", num_buckets=4
+    )
+    index = ParquetMergeTable(
+        spark, os.path.join(str(tmp_path), "index"), "fingerprint", num_buckets=4
+    )
+    return corpus, index
+
+
+def test_cdc_dedup_index_tracks_inserts_deletes_and_fp_reuse(spark, tmp_path):
+    """The index must follow the corpus feed exactly: inserts add
+    fingerprints, deletes retire them, and a delete + same-fingerprint
+    re-insert inside ONE version window nets to a single live row
+    (not a conflicting delete+upsert pair)."""
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+
+    corpus, index = _mk_tables(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    ).select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus.create(docs)  # v1
+    index.create(corpus.read().select("fingerprint", "doc_id"))
+    assert index.read().count() == 3
+
+    # one version window: delete doc 2, re-insert its text as doc 9,
+    # and insert a brand-new doc 4
+    fp2 = docs.filter("doc_id = 2").first().fingerprint
+    fp_new = normalized_fingerprint(F.lit("delta text"))
+    batch = spark.createDataFrame(
+        [(2, None, "delete")], "doc_id long, fingerprint string, op string"
+    ).unionByName(
+        spark.createDataFrame([(9,), (4,)], "doc_id long").select(
+            "doc_id",
+            F.when(F.col("doc_id") == 9, F.lit(fp2)).otherwise(fp_new).alias(
+                "fingerprint"
+            ),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    corpus.merge(batch)  # v2
+    dc.advance_dedup_index(index, corpus, 1)
+    got = {r.fingerprint: r.doc_id for r in index.read().collect()}
+    assert got[fp2] == 9, "same-fp delete+reinsert must net to the new doc"
+    assert len(got) == 4  # alpha, beta(now doc 9), gamma, delta
+
+    # pure delete window: retire doc 3's fingerprint
+    corpus.merge(
+        spark.createDataFrame(
+            [(3, None, "delete")], "doc_id long, fingerprint string, op string"
+        )
+    )  # v3
+    dc.advance_dedup_index(index, corpus, 2)
+    fps_live = {r.fingerprint for r in index.read().collect()}
+    fp3 = docs.filter("doc_id = 3").first().fingerprint
+    assert fp3 not in fps_live and len(fps_live) == 3
+
+
+def test_batch_probe_accepts_retired_fingerprints_and_dedups_in_batch(
+    spark, tmp_path
+):
+    corpus, index = _mk_tables(spark, tmp_path)
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+
+    seed = spark.createDataFrame(
+        [(1, "alpha words"), (2, "beta words")], "doc_id long, text string"
+    ).select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus.create(seed)
+    index.create(corpus.read().select("fingerprint", "doc_id"))
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha words"),    # dup of live corpus doc -> rejected
+            (11, "fresh words"),    # fresh -> accepted
+            (12, "fresh words"),    # in-batch dup -> keep-min (11 wins)
+            (13, None),             # NULL text -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in dc.dedup_batch_against_index(batch, index).collect()}
+    assert got == {11}
+
+    # delete doc 1 from the corpus, advance the index: its fingerprint
+    # is retired, so a later batch doc with the same text is ACCEPTED
+    corpus.merge(
+        spark.createDataFrame(
+            [(1, None, "delete")], "doc_id long, fingerprint string, op string"
+        )
+    )
+    dc.advance_dedup_index(index, corpus, 1)
+    again = spark.createDataFrame([(20, "alpha words")], "doc_id long, text string")
+    got = {r.doc_id for r in dc.dedup_batch_against_index(again, index).collect()}
+    assert got == {20}, "retired fingerprint must be accept-able again"
