@@ -44,6 +44,8 @@ PROBES = [
     "setsim_prefix_join_docs",
     "pagerank_copurchase_parts",
     "exact_substring_dup_spans",
+    # r8 addition: next-worst 0.01→0.1 grower (×2.36), documents-only
+    "dedup_minhash_lsh",
 ]
 REPLICAS = 10
 
@@ -129,11 +131,37 @@ def probe() -> None:
     spark.stop()
 
 
+def hash_check() -> int:
+    """Correctness at sf1, not just wall time (VERDICT r7 item 2): run
+    the driver-mirroring compare (Spark query vs DuckDB oracle, row
+    count + schema + order-insensitive value hash) over the derived
+    sf1 fixtures for every probed query. Delegates to
+    tools/check_correctness.py with --sf-dir pointed at the fixture
+    dir (which registers only the tables the fixture ships)."""
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_correctness.py"),
+        "--sf-dir",
+        DST,
+        *PROBES,
+    ]
+    return subprocess.call(cmd)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
+    ap.add_argument(
+        "--hash-check",
+        action="store_true",
+        help="driver-mirroring hash compare of the probed queries at sf1",
+    )
     args = ap.parse_args()
     if args.generate:
         generate()
+    elif args.hash_check:
+        raise SystemExit(hash_check())
     else:
         probe()
