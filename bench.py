@@ -138,6 +138,11 @@ def main() -> None:
         # because the bench ran after ~15h of accumulated session state;
         # record load + uptime so future readers can adjudicate noise.
         "env": env_note,
+        # the artifact self-documents its comparison protocol: end-of-
+        # round runs on this box inflate untouched queries +7-140%
+        # (BENCHNOTES.md); compare fresh-session runs only, and check
+        # env.loadavg_1m_at_start before trusting a cross-round delta
+        "see": "BENCHNOTES.md — compare within-basis, fresh-session runs only",
         "cold": cold,
         # round-3 families, timed on the same basis; NOT in `value`
         # so the headline total stays comparable across rounds
