@@ -12,16 +12,23 @@ point, not absolutes):
   l_partkey by i*(max+1) → the co-purchase graph becomes 10 disjoint
   copies: 10× vertices, 10× edges, identical local structure (the
   TPC-H scaling shape: more orders/parts, same per-key cardinality).
-- ``documents``: replica i shifts doc_id and SALTS every token with
-  a per-replica alphabetic suffix (tokenizers here split on
-  whitespace / strip non-letters, so the salt must be letters).
-  Within a replica, shingle and window structure is IDENTICAL to
-  sf0.1 (same duplicate clusters, same Jaccard cliques); across
-  replicas nothing collides — so the corpus grows 10× while
-  duplicate-group and clique sizes stay constant, the honest
-  scale-up shape for both operators. Un-salted replication would
-  instead inflate every duplicate group 10× (a different, quadratic
-  workload the operators do not claim).
+- ``documents``: replica i shifts doc_id and applies a PER-REPLICA
+  LETTER SUBSTITUTION CIPHER (a seeded bijection on a-z/A-Z;
+  replica 0 is the identity, i.e. sf0.1 verbatim). A bijection on
+  the alphabet maps every token and every char shingle 1:1, so
+  WITHIN a replica all token-set and shingle-set structure — the
+  same duplicate clusters, the same Jaccard values, bit-for-bit —
+  is preserved, while ACROSS replicas tokens and shingles are
+  images under different ciphers and collide only at noise level.
+  The round-7 fixture instead SUFFIX-salted every word, which is
+  sound for token operators but catastrophically wrong for char-
+  shingle ones: every word ending in the same 2-char suffix lifts
+  UNRELATED-doc shingle Jaccard from ~0.18 to ~0.52 (measured) —
+  past the 0.5 near-dup threshold — so the sf1 corpus became one
+  giant near-dup clique (44.6M verified pairs vs 256 at sf0.1) and
+  the minhash probe measured a pathological workload the operator
+  never claims. The cipher keeps per-replica pair counts at exactly
+  sf0.1's, the honest 10× shape for every documents operator.
 
 Run AFTER generation on an otherwise-idle box:
     python tools/sf1_probe.py --generate   # build /tmp/sf1_probe
@@ -76,27 +83,33 @@ def generate() -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(DST, "lineitem.parquet"))
 
+    import random
+    import string
+
     docs = pq.read_table(os.path.join(SRC, "documents.parquet")).combine_chunks()
     id_shift = int(pc.max(docs.column("doc_id")).as_py()) + 1
     texts = docs.column("text").to_pylist()
     parts = []
     for i in range(REPLICAS):
-        salt = chr(ord("a") + i)  # alphabetic: survives the tokenizers
-        salted = pa.array(
-            [
-                None
-                if t is None
-                else " ".join(w + "q" + salt for w in t.split(" "))
-                for t in texts
-            ],
-            type=docs.column("text").type,
-        )
+        if i == 0:
+            ciphered = docs.column("text")  # identity: sf0.1 verbatim
+        else:
+            perm = list(string.ascii_lowercase)
+            random.Random(i).shuffle(perm)
+            table = str.maketrans(
+                string.ascii_lowercase + string.ascii_uppercase,
+                "".join(perm) + "".join(perm).upper(),
+            )
+            ciphered = pa.array(
+                [None if t is None else t.translate(table) for t in texts],
+                type=docs.column("text").type,
+            )
         t = docs.set_column(
             docs.column_names.index("doc_id"),
             "doc_id",
             pc.add(docs.column("doc_id"), i * id_shift),
         )
-        t = t.set_column(t.column_names.index("text"), "text", salted)
+        t = t.set_column(t.column_names.index("text"), "text", ciphered)
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(DST, "documents.parquet"))
     print(f"wrote {DST}: lineitem x{REPLICAS}, documents x{REPLICAS} (token-salted)")
