@@ -112,7 +112,10 @@ def generate() -> None:
         t = t.set_column(t.column_names.index("text"), "text", ciphered)
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(DST, "documents.parquet"))
-    print(f"wrote {DST}: lineitem x{REPLICAS}, documents x{REPLICAS} (token-salted)")
+    print(
+        f"wrote {DST}: lineitem x{REPLICAS} (key-shifted), "
+        f"documents x{REPLICAS} (per-replica letter cipher)"
+    )
 
 
 def probe() -> None:
