@@ -42,22 +42,34 @@ MAX_QUERY_BATCH = 10_000
 
 
 # DuckDB-oracle twin of ``valid_vectors`` (interpolate with .format(c=col)).
-VALID_VEC_SQL = ("{c} IS NOT NULL AND len(list_filter({c}, x -> x IS NULL)) = 0"
-                 " AND len({c}) > 0")
+VALID_VEC_SQL = (
+    "{c} IS NOT NULL AND len({c}) > 0 AND len(list_filter({c},"
+    " x -> x IS NULL OR isnan(x) OR abs(x) >= 1e10)) = 0"
+)
 
 
 def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Drop corrupt embedding rows at the operator boundary: NULL
-    vectors, vectors containing NULL elements, and zero-length
-    vectors. At 100 TB a failed encoder run WILL leave such rows, and
-    without this guard they crash the numpy paths (``np.vstack`` over
-    None) or silently poison BLAS results. Dropping is the contract:
-    a corrupt vector has no meaningful neighbors. Oracles mirror it as
-    ``v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0 AND
-    len(v) > 0``."""
+    vectors, zero-length vectors, and vectors containing NULL,
+    NaN, or out-of-domain elements (|x| >= 1e10 — the same corrupt-
+    measurement bound as ``functions/pricing.finite_measure``; no
+    real embedding component reaches ten billion). At 100 TB a failed
+    encoder run WILL leave such rows, and without this guard they
+    crash the numpy paths (``np.vstack`` over None), silently poison
+    BLAS results, or collapse trained models: one 1e308 component
+    drives LinearSVC's standardization to zero out the whole feature
+    (found by the r8 fresh-seed mixed fuzz at sf0.1 — the RF's
+    threshold splits shrugged the same poison off, the linear model
+    could not). Dropping is the contract: a corrupt vector has no
+    meaningful neighbors and no place in a training set. Oracles
+    mirror it via ``VALID_VEC_SQL``."""
     c = F.col(vec_col)
     return df.filter(
-        c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & ~F.exists(
+            c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(1e10))
+        )
     )
 
 

@@ -43,11 +43,21 @@ def ml_random_forest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ml_linear_svc_eval", _CLASS_ORACLE)
 def ml_linear_svc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LinearSVC train accuracy must clear 0.55 per class (observed
-    0.6-0.7 — the embeddings are only weakly linearly separable)."""
-    return _with_floor(
-        mlx.linear_svc_eval(load_table(spark, sf_dir, "embeddings")), 0.55
-    )
+    """LinearSVC quality contract, redesigned in r8 after the
+    fresh-seed mixed sweep at sf0.1 caught the old per-class 0.55
+    floor passing on +0.004 of margin even on CLEAN data: per-class
+    recall is not a quantity hinge loss controls (it floats with the
+    decision threshold on weakly separable data), so the contract now
+    asserts what a converged linear separator actually guarantees —
+    overall train accuracy above the majority-class share with margin
+    (observed +0.036 at sf0.1, +0.11 at sf0.01 vs the +0.01 floor),
+    plus per-class non-degeneracy (recall ≥ 0.30 — a collapsed
+    always-one-class model fails loudly)."""
+    ev = mlx.linear_svc_eval(load_table(spark, sf_dir, "embeddings"))
+    beats = (
+        F.col("overall_accuracy") >= F.col("majority_share") + F.lit(0.01)
+    ) & (F.col("accuracy") >= 0.30)
+    return ev.select("klass", "n", beats.alias("beats_baseline"))
 
 
 @register(

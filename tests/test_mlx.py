@@ -27,6 +27,14 @@ def test_linear_svc_runs_and_scores(spark):
     assert set(rows) == {0, 1}
     assert all(0.0 <= r.accuracy <= 1.0 for r in rows.values())
     assert rows[0].n + rows[1].n == 500
+    # the r8 contract quantities: overall beats majority with margin,
+    # no degenerate always-one-class collapse
+    r0 = rows[0]
+    assert r0.overall_accuracy >= r0.majority_share + 0.01
+    assert all(r.accuracy >= 0.30 for r in rows.values())
+    # overall is the n-weighted mean of the per-class recalls
+    want = (rows[0].accuracy * rows[0].n + rows[1].accuracy * rows[1].n) / 500
+    assert abs(r0.overall_accuracy - want) < 1e-4
 
 
 def test_lda_topics_shape_and_vocab(spark):
