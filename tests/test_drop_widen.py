@@ -444,3 +444,47 @@ def test_vacuum_spares_inflight_staging_and_removes_orphans(spark, tmp_path):
     tbl.commit(staged)
     assert {r.k: r.price for r in tbl.read().collect()}[2] == 22.0
     assert tbl.verify_integrity()["ok"]
+
+
+def test_cdc_stream_replay_across_widening_boundary(spark, tmp_path):
+    # history written at int/float types, stream started AFTER the
+    # widening pins the wide schema: replayed narrow rows must arrive
+    # upcast (pyarrow hands the executor ints/floats; Spark's row
+    # converter lands them in the pinned long/double fields)
+    d, out = str(tmp_path / "tbl"), str(tmp_path / "out")
+    tbl = ParquetMergeTable(spark, d, "k", num_buckets=4)
+    tbl.create(
+        spark.createDataFrame([(i, i * 10, float(i)) for i in range(4)],
+                              "k long, qty int, score float")
+    )  # v1 (narrow)
+    tbl.merge(
+        spark.createDataFrame([(1, 111, 1.5, "upsert")],
+                              "k long, qty int, score float, op string")
+    )  # v2 (still narrow)
+    tbl.merge(
+        spark.createDataFrame([(2, 3_000_000_000, 2.5, "upsert")],
+                              "k long, qty long, score double, op string")
+    )  # v3: widens qty->bigint, score->double
+    q = (
+        spark.readStream.format("mergetable-cdc")
+        .option("path", d)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert dict(got.dtypes)["new_qty"] == "bigint"
+    assert dict(got.dtypes)["new_score"] == "double"
+    rows = {(r.k, r.change_type): r for r in got.collect()}
+    # v2's narrow-history update arrives upcast under the wide schema
+    assert rows[(1, "update")].new_qty == 111
+    assert abs(rows[(1, "update")].new_score - 1.5) < 1e-9
+    # v3's widening update carries the beyond-int value
+    assert rows[(2, "update")].new_qty == 3_000_000_000
+    # v1 bootstrap inserts replay fine too
+    assert rows[(3, "insert")].new_qty == 30
