@@ -121,7 +121,9 @@ def test_mlx_fits_empty_input(spark):
     rf = mlx.random_forest_eval(emb)
     assert rf.count() == 0 and rf.columns == ["klass", "n", "accuracy"]
     svc = mlx.linear_svc_eval(emb)
-    assert svc.count() == 0 and svc.columns == ["klass", "n", "accuracy"]
+    assert svc.count() == 0 and svc.columns == [
+        "klass", "n", "accuracy", "overall_accuracy", "majority_share"
+    ]
     pca = mlx.pca_project(emb)
     assert pca.count() == 0 and pca.columns == ["vec_id", "label", "proj_norm"]
 
