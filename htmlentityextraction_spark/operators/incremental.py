@@ -886,11 +886,18 @@ class ParquetMergeTable:
         under. Reads only manifests (kilobytes), never data files."""
         rows = []
         current = self._read_manifest()["version"]
-        v = 1
-        while v <= current:  # never expose un-published (orphan) versions
+        # list retained version files rather than scanning contiguously
+        # from v1: after vacuum drops old versions the retained tail
+        # must still be listed. Versions beyond the current pointer are
+        # un-published crash residue and excluded (see _manifest_for).
+        versions = sorted(
+            int(mm.group(1))
+            for name in os.listdir(self.path)
+            if (mm := re.fullmatch(r"manifest-v(\d+)\.json", name))
+            and int(mm.group(1)) <= current
+        )
+        for v in versions:
             vfile = os.path.join(self.path, f"manifest-v{v}.json")
-            if not os.path.exists(vfile):
-                break
             with open(vfile) as f:
                 m = json.load(f)
             stats = m.get("stats") or {}
@@ -906,7 +913,6 @@ class ParquetMergeTable:
                     spec.get("num_buckets"),
                 )
             )
-            v += 1
         return self.spark.createDataFrame(
             rows,
             "version int, n_buckets int, total_rows long, bucketing string, num_buckets int",

@@ -488,3 +488,20 @@ def test_cdc_stream_replay_across_widening_boundary(spark, tmp_path):
     assert rows[(2, "update")].new_qty == 3_000_000_000
     # v1 bootstrap inserts replay fine too
     assert rows[(3, "insert")].new_qty == 30
+
+
+def test_snapshots_lists_retained_tail_after_vacuum(spark, tmp_path):
+    # the snapshots metadata table must list the RETAINED versions
+    # after vacuum drops old ones (a contiguous scan from v1 returned
+    # an empty table the moment v1 was vacuumed)
+    tbl = _mk(spark, str(tmp_path / "t"), n=6)
+    for k in (1, 2):
+        tbl.merge(
+            spark.createDataFrame(
+                [(k, k * 100.0, "u", "upsert")],
+                "k long, price double, tag string, op string",
+            )
+        )  # v2, v3
+    tbl.vacuum(keep_last=2)
+    assert [r.version for r in tbl.snapshots().collect()] == [2, 3]
+    assert [h["version"] for h in tbl.history()] == [2, 3]
