@@ -18,8 +18,9 @@ the round count stays small and CORPUS-SIZE-INDEPENDENT — growing the
 corpus adds more clusters, not wider ones. Each round costs one
 shuffle (neighbor-min groupBy) + one join, both keyed on vertex id so
 AQE can coalesce; lineage is cut per round with ``localCheckpoint``
-so the plan does not grow with iterations (at cluster scale, swap in
-``checkpoint`` against a durable dir for executor-loss recovery).
+so the plan does not grow with iterations (at cluster scale, pass
+``reliable_checkpoint_dir`` to cut with durable ``checkpoint`` for
+executor-loss recovery — same one-round storage bound).
 For adversarial long-path graphs the alternating large-star /
 small-star scheme (Kiveris et al., "Connected Components in MapReduce
 and Beyond") converges in O(log n) rounds; near-dup workloads do not
@@ -38,36 +39,73 @@ from pyspark.sql import functions as F
 
 def _persistent_rdds(spark: SparkSession) -> dict:
     """Snapshot of the JVM's persistent-RDD registry: {id: JavaRDD}.
-
-    ``DataFrame.localCheckpoint`` persists its internal RDD outside the
-    SQL cache manager, so ``DataFrame.unpersist()`` cannot release the
-    blocks — the only handle is the context's persistent-RDD map.
-    ``getPersistentRDDs`` returns a copy, so this is a stable snapshot.
-    """
+    ``localCheckpoint`` persists its internal RDD outside the SQL
+    cache manager, so this map is where its blocks show up; the
+    storage-bound tests assert against it. (No longer used to TRACK
+    checkpoints — see ``_checkpoint_round``.)"""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(e.getKey()): e.getValue() for e in jmap.entrySet().toArray()}
 
 
-def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, dict]:
-    """Eagerly localCheckpoint ``df`` and return (checkpointed df,
-    {id: JavaRDD} of the blocks the checkpoint just pinned).
+def _checkpoint_round(
+    df: DataFrame, reliable: bool = False
+) -> tuple[DataFrame, object]:
+    """Eagerly checkpoint one iteration round and return
+    (checkpointed df, handle); ``_free_round(handle)`` releases
+    exactly this round's storage once the NEXT round materializes.
+    Without that release every round's checkpoint accumulates for the
+    whole loop (observed as GC-locker retries in the sf1 PageRank
+    probe on a single 128 GiB JVM; on a cluster, the same leak spread
+    across executors).
 
-    Iterative operators use this to unpersist round N-1's blocks once
-    round N materializes: without it, every round's checkpoint
-    accumulates in executor storage for the whole loop (observed as
-    GC-locker retries in the sf1 PageRank probe on a single 128 GiB
-    JVM; on a cluster it is the same leak spread across executors).
+    The handle is the checkpointed frame's OWN internal RDD, pulled
+    from the ``LogicalRDD`` node the checkpoint returns — NOT a
+    before/after diff of the session-global persistent-RDD registry,
+    which would capture (and later force-unpersist) any unrelated RDD
+    a concurrent job in the same SparkSession happened to cache
+    between the two snapshots.
+
+    ``reliable=False`` → ``localCheckpoint``: blocks live in executor
+    local storage, non-replicated — after an executor loss the round
+    CANNOT be recomputed (lineage is truncated), so a lost executor
+    mid-loop fails the job. Right default for a single JVM.
+    ``reliable=True`` → ``DataFrame.checkpoint()`` against the
+    context's checkpoint dir (HDFS/object-store replicated): rounds
+    survive executor loss; freeing deletes round N-1's checkpoint
+    FILES instead of unpersisting blocks — the same one-round storage
+    bound, executor-loss-survivable.
     """
-    spark = df.sparkSession
-    before = _persistent_rdds(spark)
-    out = df.localCheckpoint(eager=True)
-    after = _persistent_rdds(spark)
-    return out, {i: h for i, h in after.items() if i not in before}
+    out = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    jrdd = out._jdf.queryExecution().analyzed().rdd()
+    return out, {"jrdd": jrdd, "reliable": reliable, "spark": df.sparkSession}
 
 
-def _unpersist_handles(handles: dict) -> None:
-    for h in handles.values():
-        h.unpersist(False)  # non-blocking: let removal overlap the next round
+def _free_round(handle: object) -> None:
+    if not handle:
+        return
+    jrdd = handle["jrdd"]
+    if not handle["reliable"]:
+        jrdd.unpersist(False)  # non-blocking: overlap removal with next round
+        return
+    # reliable checkpoints hold no executor blocks; the storage to
+    # reclaim is the checkpoint files themselves
+    f = jrdd.getCheckpointFile()
+    if f.isDefined():
+        spark = handle["spark"]
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f.get())
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+
+def _set_reliable_dir(spark: SparkSession, reliable_checkpoint_dir: str | None) -> bool:
+    """Arm ``DataFrame.checkpoint`` for this invocation; returns
+    whether the reliable path is on. ``setCheckpointDir`` mints a
+    per-call UUID subdir, so concurrent invocations never collide."""
+    if reliable_checkpoint_dir is None:
+        return False
+    spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+    return True
 
 
 def connected_components(
@@ -75,6 +113,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve ``pairs`` into components: returns (node, component)
     where ``component`` is the minimum node id reachable from
@@ -88,34 +127,46 @@ def connected_components(
     loop), so the bound is never the thing that decides the answer —
     hitting it raises rather than silently returning a partial
     closure.
+
+    ``reliable_checkpoint_dir``: cluster guidance — by default rounds
+    are cut with ``localCheckpoint`` (non-replicated executor-local
+    blocks), and because round N-1 is unpersisted when round N lands,
+    a lost executor mid-loop CANNOT recompute and fails the job. On a
+    real cluster running many rounds over hours, pass an
+    HDFS/object-store dir here: rounds checkpoint reliably (survive
+    executor loss) with the same one-round storage bound — round
+    N-1's checkpoint FILES are deleted once round N materializes.
     """
+    reliable = _set_reliable_dir(pairs.sparkSession, reliable_checkpoint_dir)
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     # Symmetric, self-loop-free edge list; distinct so repeated pairs
     # from a multi-tier union don't inflate the per-round shuffle.
-    edges = (
+    edges, edges_handle = _checkpoint_round(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable,
     )
-    labels, prev_round = _checkpoint_tracked(
+    labels, prev_round = _checkpoint_round(
         edges.select("u")
         .distinct()
-        .select("u", F.col("u").alias("component"))
-    )  # prev_round: round N-1's checkpoint blocks, freed at round N
+        .select("u", F.col("u").alias("component")),
+        reliable,
+    )  # prev_round: round N-1's checkpoint storage, freed at round N
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels, this_round = _checkpoint_tracked(
+        new_labels, this_round = _checkpoint_round(
             labels.join(nbr_min, "u", "left").select(
                 "u",
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
-            )
+            ),
+            reliable,
         )
         changed = (
             new_labels.alias("n")
@@ -125,11 +176,14 @@ def connected_components(
             .count()
         )
         # the fixpoint check above was old `labels`' last consumer —
-        # free its blocks so storage stays bounded at one round
-        _unpersist_handles(prev_round)
+        # free its storage so the loop stays bounded at one round
+        _free_round(prev_round)
         prev_round = this_round
         labels = new_labels
         if changed == 0:
+            # the returned frame reads only its own checkpoint; the
+            # edge list has no consumer left
+            _free_round(edges_handle)
             return labels.select(F.col("u").alias("node"), "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds; "
@@ -162,6 +216,63 @@ def resolve_duplicate_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def resolve_clusters_keep_best(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Cluster-level SEMANTIC dedup decision: (id, cluster_id, keep,
+    quality) where ``keep`` marks each near-dup cluster's BEST
+    exemplar by (quality DESC, id ASC) — quality-ranked survivorship
+    over the transitive closure, not pairwise-greedy and not
+    keep-min-id. A cluster {A, B, C} discovered through pairs (A,B),
+    (B,C) collapses to whichever member scores highest, even if that
+    member sat on only one pair.
+
+    ``cluster_id`` stays the component's min id (a stable,
+    quality-independent label); the exemplar pick is one extra
+    ``max_by`` groupBy on top of :func:`resolve_duplicate_clusters`'s
+    shape — a single partial-aggregated shuffle
+    (`operators/survivorship.py` golden-record pattern), so the add-on
+    cost at 100 TB is one slim (cluster, best) aggregate, not a
+    window over the corpus. Singletons keep themselves.
+    """
+    from htmlentityextraction_spark.operators.survivorship import golden_record
+
+    comp = connected_components(pairs)
+    labeled = (
+        items.select(id_col, quality_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            quality_col,
+        )
+    )
+    # best exemplar: max quality, min id on ties (negate the id so the
+    # lexicographic struct max resolves ties toward the smaller id)
+    best = golden_record(
+        labeled,
+        "cluster_id",
+        {
+            "__best": F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("tb"),
+                ),
+            )
+        },
+    )
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("__best")).alias("keep"),
+        quality_col,
     )
 
 
@@ -217,6 +328,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed (src, dst) edge list.
 
@@ -248,7 +360,18 @@ def pagerank(
     materialization per round as sink-free ones. Fixed iteration
     count (not convergence-tested) keeps the result deterministic and
     SQL-expressible for the oracle.
+
+    ``reliable_checkpoint_dir``: cluster guidance — the default
+    ``localCheckpoint`` rounds are non-replicated AND round N-1 is
+    freed when round N lands, so a lost executor mid-loop cannot
+    recompute and fails the job. On a real cluster (a 20-round walk
+    over hours WILL lose an executor), pass an HDFS/object-store dir:
+    every cut — edges, verts, edges_deg, and each round's aggregate —
+    checkpoints reliably, round N-1's files are deleted at round N
+    (same one-round storage bound), and the loop survives executor
+    loss.
     """
+    reliable = _set_reliable_dir(edges.sparkSession, reliable_checkpoint_dir)
     # Drop NULL-endpoint rows up front: the dangling-mass correction
     # below reserves the NULL dst key for its pseudo-edges, so a dirty
     # edge list with real NULL dst would have that mass silently
@@ -257,10 +380,10 @@ def pagerank(
     edges = edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
-    edges = edges.localCheckpoint()
+    edges, _ = _checkpoint_round(edges, reliable)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
-    verts = src_nodes.union(dst_nodes).distinct().localCheckpoint()
+    verts, _ = _checkpoint_round(src_nodes.union(dst_nodes).distinct(), reliable)
     n = verts.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
     # fold the out-degree into the materialized edge list once, so
@@ -286,10 +409,10 @@ def pagerank(
                 F.lit(1).cast("long").alias("__outdeg"),
             )
         )
-    edges_deg = edges_deg.localCheckpoint()
+    edges_deg, _ = _checkpoint_round(edges_deg, reliable)
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    prev_round: dict = {}  # round N-1's checkpoint blocks, freed at round N
+    prev_round = None  # round N-1's checkpoint storage, freed at round N
     for _ in range(iterations):
         # no broadcast hint: (node, rank) is node-scale and can be
         # arbitrarily large — AQE broadcasts it when it is small
@@ -305,10 +428,10 @@ def pagerank(
         # referenced by nothing (the old lazy `ranks` plan was its
         # only consumer and is reassigned below) — unpersist it so
         # storage stays bounded at ONE round's worth across the loop.
-        incoming, this_round = _checkpoint_tracked(
-            contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        incoming, this_round = _checkpoint_round(
+            contribs.groupBy("node").agg(F.sum("__c").alias("__s")), reliable
         )
-        _unpersist_handles(prev_round)
+        _free_round(prev_round)
         prev_round = this_round
         new_ranks = verts.join(
             incoming.filter(F.col("node").isNotNull()), "node", "left"

@@ -141,11 +141,40 @@ def advance_dedup_index(
     feed is netted per fingerprint first — a doc deleted and another
     inserted with the same fingerprint inside one version window must
     collapse to a single live upsert, not a conflicting delete+upsert
-    pair in one MERGE batch. The corpus is assumed deduped (only
-    fresh-fingerprint docs are ever merged in — this module's probe
-    enforces that), so each fingerprint maps to exactly one live doc.
+    pair in one MERGE batch.
+
+    The one-live-doc-per-fingerprint invariant is ENFORCED, not
+    assumed: a caller who merges an unprobed batch straight into the
+    corpus (bypassing ``dedup_batch_against_index``) gets a loud
+    ``ValueError`` here instead of a silently wrong index. Two checks,
+    both O(delta):
+
+    - intra-window: >1 distinct live (upserted) doc per fingerprint
+      inside the change window — a duplicate-carrying batch.
+    - cross-window: a net-new fingerprint the index ALREADY maps to a
+      different doc, with nothing in the window retiring that mapping
+      — the older copy is still live in the corpus. Probed with the
+      same bucket-transform pruning the merge itself uses, so the
+      check reads only the index buckets the window's fingerprints
+      land in.
     """
     ch = corpus_tbl.table_changes(from_version, to_version)
+    return _apply_dedup_feed(
+        index_tbl, ch, fp_col, id_col, f"versions ({from_version}, {to_version}]"
+    )
+
+
+def _apply_dedup_feed(
+    index_tbl, ch: DataFrame, fp_col: str, id_col: str, window_desc: str
+) -> dict:
+    """Net one ENDPOINT-EXACT change feed (adjacent or batch
+    ``table_changes`` — one row per key whose state differs between
+    the window's two endpoint snapshots) into the fingerprint index:
+    the shared core of batch ``advance_dedup_index`` and the
+    per-trigger streaming consumer ``dedup_index_stream_sink``.
+    Idempotent under replay: re-upserting an existing (fp → doc)
+    mapping and re-deleting an absent fp are both no-ops, so a
+    restarted stream re-applying a version step converges."""
     old_fp, new_fp = f"old_{fp_col}", f"new_{fp_col}"
     adds = ch.filter(F.col("change_type").isin("insert", "update")).select(
         F.col(new_fp).alias(fp_col), F.col(id_col), F.lit("upsert").alias("op")
@@ -160,16 +189,56 @@ def advance_dedup_index(
     net = (
         adds.unionByName(drops)
         .groupBy(fp_col)
-        .agg(F.min(F.when(F.col("op") == "upsert", F.col(id_col))).alias("__doc"))
+        .agg(
+            F.min(F.when(F.col("op") == "upsert", F.col(id_col))).alias("__doc"),
+            F.count_distinct(
+                F.when(F.col("op") == "upsert", F.col(id_col))
+            ).alias("__n_live"),
+            F.max(F.col("op") == "delete").alias("__retired"),
+        )
+        .persist()
     )
-    ops = net.select(
-        fp_col,
-        F.col("__doc").alias(id_col),
-        F.when(F.col("__doc").isNotNull(), F.lit("upsert"))
-        .otherwise(F.lit("delete"))
-        .alias("op"),
-    )
-    return index_tbl.merge(ops)
+    try:
+        dup = net.filter(F.col("__n_live") > 1).limit(3).collect()
+        if dup:
+            raise ValueError(
+                "dedup-index invariant violated: fingerprints with more than "
+                f"one live doc in {window_desc} of "
+                f"the corpus, e.g. {[r[fp_col] for r in dup]} — a batch was "
+                "merged into the corpus without probing "
+                "dedup_batch_against_index first"
+            )
+        fresh_ups = net.filter(
+            F.col("__doc").isNotNull() & ~F.coalesce("__retired", F.lit(False))
+        )
+        bks = index_tbl.affected_buckets(fresh_ups, fp_col)
+        idx = index_tbl.read_buckets(bks).select(
+            fp_col, F.col(id_col).alias("__idx_doc")
+        )
+        clash = (
+            fresh_ups.join(idx, fp_col)
+            .filter(F.col("__idx_doc") != F.col("__doc"))
+            .limit(3)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                "dedup-index invariant violated: the index already maps "
+                f"fingerprint(s) {[r[fp_col] for r in clash]} to a different "
+                f"live doc and nothing in {window_desc} retired the old "
+                "mapping — the corpus now holds a duplicate merged without "
+                "probing dedup_batch_against_index"
+            )
+        ops = net.select(
+            fp_col,
+            F.col("__doc").alias(id_col),
+            F.when(F.col("__doc").isNotNull(), F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+        )
+        return index_tbl.merge(ops)
+    finally:
+        net.unpersist()
 
 
 def dedup_batch_against_index(
@@ -202,6 +271,44 @@ def dedup_batch_against_index(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fingerprint")
     )
+
+
+def dedup_index_stream_sink(index_tbl, *, fp_col: str = "fingerprint", id_col: str = "doc_id"):
+    """``foreachBatch`` consumer that keeps the fingerprint index
+    CURRENT from the corpus table's live change stream — the streaming
+    half of ``advance_dedup_index`` (which is batch-invoked between
+    two pinned versions). Wire it to the CDC source
+    (`sources/mergetable_cdc_source.py`)::
+
+        spark.readStream.format("mergetable-cdc")
+            .option("path", corpus_dir).load()
+            .writeStream.foreachBatch(dedup_index_stream_sink(index_tbl))
+            .option("checkpointLocation", ck).start()
+
+    and the loop from "corpus merge commits" to "index current" closes
+    with no batch job. Per micro-batch, the feed is applied ONE
+    VERSION STEP AT A TIME in commit order (a multi-version batch may
+    contain a doc inserted in one step and deleted in the next —
+    netting the steps together would resurrect the intermediate
+    state; each adjacent step is endpoint-exact, so the shared
+    ``_apply_dedup_feed`` netting and its loud invariant checks apply
+    unchanged). ``foreachBatch`` runs on the driver, so the table
+    handle is used directly; replays after a restart converge because
+    the per-step apply is idempotent. Mid-stream corpus schema
+    evolution inherits the SOURCE's fail-loud contract — the stream
+    dies at ``partitions()`` before this sink ever sees a
+    mixed-schema batch."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        versions = sorted(
+            r["_commit_version"]
+            for r in batch.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            step = batch.filter(F.col("_commit_version") == v)
+            _apply_dedup_feed(index_tbl, step, fp_col, id_col, f"version step {v}")
+
+    return _apply
 
 
 def segment_dedup_keep_first(

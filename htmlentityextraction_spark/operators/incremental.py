@@ -137,6 +137,7 @@ class ParquetMergeTable:
         max_records_per_file: int | None = 5_000_000,
         bloom_cols: list[str] | None = None,
         stale_lock_sec: float = 600.0,
+        lock_timeout_sec: float = 5.0,
     ):
         """``bucketing``:
 
@@ -188,6 +189,8 @@ class ParquetMergeTable:
         # commit-lock staleness threshold: a lock file older than this
         # is treated as a crashed writer's residue and broken
         self.stale_lock_sec = stale_lock_sec
+        # how long _acquire_lock waits (wall clock) before TimeoutError
+        self.lock_timeout_sec = lock_timeout_sec
         # the bucket SPEC belongs to the table, not the client
         # (Iceberg partition-spec semantics): an existing manifest's
         # recorded spec overrides constructor defaults, so a table
@@ -385,9 +388,13 @@ class ParquetMergeTable:
         phys = mapping.pop(col, col)
         st = T.StructType.fromJson(json.loads(m["schema"]))
         new_schema = T.StructType([f for f in st.fields if f.name != phys])
-        # the retired column can no longer be indexed or zone-mapped
-        self.bloom_cols = [c for c in self.bloom_cols if c != phys]
-        self.stats_cols = [c for c in self.stats_cols if c != phys]
+        # the retired column can no longer be indexed or zone-mapped —
+        # but stage the trimmed lists and apply them to the handle
+        # ONLY after commit() wins: if the commit loses the OCC race,
+        # the published manifest still records the column and this
+        # handle must keep maintaining its bloom/zone-map
+        new_bloom = [c for c in self.bloom_cols if c != phys]
+        new_stats = [c for c in self.stats_cols if c != phys]
         staged = {
             "version": m["version"] + 1,
             "buckets": dict(m["buckets"]),
@@ -395,17 +402,19 @@ class ParquetMergeTable:
             "schema": new_schema.json(),
             "mapping": {l: p for l, p in mapping.items() if l != p} or None,
             "dropped": list(m.get("dropped") or []) + [phys],
-            # bloom_cols changed above, so re-record the spec instead
-            # of letting _swap_manifest copy a stale default
+            # bloom_cols changes with the drop, so re-record the spec
+            # instead of letting _swap_manifest copy a stale default
             "spec": {
                 "num_buckets": self.num_buckets,
                 "bucketing": self.bucketing,
                 "range_width": self.range_width,
-                "bloom_cols": self.bloom_cols,
+                "bloom_cols": new_bloom,
                 "key_col": self.key_col,
             },
         }
         self.commit(staged)
+        self.bloom_cols = new_bloom
+        self.stats_cols = new_stats
         return staged
 
     def _physical_cols(self, manifest: dict) -> list[str]:
@@ -1166,7 +1175,7 @@ class ParquetMergeTable:
         under the lock no in-flight commit can be mid-swap."""
         import shutil
 
-        fd = self._acquire_lock()
+        lease = self._acquire_lock()
         try:
             current = self._read_manifest()["version"]
             hist = self.history()
@@ -1207,7 +1216,7 @@ class ParquetMergeTable:
                     shutil.rmtree(os.path.join(self.path, vdir))
             return deleted
         finally:
-            self._release_lock(fd)
+            self._release_lock(lease)
 
     def merge(
         self, updates: DataFrame, op_col: str = "op", combine: dict[str, str] | None = None
@@ -1441,31 +1450,91 @@ class ParquetMergeTable:
         conditional PUT on an object store). A writer that crashed
         while holding the lock (between manifest swap and unlock)
         would otherwise wedge the table forever; a lock older than
-        ``stale_lock_sec`` is presumed abandoned and broken — the
-        O_EXCL retry arbitrates racing breakers. Returns the fd."""
+        ``stale_lock_sec`` is presumed abandoned and broken.
+
+        Correctness of the break path (a double-granted lock would
+        defeat the OCC version check and silently lose a writer's
+        buckets):
+
+        - the lock file carries an OWNER TOKEN (pid + uuid), and
+          release verifies the token before unlinking — a holder that
+          outlived ``stale_lock_sec`` and was broken can no longer
+          unlink the NEXT holder's lock on its way out.
+        - breaking is an atomic ``os.rename`` to a unique name:
+          exactly one of N racing breakers wins the rename (the
+          source vanishes for the rest), so a breaker can never
+          unlink a lock a faster breaker already re-created — the
+          unlink-then-retry double grant.
+        - a daemon heartbeat refreshes the lock mtime at
+          ``stale_lock_sec/4`` while held, so a legitimately long
+          operation under the lock (vacuum on a big table) never
+          goes stale out from under itself.
+
+        The retry loop is deadline-based (``lock_timeout_sec`` wall
+        clock) and sleeps on EVERY branch, so a contended or flapping
+        lock waits the intended duration rather than burning an
+        iteration budget in microseconds. Returns a lease for
+        ``_release_lock``."""
+        import threading
         import time
+        import uuid
 
         lock = os.path.join(self.path, "_commit.lock")
-        for _ in range(100):
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        deadline = time.monotonic() + max(self.lock_timeout_sec, 0.0)
+        while True:
             try:
-                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                 except OSError:
-                    continue  # holder released between open and stat
-                if age > self.stale_lock_sec:
+                    age = None  # holder released between open and stat
+                if age is not None and age > self.stale_lock_sec:
+                    broken = f"{lock}.broken-{uuid.uuid4().hex}"
                     try:
-                        os.remove(lock)
+                        os.rename(lock, broken)  # atomic: one breaker wins
+                        os.remove(broken)
                     except OSError:
-                        pass
-                    continue
+                        pass  # another breaker won; fall through and retry
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(f"could not acquire commit lock {lock}")
                 time.sleep(0.05)
-        raise TimeoutError(f"could not acquire commit lock {lock}")
+                continue
+            os.write(fd, token.encode())
+            os.fsync(fd)
+            stop = threading.Event()
+            interval = max(min(self.stale_lock_sec / 4.0, 60.0), 0.2)
 
-    def _release_lock(self, fd) -> None:
-        os.close(fd)
-        os.remove(os.path.join(self.path, "_commit.lock"))
+            def _heartbeat():
+                while not stop.wait(interval):
+                    try:
+                        with open(lock) as f:
+                            if f.read() != token:
+                                return  # broken + re-granted: not ours
+                        os.utime(lock, None)
+                    except OSError:
+                        return
+            t = threading.Thread(target=_heartbeat, daemon=True)
+            t.start()
+            return {"fd": fd, "token": token, "stop": stop, "thread": t}
+
+    def _release_lock(self, lease) -> None:
+        """Release the commit lock, but ONLY if we still own it: if
+        this holder outlived ``stale_lock_sec`` despite the heartbeat
+        and a breaker re-granted the lock, unlinking here would strip
+        the new holder's mutual exclusion mid-commit."""
+        lease["stop"].set()
+        lease["thread"].join(timeout=2.0)
+        os.close(lease["fd"])
+        lock = os.path.join(self.path, "_commit.lock")
+        try:
+            with open(lock) as f:
+                still_ours = f.read() == lease["token"]
+            if still_ours:
+                os.remove(lock)
+        except OSError:
+            pass  # already broken as stale — nothing of ours to remove
 
     def commit(self, manifest: dict) -> None:
         """Publish a staged manifest with OPTIMISTIC CONCURRENCY
@@ -1487,7 +1556,7 @@ class ParquetMergeTable:
         the commit IS published (retrying raises
         ConcurrentWriteError, which the caller treats as
         already-won-or-lost and re-checks)."""
-        fd = self._acquire_lock()
+        lease = self._acquire_lock()
         try:
             current = self._read_manifest()["version"]
             if current != manifest["version"] - 1:
@@ -1498,7 +1567,7 @@ class ParquetMergeTable:
                 )
             self._swap_manifest(manifest)
         finally:
-            self._release_lock(fd)
+            self._release_lock(lease)
 
     def _manifest_types(self, manifest: dict, df: DataFrame) -> dict:
         """col → DataType from the manifest's recorded schema

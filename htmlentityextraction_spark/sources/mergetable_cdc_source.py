@@ -102,7 +102,14 @@ class MergeTableCDCDataSource(DataSource):
         commit landing between those two reads could pin a column set
         that disagrees with the output schema (row arity mismatch) or
         mis-pin the fingerprint so the fail-loud evolution check is
-        silently skipped."""
+        silently skipped.
+
+        The cache lives only from ``schema()`` to the ``streamReader``
+        call of ONE query start — ``streamReader`` consumes it (pops
+        the attribute), so a DataSource instance Spark reuses to start
+        a second stream after the table evolved re-pins a FRESH
+        snapshot instead of replaying the first start's manifest (and
+        mis-basing the fail-loud evolution check)."""
         m = getattr(self, "_pinned_manifest", None)
         if m is None:
             m = _read_manifest_file(self._table_path())
@@ -143,8 +150,10 @@ class MergeTableCDCDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> "MergeTableCDCStreamReader":
+        m = self._pinned()
+        self._pinned_manifest = None  # consume: next query start re-pins
         return MergeTableCDCStreamReader(
-            self._table_path(), schema, self.options, manifest=self._pinned()
+            self._table_path(), schema, self.options, manifest=m
         )
 
 

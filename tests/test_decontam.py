@@ -3,6 +3,7 @@ planted contamination, cross-corpus dedup, boilerplate flagging."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import decontam as dc
@@ -168,3 +169,46 @@ def test_batch_probe_accepts_retired_fingerprints_and_dedups_in_batch(
     again = spark.createDataFrame([(20, "alpha words")], "doc_id long, text string")
     got = {r.doc_id for r in dc.dedup_batch_against_index(again, index).collect()}
     assert got == {20}, "retired fingerprint must be accept-able again"
+
+
+def test_advance_dedup_index_rejects_unprobed_duplicate_batch(spark, tmp_path):
+    """A caller who merges a duplicate-carrying batch straight into the
+    corpus (bypassing dedup_batch_against_index) must get a loud error
+    from the index advance, not a silently wrong index."""
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+
+    # (a) intra-window: the batch itself carries two docs with one fp
+    corpus, index = _mk_tables(spark, tmp_path / "intra")
+    seed = spark.createDataFrame(
+        [(1, "alpha words")], "doc_id long, text string"
+    ).select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus.create(seed)
+    index.create(corpus.read().select("fingerprint", "doc_id"))
+    dup_batch = spark.createDataFrame(
+        [(10, "same text"), (11, "same text")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        F.lit("upsert").alias("op"),
+    )
+    corpus.merge(dup_batch)  # v2: unprobed, carries a duplicate
+    with pytest.raises(ValueError, match="more than one live doc"):
+        dc.advance_dedup_index(index, corpus, 1)
+    assert index.read().count() == 1, "failed advance must not touch the index"
+
+    # (b) cross-window: the batch duplicates a doc that is ALREADY live
+    corpus2, index2 = _mk_tables(spark, tmp_path / "cross")
+    corpus2.create(seed)
+    index2.create(corpus2.read().select("fingerprint", "doc_id"))
+    echo = spark.createDataFrame(
+        [(30, "alpha words")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        F.lit("upsert").alias("op"),
+    )
+    corpus2.merge(echo)  # v2: duplicates live doc 1, nothing retired it
+    with pytest.raises(ValueError, match="already maps"):
+        dc.advance_dedup_index(index2, corpus2, 1)
+    got = {r.fingerprint: r.doc_id for r in index2.read().collect()}
+    assert list(got.values()) == [1], "failed advance must not touch the index"
