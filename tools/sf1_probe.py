@@ -53,6 +53,10 @@ PROBES = [
     "exact_substring_dup_spans",
     # r8 addition: next-worst 0.01→0.1 grower (×2.36), documents-only
     "dedup_minhash_lsh",
+    # r9 additions (VERDICT r8 item 1): the merge-table/CDC family's
+    # newest surface, previously unprobed beyond sf0.1 — orders-only
+    "mergetable_cdc_changes",
+    "incremental_dedup_via_cdc",
 ]
 REPLICAS = 10
 
@@ -112,13 +116,31 @@ def generate() -> None:
         t = t.set_column(t.column_names.index("text"), "text", ciphered)
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(DST, "documents.parquet"))
+
+    # orders: key-shifted replicas (same shape as lineitem) for the
+    # merge-table/CDC probes. The modulo-class derivations in those
+    # queries re-partition under shifted keys, but the oracle runs the
+    # same SQL on the same fixture, so both sides stay aligned; the
+    # +10M insert band stays clear of the 10x key domain (~6M).
+    orders = pq.read_table(os.path.join(SRC, "orders.parquet")).combine_chunks()
+    o_shift = int(pc.max(orders.column("o_orderkey")).as_py()) + 1
+    parts = []
+    for i in range(REPLICAS):
+        t = orders.set_column(
+            orders.column_names.index("o_orderkey"),
+            "o_orderkey",
+            pc.add(orders.column("o_orderkey"), i * o_shift),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(DST, "orders.parquet"))
     print(
         f"wrote {DST}: lineitem x{REPLICAS} (key-shifted), "
-        f"documents x{REPLICAS} (per-replica letter cipher)"
+        f"documents x{REPLICAS} (per-replica letter cipher), "
+        f"orders x{REPLICAS} (key-shifted)"
     )
 
 
-def probe() -> None:
+def probe(names: list[str] | None = None) -> None:
     from htmlentityextraction_spark.session import get_spark
     import __spark_entry__ as entry
 
@@ -134,7 +156,7 @@ def probe() -> None:
             ts.append(round(time.time() - t0, 2))
         return sorted(ts)[1]  # median-of-3, run 1 absorbs warm-up
 
-    for name in PROBES:
+    for name in names or PROBES:
         t01 = run(name, SRC)
         t1 = run(name, DST)
         out[name] = {
@@ -145,6 +167,133 @@ def probe() -> None:
         print(f"# {name}: {out[name]}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+def delta_ratio() -> None:
+    """MEASURE the O(delta) contract at sf1 (VERDICT r8 item 1): a
+    trickle merge into a big merge table must cost bucket reads
+    proportional to the DELTA, not the table.
+
+    Fixture: the sf1 orders (~6M rows) in a RANGE-bucketed table
+    (Iceberg truncate transform, ~1000 buckets) — the natural
+    ingestion shape where a trickle lands in a narrow key band. Three
+    measured ratios, printed as one JSON line:
+
+    - merge: 1%-key-band re-price → buckets rewritten / total buckets
+      (manifest diff; expected ≈ the delta fraction).
+    - CDC: ``table_changes`` over that step → parquet files OPENED
+      (DataFrame.inputFiles) / table files (expected ≈ 2x the bucket
+      ratio: old+new side of each changed bucket).
+    - index probe: a 16-doc batch against a 256-bucket fingerprint
+      index built from the sf1 documents → buckets read / total
+      (expected ≤ 16/256, O(batch) not O(corpus)).
+    """
+    from htmlentityextraction_spark.operators import decontam as dc
+    from htmlentityextraction_spark.operators.dedup import normalized_fingerprint
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+    from htmlentityextraction_spark.session import get_spark
+    from pyspark.sql import functions as F
+    import shutil
+    import tempfile
+
+    spark = get_spark("sf1-delta-ratio")
+    out = {"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}
+    base = tempfile.mkdtemp(prefix="sf1_delta_", dir="/tmp")
+    try:
+        orders = spark.read.parquet(os.path.join(DST, "orders.parquet")).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+        max_k = orders.agg(F.max("o_orderkey")).first()[0]
+        width = max(max_k // 1000, 1)
+        tbl = ParquetMergeTable(
+            spark,
+            os.path.join(base, "orders_tbl"),
+            key_col="o_orderkey",
+            bucketing="range",
+            range_width=width,
+        )
+        t0 = time.time()
+        tbl.create(orders)
+        create_s = round(time.time() - t0, 2)
+        total_buckets = len(tbl._read_manifest()["buckets"])
+        total_files = tbl.files().count()
+
+        lo = int(max_k * 0.99)  # top 1% key band = the trickle
+        delta = orders.filter(F.col("o_orderkey") >= lo).select(
+            "o_orderkey",
+            (F.col("price") * 1.05).alias("price"),
+            F.lit("upsert").alias("op"),
+        )
+        n_delta = delta.count()
+        t0 = time.time()
+        tbl.merge(delta)
+        merge_s = round(time.time() - t0, 2)
+        m1 = tbl._manifest_for(1)["buckets"]
+        m2 = tbl._manifest_for(2)["buckets"]
+        changed = [b for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)]
+        cdc = tbl.table_changes(1, 2)
+        t0 = time.time()
+        n_changes = cdc.count()
+        cdc_s = round(time.time() - t0, 2)
+        cdc_files = len(cdc.inputFiles())
+        out["trickle_merge_orders_sf1"] = {
+            "rows": orders.count(),
+            "delta_rows": n_delta,
+            "delta_fraction": round(n_delta / orders.count(), 4),
+            "create_s": create_s,
+            "merge_s": merge_s,
+            "buckets_rewritten": len(changed),
+            "total_buckets": total_buckets,
+            "bucket_ratio": round(len(changed) / total_buckets, 4),
+            "cdc_rows": n_changes,
+            "cdc_s": cdc_s,
+            "cdc_files_opened": cdc_files,
+            "total_files": int(total_files),
+            "cdc_file_ratio": round(cdc_files / total_files, 4),
+        }
+
+        docs = spark.read.parquet(os.path.join(DST, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        fps = docs.select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+        ).filter(F.col("fingerprint").isNotNull())
+        idx = ParquetMergeTable(
+            spark, os.path.join(base, "fp_idx"), "fingerprint", num_buckets=256
+        )
+        idx.create(
+            fps.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+            .select("fingerprint", "doc_id")
+        )
+        idx_files = idx.files().count()
+        batch = docs.limit(16).withColumn(
+            "text", F.concat(F.lit("fresh-"), F.col("text"))
+        )
+        t0 = time.time()
+        accepted = dc.dedup_batch_against_index(batch, idx)
+        n_acc = accepted.count()
+        probe_s = round(time.time() - t0, 2)
+        bfps = batch.select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+        ).filter(F.col("fingerprint").isNotNull())
+        bks = idx.affected_buckets(bfps, "fingerprint")
+        pruned_files = len(idx.read_buckets(bks).inputFiles())
+        out["index_probe_docs_sf1"] = {
+            "index_rows": idx.read().count(),
+            "batch_docs": 16,
+            "accepted": n_acc,
+            "probe_s": probe_s,
+            "buckets_read": len(bks),
+            "total_buckets": 256,
+            "bucket_ratio": round(len(bks) / 256, 4),
+            "files_opened": pruned_files,
+            "total_files": int(idx_files),
+            "file_ratio": round(pruned_files / idx_files, 4),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
 
 
 def hash_check() -> int:
@@ -174,10 +323,18 @@ if __name__ == "__main__":
         action="store_true",
         help="driver-mirroring hash compare of the probed queries at sf1",
     )
+    ap.add_argument(
+        "--delta-ratio",
+        action="store_true",
+        help="measured O(delta) bucket/file-read ratios for trickle merges at sf1",
+    )
+    ap.add_argument("names", nargs="*", help="probe only these queries")
     args = ap.parse_args()
     if args.generate:
         generate()
     elif args.hash_check:
         raise SystemExit(hash_check())
+    elif args.delta_ratio:
+        delta_ratio()
     else:
-        probe()
+        probe(args.names or None)
