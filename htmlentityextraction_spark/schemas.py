@@ -58,16 +58,31 @@ HISTORICAL_PRICE_SCHEMA = T.StructType(
 )
 
 
-def parse_page_messages(raw: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_page_messages(
+    raw: DataFrame, json_col: str = "value", fields: list[str] | None = None
+) -> DataFrame:
     """Kafka-boundary parse: bytes/string JSON → typed columns +
     `is_corrupt` flag (the reference's try/catch-null-filter,
     `emr/SeedsDistinctS3ToKafka.scala:50-59`, made explicit). Corrupt
     rows keep their payload for the error side output instead of
-    vanishing."""
+    vanishing.
+
+    ``fields``: optional subset of PAGE_MESSAGE_SCHEMA field names to
+    parse — a consumer that reads 3 of the 15 fields (the serve path:
+    url/html/updatedPrice) hands ``from_json`` a pruned schema so
+    Jackson skips materializing (and, for timestamps, string-parsing)
+    the rest. Corrupt-record semantics are unchanged: malformed JSON
+    is detected by the dedicated corrupt column regardless of the
+    field subset."""
     # PERMISSIVE from_json yields an all-null struct for bad input, so
     # corruption is detected via the dedicated corrupt-record column
+    keep = (
+        PAGE_MESSAGE_SCHEMA.fields
+        if fields is None
+        else [f for f in PAGE_MESSAGE_SCHEMA.fields if f.name in set(fields)]
+    )
     schema_with_corrupt = T.StructType(
-        PAGE_MESSAGE_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+        keep + [T.StructField("_corrupt_record", T.StringType())]
     )
     parsed = raw.withColumn(
         "__m",
@@ -78,7 +93,7 @@ def parse_page_messages(raw: DataFrame, json_col: str = "value") -> DataFrame:
         ),
     )
     return parsed.select(
-        *[F.col(f"__m.{f.name}") for f in PAGE_MESSAGE_SCHEMA.fields],
+        *[F.col(f"__m.{f.name}") for f in keep],
         F.col(json_col).cast("string").alias("raw_payload"),
         F.col("__m._corrupt_record").isNotNull().alias("is_corrupt"),
     )

@@ -63,17 +63,34 @@ def score_pages_batch(pages: DataFrame, registry_rows: list) -> DataFrame:
     )
 
 
+#: the only PAGE_MESSAGE fields the serve pipeline reads — url (join
+#: key + domain), html (extraction), updatedPrice (status/final
+#: price). A pruned from_json schema over these was MEASURED against
+#: the full 15-field parse (tools/serve_throughput.py --ab-full-parse,
+#: THROUGHPUT.md round 9) and LOST: −5% on the text fixture, noise on
+#: tiny/digit — Jackson still scans the whole document and html
+#: dominates the bytes, so skipping the 12 small fields moves nothing.
+#: Kept as an opt-in knob; the default stays the full typed schema.
+SERVE_PARSE_FIELDS = ["url", "html", "updatedPrice"]
+
+
 def serve_stream(
     spark: SparkSession,
     raw_stream: DataFrame,
     registry: DataFrame | list,
     out_dir: str,
+    parse_fields: list | None = None,
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
     fanning out to historical/ (all), realtime/ (passing), logs/
     (errored) parquet sinks, and logs_corrupt/ for unparseable
     messages (payload preserved — the reference's error topic routing,
-    `utils/Utils.scala:442-460`, not a silent drop)."""
+    `utils/Utils.scala:442-460`, not a silent drop).
+
+    ``parse_fields``: optional field subset handed to the boundary
+    ``from_json`` (e.g. ``SERVE_PARSE_FIELDS``); default parses the
+    full PAGE_MESSAGE_SCHEMA — the measured A/B showed pruning is not
+    a win on this path (see SERVE_PARSE_FIELDS note)."""
     registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
     want_parallelism = spark.sparkContext.defaultParallelism
@@ -90,7 +107,7 @@ def serve_stream(
         # provision topic partitions >= fleet cores and this is free).
         if batch.rdd.getNumPartitions() < want_parallelism:
             batch = batch.repartition(want_parallelism)
-        parsed = schemas.parse_page_messages(batch)
+        parsed = schemas.parse_page_messages(batch, fields=parse_fields)
         parsed.persist()
         result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
         result.persist()

@@ -81,13 +81,14 @@ def build_fixture(spark, sf_dir: str, kind: str, pages: int, files: int, dst: st
     return n, int(total_bytes)
 
 
-def run_serve(spark, src: str, registry_rows) -> float:
+def run_serve(spark, src: str, registry_rows, parse_fields="default") -> float:
     from htmlentityextraction_spark.streaming import serve
 
+    kw = {} if parse_fields == "default" else {"parse_fields": parse_fields}
     out = tempfile.mkdtemp(prefix="thr_out_")
     raw = spark.readStream.schema("value string").parquet(src)
     t0 = time.time()
-    serve.serve_stream(spark, raw, registry_rows, out).await_done()
+    serve.serve_stream(spark, raw, registry_rows, out, **kw).await_done()
     dt = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
     return round(dt, 2)
@@ -98,6 +99,12 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=30000)
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--ab-full-parse",
+        action="store_true",
+        help="also time each fixture with the FULL 15-field from_json "
+        "schema (pre-r9 behavior) for the pruned-parse A/B",
+    )
     args = ap.parse_args()
 
     from htmlentityextraction_spark.session import get_spark
@@ -121,6 +128,10 @@ def main() -> None:
             "pages_per_s": round(n / warm, 1),
             "mb_per_s": round(nbytes / 1e6 / warm, 2),
         }
+        if args.ab_full_parse:
+            results[kind]["warm_full_parse_s"] = run_serve(
+                spark, src, registry_rows, parse_fields=None
+            )
         shutil.rmtree(src, ignore_errors=True)
         print(f"# {kind}: {results[kind]}", file=sys.stderr)
 
