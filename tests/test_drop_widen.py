@@ -505,3 +505,51 @@ def test_snapshots_lists_retained_tail_after_vacuum(spark, tmp_path):
     tbl.vacuum(keep_last=2)
     assert [r.version for r in tbl.snapshots().collect()] == [2, 3]
     assert [h["version"] for h in tbl.history()] == [2, 3]
+
+
+def test_release_never_unlinks_a_regranted_lock(spark, tmp_path):
+    """Ownership-verified release: a holder that outlived
+    stale_lock_sec and was broken must NOT strip the NEXT holder's
+    lock on its way out (the double-grant the r9 lock hardening
+    closes)."""
+    import time
+
+    tbl = _mk(spark, str(tmp_path / "t"), n=4, stale_lock_sec=0.0)
+    lease_a = tbl._acquire_lock()
+    time.sleep(0.01)  # age > 0 => instantly stale under stale_lock_sec=0
+    lease_b = tbl._acquire_lock()  # breaks A's lock, grants B
+    lock = os.path.join(tbl.path, "_commit.lock")
+    with open(lock) as f:
+        assert f.read() == lease_b["token"]
+
+    tbl._release_lock(lease_a)  # A exits late: must be a no-op
+    assert os.path.exists(lock), "A's release stripped B's lock"
+    with open(lock) as f:
+        assert f.read() == lease_b["token"]
+
+    tbl._release_lock(lease_b)
+    assert not os.path.exists(lock)
+
+
+def test_heartbeat_keeps_long_held_lock_fresh(spark, tmp_path):
+    """A holder legitimately outliving stale_lock_sec (long vacuum) is
+    protected by the mtime heartbeat: a second writer keeps seeing a
+    FRESH lock and times out instead of breaking it."""
+    tbl = _mk(spark, str(tmp_path / "t"), n=4, stale_lock_sec=0.6)
+    contender = ParquetMergeTable(
+        spark,
+        tbl.path,
+        "k",
+        num_buckets=4,
+        stale_lock_sec=0.6,
+        lock_timeout_sec=1.5,  # > stale_lock_sec: break would happen w/o heartbeat
+    )
+    lease = tbl._acquire_lock()
+    try:
+        with pytest.raises(TimeoutError):
+            contender._acquire_lock()
+    finally:
+        tbl._release_lock(lease)
+    # once released, the contender acquires immediately
+    lease2 = contender._acquire_lock()
+    contender._release_lock(lease2)
