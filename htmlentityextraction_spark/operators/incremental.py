@@ -1158,7 +1158,7 @@ class ParquetMergeTable:
                     )
         return sorted(out, key=lambda r: r["version"])
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(self, keep_last: int = 1, min_age_sec: float | None = None) -> list[str]:
         """Drop snapshots older than the newest ``keep_last`` versions
         and delete bucket dirs no KEPT manifest references. Copy-on-
         write means an old version dir can still back the current
@@ -1172,8 +1172,30 @@ class ParquetMergeTable:
         writer's staged-but-uncommitted merge) are left alone for the
         same reason; orphan ``manifest-v{N}.json`` files ahead of the
         pointer (crash residue — see ``commit``) ARE removed, since
-        under the lock no in-flight commit can be mid-swap."""
+        under the lock no in-flight commit can be mid-swap.
+
+        ``min_age_sec`` (default ``stale_lock_sec``): unreferenced
+        STORAGE younger than this survives until a later vacuum —
+        Delta's retention-horizon rule. Staging is deliberately
+        lock-free, and a staged version number offers no in-flight
+        protection on its own: a writer staging version N can lose
+        the OCC race, so by vacuum time the pointer has moved PAST N
+        while the loser is still mid-write into its ``v{N}-{uuid}``
+        dir (caught live by the multi-process race test). Age is the
+        only signal that separates that in-flight work from crash
+        residue; manifest files need no horizon because they are only
+        ever written under the lock vacuum already holds."""
         import shutil
+        import time as _time
+
+        age_floor = self.stale_lock_sec if min_age_sec is None else min_age_sec
+        now = _time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= age_floor
+            except OSError:
+                return False  # vanished mid-scan: someone owns it, skip
 
         lease = self._acquire_lock()
         try:
@@ -1206,13 +1228,17 @@ class ParquetMergeTable:
                     continue  # in-flight staging by a live writer
                 for bdir in sorted(os.listdir(os.path.join(self.path, vdir))):
                     rel = os.path.join(vdir, bdir)
-                    if bdir.startswith("__bucket=") and rel not in referenced:
+                    if (
+                        bdir.startswith("__bucket=")
+                        and rel not in referenced
+                        and _old_enough(os.path.join(self.path, rel))
+                    ):
                         shutil.rmtree(os.path.join(self.path, rel))
                         deleted.append(rel)
                 if not any(
                     b.startswith("__bucket=")
                     for b in os.listdir(os.path.join(self.path, vdir))
-                ):
+                ) and _old_enough(os.path.join(self.path, vdir)):
                     shutil.rmtree(os.path.join(self.path, vdir))
             return deleted
         finally:
