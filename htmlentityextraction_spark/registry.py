@@ -37,15 +37,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-7 addition — no driver verdict yet (green in the builder's
-    # sf0.001/0.01/0.1 sweeps + all 12 fuzz axes; exact_substring_dup_spans
-    # got its driver verdict in CORRECTNESS_r07.json row 1 and rotates out)
-    "mergetable_schema_evolution",
-    # round-8 additions (judge-sanctioned: VERDICT r7 item 4 — column
-    # DROP + type widening + CDC across the drop; item 8 —
-    # corpus-version-level incremental dedup via the CDC feed)
-    "mergetable_schema_drop_widen",
-    "incremental_dedup_via_cdc",
+    # round-9 addition (judge-sanctioned: VERDICT r8 item 8 —
+    # cluster-level semantic dedup: embedding near-dup pairs →
+    # transitive closure → per-cluster keep-best survivorship). The
+    # r7/r8 entries (mergetable_schema_evolution, _drop_widen,
+    # incremental_dedup_via_cdc) all got driver verdicts in
+    # CORRECTNESS_r08.json rows 1-3 and rotate out.
+    "semantic_dedup_keep_best",
 )
 
 
