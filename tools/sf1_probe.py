@@ -57,6 +57,8 @@ PROBES = [
     # newest surface, previously unprobed beyond sf0.1 — orders-only
     "mergetable_cdc_changes",
     "incremental_dedup_via_cdc",
+    # r9 new query (VERDICT r8 item 8) — embeddings + documents
+    "semantic_dedup_keep_best",
 ]
 REPLICAS = 10
 
@@ -117,6 +119,30 @@ def generate() -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(DST, "documents.parquet"))
 
+    # embeddings: vec_id shifts by the DOCUMENTS id_shift (the
+    # semantic-dedup query joins vec_id = doc_id for quality, so the
+    # two shifts must match), label shifts by (max_label+1) per
+    # replica so cosine blocking never crosses replicas — near-dup
+    # pairs at sf1 = exactly 10x sf0.1's (the isolation proof).
+    # Vectors are copied verbatim: within a replica every cosine,
+    # cluster, and keep-best choice is bit-identical to sf0.1.
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet")).combine_chunks()
+    lbl_shift = int(pc.max(emb.column("label")).as_py()) + 1
+    parts = []
+    for i in range(REPLICAS):
+        t = emb.set_column(
+            emb.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(emb.column("vec_id"), i * id_shift),
+        )
+        t = t.set_column(
+            t.column_names.index("label"),
+            "label",
+            pc.cast(pc.add(t.column("label"), i * lbl_shift), emb.column("label").type),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(DST, "embeddings.parquet"))
+
     # orders: key-shifted replicas (same shape as lineitem) for the
     # merge-table/CDC probes. The modulo-class derivations in those
     # queries re-partition under shifted keys, but the oracle runs the
@@ -136,6 +162,7 @@ def generate() -> None:
     print(
         f"wrote {DST}: lineitem x{REPLICAS} (key-shifted), "
         f"documents x{REPLICAS} (per-replica letter cipher), "
+        f"embeddings x{REPLICAS} (vec_id doc-aligned, label-isolated), "
         f"orders x{REPLICAS} (key-shifted)"
     )
 
