@@ -528,3 +528,38 @@ def test_dedup_index_stream_fails_loud_on_mid_stream_drop(spark, tmp_path):
             pass
     # the index is intact at the pre-drop state
     assert {r.fingerprint: r.doc_id for r in idx.read().collect()} == {"a": 1, "b": 2}
+
+
+def test_datasource_instance_reuse_repins_fresh_manifest(spark, tmp_path):
+    """A DataSource instance Spark reuses to start a SECOND stream
+    after the table evolved must re-pin a fresh manifest: schema()
+    reflects the evolution and the new reader's fail-loud baseline is
+    the evolved fingerprint, not the first start's (the stale-pin
+    would both mis-shape rows and fire the evolution check against
+    the wrong baseline)."""
+    d = str(tmp_path / "tbl")
+    tbl = ParquetMergeTable(spark, d, "k", num_buckets=2)
+    tbl.create(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, price double")
+    )
+    ds = MergeTableCDCDataSource(options={"path": d})
+    s1 = ds.schema()
+    assert "old_price" in s1.fieldNames()
+    r1 = ds.streamReader(s1)  # consumes the pin
+
+    # the table evolves: a column arrives via a schema-evolving merge
+    tbl.merge(
+        spark.createDataFrame(
+            [(3, 3.0, "x", "upsert")], "k long, price double, tag string, op string"
+        )
+    )
+    s2 = ds.schema()  # same instance, second query start
+    assert "old_tag" in s2.fieldNames(), "reused instance pinned a stale manifest"
+    r2 = ds.streamReader(s2)
+    # the second reader's baseline is the evolved snapshot: planning
+    # over already-published history must NOT trip the evolution check
+    parts = r2.partitions({"version": 1}, {"version": 2})
+    assert parts, "evolved-baseline reader must plan the v2 step"
+    # while the FIRST reader (pinned pre-evolution) correctly fails loud
+    with pytest.raises(RuntimeError, match="schema changed"):
+        r1.partitions({"version": 1}, {"version": 2})
