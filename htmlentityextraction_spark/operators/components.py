@@ -196,6 +196,7 @@ def resolve_duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full dedup decision for a corpus: (doc_id, cluster_id, keep).
 
@@ -206,8 +207,12 @@ def resolve_duplicate_clusters(
     agree on which copy survives. Singletons bypass the propagation
     loop entirely (left join + coalesce), so the iterative part only
     touches the pair-incident minority of the corpus.
+    ``reliable_checkpoint_dir`` forwards to the propagation loop —
+    see :func:`connected_components` for the cluster guidance.
     """
-    comp = connected_components(pairs)
+    comp = connected_components(
+        pairs, reliable_checkpoint_dir=reliable_checkpoint_dir
+    )
     return (
         docs.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
@@ -224,6 +229,7 @@ def resolve_clusters_keep_best(
     pairs: DataFrame,
     id_col: str = "doc_id",
     quality_col: str = "quality",
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-level SEMANTIC dedup decision: (id, cluster_id, keep,
     quality) where ``keep`` marks each near-dup cluster's BEST
@@ -240,10 +246,14 @@ def resolve_clusters_keep_best(
     (`operators/survivorship.py` golden-record pattern), so the add-on
     cost at 100 TB is one slim (cluster, best) aggregate, not a
     window over the corpus. Singletons keep themselves.
+    ``reliable_checkpoint_dir`` forwards to the propagation loop —
+    see :func:`connected_components` for the cluster guidance.
     """
     from htmlentityextraction_spark.operators.survivorship import golden_record
 
-    comp = connected_components(pairs)
+    comp = connected_components(
+        pairs, reliable_checkpoint_dir=reliable_checkpoint_dir
+    )
     labeled = (
         items.select(id_col, quality_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")

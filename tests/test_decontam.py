@@ -212,3 +212,91 @@ def test_advance_dedup_index_rejects_unprobed_duplicate_batch(spark, tmp_path):
         dc.advance_dedup_index(index2, corpus2, 1)
     got = {r.fingerprint: r.doc_id for r in index2.read().collect()}
     assert list(got.values()) == [1], "failed advance must not touch the index"
+
+
+def test_advance_dedup_index_random_histories_track_ground_truth(spark, tmp_path):
+    """Property: over RANDOM invariant-respecting merge histories
+    (inserts of fresh fingerprints, deletes, fingerprint-changing
+    updates, delete + same-fp reinsert inside one batch), advancing
+    the index — sometimes per version, sometimes across a multi-
+    version window — always lands it exactly on the live
+    fingerprint → doc map."""
+    import random
+
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+
+    rng = random.Random(909)
+    fp_pool = [f"fp{i}" for i in range(10)]
+    for case in range(3):
+        live: dict[int, str] = {}  # doc_id -> fp (ground truth)
+        next_doc = 100
+        seed_rows = []
+        for fp in rng.sample(fp_pool, 5):
+            live[next_doc] = fp
+            seed_rows.append((next_doc, fp))
+            next_doc += 1
+        corpus = ParquetMergeTable(
+            spark, str(tmp_path / f"c{case}"), "doc_id", num_buckets=4
+        )
+        corpus.create(
+            spark.createDataFrame(seed_rows, "doc_id long, fingerprint string")
+        )
+        index = ParquetMergeTable(
+            spark, str(tmp_path / f"i{case}"), "fingerprint", num_buckets=4
+        )
+        index.create(corpus.read().select("fingerprint", "doc_id"))
+        synced = 1
+
+        for _ in range(4):
+            batch: list[tuple] = []
+            batch_docs: set[int] = set()  # one op per key per MERGE batch
+            used = set(live.values())
+            for _ in range(rng.randint(1, 3)):
+                choice = rng.random()
+                touchable = [d for d in sorted(live) if d not in batch_docs]
+                if choice < 0.4 and len(used) < len(fp_pool):
+                    fp = rng.choice([f for f in fp_pool if f not in used])
+                    batch.append((next_doc, fp, "upsert"))
+                    batch_docs.add(next_doc)
+                    live[next_doc] = fp
+                    used.add(fp)
+                    next_doc += 1
+                elif choice < 0.7 and touchable:
+                    doc = rng.choice(touchable)
+                    fp = live.pop(doc)
+                    used.discard(fp)
+                    batch.append((doc, None, "delete"))
+                    batch_docs.add(doc)
+                    if rng.random() < 0.5:  # same-fp reinsert, same batch
+                        batch.append((next_doc, fp, "upsert"))
+                        batch_docs.add(next_doc)
+                        live[next_doc] = fp
+                        used.add(fp)
+                        next_doc += 1
+                elif touchable and len(used) < len(fp_pool):
+                    doc = rng.choice(touchable)  # fp-changing update
+                    used.discard(live[doc])
+                    fp = rng.choice([f for f in fp_pool if f not in used])
+                    batch.append((doc, fp, "upsert"))
+                    batch_docs.add(doc)
+                    live[doc] = fp
+                    used.add(fp)
+            if not batch:
+                continue
+            corpus.merge(
+                spark.createDataFrame(
+                    batch, "doc_id long, fingerprint string, op string"
+                )
+            )
+            # half the time, let versions pile up before advancing —
+            # the multi-version endpoint netting path
+            if rng.random() < 0.5:
+                dc.advance_dedup_index(index, corpus, synced)
+                synced = corpus._read_manifest()["version"]
+                got = {r.fingerprint: r.doc_id for r in index.read().collect()}
+                want = {fp: doc for doc, fp in live.items()}
+                assert got == want, f"case {case} diverged at v{synced}"
+        dc.advance_dedup_index(index, corpus, synced)  # catch up the tail
+        got = {r.fingerprint: r.doc_id for r in index.read().collect()}
+        want = {fp: doc for doc, fp in live.items()}
+        assert got == want, f"case {case} final state diverged"
