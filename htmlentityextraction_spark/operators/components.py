@@ -48,16 +48,20 @@ def _persistent_rdds(spark: SparkSession) -> dict:
 
 
 def _checkpoint_round(
-    df: DataFrame, reliable: bool = False
+    df: DataFrame, reliable_dir: str | None = None
 ) -> tuple[DataFrame, object]:
-    """Eagerly checkpoint one iteration round and return
-    (checkpointed df, handle); ``_free_round(handle)`` releases
-    exactly this round's storage once the NEXT round materializes.
-    Without that release every round's checkpoint accumulates for the
-    whole loop (observed as GC-locker retries in the sf1 PageRank
-    probe on a single 128 GiB JVM; on a cluster, the same leak spread
-    across executors).
+    """Eagerly cut one iteration round's lineage and return
+    (cut df, handle); ``_free_round(handle)`` releases exactly this
+    round's storage once the NEXT round materializes. Without that
+    release every round's cut accumulates for the whole loop
+    (observed as GC-locker retries in the sf1 PageRank probe on a
+    single 128 GiB JVM; on a cluster, the same leak spread across
+    executors).
 
+    ``reliable_dir=None`` → ``localCheckpoint``: blocks live in
+    executor local storage, non-replicated — after an executor loss
+    the round CANNOT be recomputed (lineage is truncated), so a lost
+    executor mid-loop fails the job. Right default for a single JVM.
     The handle is the checkpointed frame's OWN internal RDD, pulled
     from the ``LogicalRDD`` node the checkpoint returns — NOT a
     before/after diff of the session-global persistent-RDD registry,
@@ -65,47 +69,38 @@ def _checkpoint_round(
     a concurrent job in the same SparkSession happened to cache
     between the two snapshots.
 
-    ``reliable=False`` → ``localCheckpoint``: blocks live in executor
-    local storage, non-replicated — after an executor loss the round
-    CANNOT be recomputed (lineage is truncated), so a lost executor
-    mid-loop fails the job. Right default for a single JVM.
-    ``reliable=True`` → ``DataFrame.checkpoint()`` against the
-    context's checkpoint dir (HDFS/object-store replicated): rounds
-    survive executor loss; freeing deletes round N-1's checkpoint
-    FILES instead of unpersisting blocks — the same one-round storage
-    bound, executor-loss-survivable.
+    ``reliable_dir`` set → the round is written to a UNIQUE parquet
+    dir under it and read back — a durable, replicated cut that
+    survives executor loss, with zero session-global state (the
+    ``sc.setCheckpointDir``-based ``DataFrame.checkpoint`` would
+    redirect EVERY concurrent invocation's rounds to the most
+    recently set directory; a parquet round-trip is scoped to this
+    call alone). Freeing deletes the round's files — the same
+    one-round storage bound either way.
     """
-    out = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    if reliable_dir is not None:
+        import uuid
+
+        path = f"{reliable_dir.rstrip('/')}/round-{uuid.uuid4().hex}"
+        df.write.parquet(path)
+        out = spark.read.parquet(path)
+        return out, {"path": path, "spark": spark}
+    out = df.localCheckpoint(eager=True)
     jrdd = out._jdf.queryExecution().analyzed().rdd()
-    return out, {"jrdd": jrdd, "reliable": reliable, "spark": df.sparkSession}
+    return out, {"jrdd": jrdd}
 
 
 def _free_round(handle: object) -> None:
     if not handle:
         return
-    jrdd = handle["jrdd"]
-    if not handle["reliable"]:
-        jrdd.unpersist(False)  # non-blocking: overlap removal with next round
+    if "jrdd" in handle:
+        handle["jrdd"].unpersist(False)  # non-blocking: overlap next round
         return
-    # reliable checkpoints hold no executor blocks; the storage to
-    # reclaim is the checkpoint files themselves
-    f = jrdd.getCheckpointFile()
-    if f.isDefined():
-        spark = handle["spark"]
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f.get())
-        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        fs.delete(p, True)
-
-
-def _set_reliable_dir(spark: SparkSession, reliable_checkpoint_dir: str | None) -> bool:
-    """Arm ``DataFrame.checkpoint`` for this invocation; returns
-    whether the reliable path is on. ``setCheckpointDir`` mints a
-    per-call UUID subdir, so concurrent invocations never collide."""
-    if reliable_checkpoint_dir is None:
-        return False
-    spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
-    return True
+    spark = handle["spark"]
+    p = spark._jvm.org.apache.hadoop.fs.Path(handle["path"])
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def connected_components(
@@ -133,11 +128,12 @@ def connected_components(
     blocks), and because round N-1 is unpersisted when round N lands,
     a lost executor mid-loop CANNOT recompute and fails the job. On a
     real cluster running many rounds over hours, pass an
-    HDFS/object-store dir here: rounds checkpoint reliably (survive
+    HDFS/object-store dir here: rounds are cut durably (survive
     executor loss) with the same one-round storage bound — round
-    N-1's checkpoint FILES are deleted once round N materializes.
+    N-1's files are deleted once round N materializes; the returned
+    frame's own cut remains until the caller drops the directory.
     """
-    reliable = _set_reliable_dir(pairs.sparkSession, reliable_checkpoint_dir)
+    reliable = reliable_checkpoint_dir
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     # Symmetric, self-loop-free edge list; distinct so repeated pairs
     # from a multi-tier union don't inflate the per-round shuffle.
@@ -263,17 +259,19 @@ def resolve_clusters_keep_best(
             quality_col,
         )
     )
-    # best exemplar: max quality, min id on ties (negate the id so the
-    # lexicographic struct max resolves ties toward the smaller id)
+    # best exemplar: max quality, min id on ties. min_by over
+    # (-quality, id) keeps the tie-break valid for ANY orderable id
+    # type (string ids would silently cast to NULL under negation);
+    # quality is a numeric score by contract, so negating IT is safe.
     best = golden_record(
         labeled,
         "cluster_id",
         {
-            "__best": F.max_by(
+            "__best": F.min_by(
                 F.col(id_col),
                 F.struct(
-                    F.col(quality_col).alias("q"),
-                    (-F.col(id_col)).alias("tb"),
+                    (-F.col(quality_col)).alias("nq"),
+                    F.col(id_col).alias("tb"),
                 ),
             )
         },
@@ -377,11 +375,13 @@ def pagerank(
     recompute and fails the job. On a real cluster (a 20-round walk
     over hours WILL lose an executor), pass an HDFS/object-store dir:
     every cut — edges, verts, edges_deg, and each round's aggregate —
-    checkpoints reliably, round N-1's files are deleted at round N
-    (same one-round storage bound), and the loop survives executor
-    loss.
+    is written durably, round N-1's files are deleted at round N and
+    the edge-scale cuts (edges, edges_deg) are freed as soon as their
+    last consumer materializes (same one-round storage bound; only
+    verts + the final round outlive the call, since the returned lazy
+    frame reads them), and the loop survives executor loss.
     """
-    reliable = _set_reliable_dir(edges.sparkSession, reliable_checkpoint_dir)
+    reliable = reliable_checkpoint_dir
     # Drop NULL-endpoint rows up front: the dangling-mass correction
     # below reserves the NULL dst key for its pseudo-edges, so a dirty
     # edge list with real NULL dst would have that mass silently
@@ -390,7 +390,7 @@ def pagerank(
     edges = edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
-    edges, _ = _checkpoint_round(edges, reliable)
+    edges, edges_handle = _checkpoint_round(edges, reliable)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     verts, _ = _checkpoint_round(src_nodes.union(dst_nodes).distinct(), reliable)
@@ -419,7 +419,9 @@ def pagerank(
                 F.lit(1).cast("long").alias("__outdeg"),
             )
         )
-    edges_deg, _ = _checkpoint_round(edges_deg, reliable)
+    edges_deg, edges_deg_handle = _checkpoint_round(edges_deg, reliable)
+    # edges_deg's materialization was the raw edge cut's last consumer
+    _free_round(edges_handle)
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_round = None  # round N-1's checkpoint storage, freed at round N
@@ -470,4 +472,7 @@ def pagerank(
                 * (F.coalesce(F.col("__s"), F.lit(0.0)) + dm_per_node)
             ).alias("rank"),
         )
+    # the returned lazy plan reads only verts + the LAST round's cut;
+    # the edge-degree cut has no consumer left
+    _free_round(edges_deg_handle)
     return ranks

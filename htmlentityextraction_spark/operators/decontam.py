@@ -176,16 +176,26 @@ def _apply_dedup_feed(
     mapping and re-deleting an absent fp are both no-ops, so a
     restarted stream re-applying a version step converges."""
     old_fp, new_fp = f"old_{fp_col}", f"new_{fp_col}"
-    adds = ch.filter(F.col("change_type").isin("insert", "update")).select(
-        F.col(new_fp).alias(fp_col), F.col(id_col), F.lit("upsert").alias("op")
+    # NULL fingerprints never enter the index (a fp-less doc indexes
+    # nothing, retires nothing): without the filters, two null-fp docs
+    # in one window would share the NULL groupBy group and trip the
+    # duplicate check for docs that are not duplicates of each other.
+    adds = (
+        ch.filter(F.col("change_type").isin("insert", "update"))
+        .filter(F.col(new_fp).isNotNull())
+        .select(F.col(new_fp).alias(fp_col), F.col(id_col), F.lit("upsert").alias("op"))
     )
-    drops = ch.filter(
-        (F.col("change_type") == "delete")
-        | (
-            (F.col("change_type") == "update")
-            & ~F.col(old_fp).eqNullSafe(F.col(new_fp))
+    drops = (
+        ch.filter(
+            (F.col("change_type") == "delete")
+            | (
+                (F.col("change_type") == "update")
+                & ~F.col(old_fp).eqNullSafe(F.col(new_fp))
+            )
         )
-    ).select(F.col(old_fp).alias(fp_col), F.col(id_col), F.lit("delete").alias("op"))
+        .filter(F.col(old_fp).isNotNull())
+        .select(F.col(old_fp).alias(fp_col), F.col(id_col), F.lit("delete").alias("op"))
+    )
     net = (
         adds.unionByName(drops)
         .groupBy(fp_col)
@@ -293,20 +303,56 @@ def dedup_index_stream_sink(index_tbl, *, fp_col: str = "fingerprint", id_col: s
     state; each adjacent step is endpoint-exact, so the shared
     ``_apply_dedup_feed`` netting and its loud invariant checks apply
     unchanged). ``foreachBatch`` runs on the driver, so the table
-    handle is used directly; replays after a restart converge because
-    the per-step apply is idempotent. Mid-stream corpus schema
-    evolution inherits the SOURCE's fail-loud contract — the stream
-    dies at ``partitions()`` before this sink ever sees a
-    mixed-schema batch."""
+    handle is used directly.
+
+    Restart replays are handled with a SYNC WATERMARK persisted in
+    the index table's directory (Delta's txn-version idempotent-sink
+    pattern): after each applied step the watermark advances
+    atomically, and a replayed batch skips every step at or below it.
+    Re-applying one step (crash between apply and watermark write) is
+    idempotent; skipping fully-applied steps is what makes the replay
+    SAFE against the cross-window duplicate check — without it, a
+    replayed step that an already-applied LATER step superseded (fp
+    moved to a new doc) would read as an unprobed duplicate and wedge
+    the stream. Mid-stream corpus schema evolution inherits the
+    SOURCE's fail-loud contract — the stream dies at ``partitions()``
+    before this sink ever sees a mixed-schema batch."""
+    import json as _json
+    import os as _os
+
+    wm_file = _os.path.join(index_tbl.path, "_dedup_sync.json")
+
+    def _watermark() -> int:
+        try:
+            with open(wm_file) as f:
+                return int(_json.load(f)["applied_through"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _advance_watermark(v: int) -> None:
+        tmp = wm_file + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"applied_through": v}, f)
+        _os.replace(tmp, wm_file)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        versions = sorted(
-            r["_commit_version"]
-            for r in batch.select("_commit_version").distinct().collect()
-        )
-        for v in versions:
-            step = batch.filter(F.col("_commit_version") == v)
-            _apply_dedup_feed(index_tbl, step, fp_col, id_col, f"version step {v}")
+        batch.persist()  # one source scan, not one per version step
+        try:
+            versions = sorted(
+                r["_commit_version"]
+                for r in batch.select("_commit_version").distinct().collect()
+            )
+            applied = _watermark()
+            for v in versions:
+                if v <= applied:
+                    continue  # restart replay of an already-applied step
+                step = batch.filter(F.col("_commit_version") == v)
+                _apply_dedup_feed(
+                    index_tbl, step, fp_col, id_col, f"version step {v}"
+                )
+                _advance_watermark(v)
+        finally:
+            batch.unpersist()
 
     return _apply
 

@@ -1490,7 +1490,12 @@ class ParquetMergeTable:
           exactly one of N racing breakers wins the rename (the
           source vanishes for the rest), so a breaker can never
           unlink a lock a faster breaker already re-created — the
-          unlink-then-retry double grant.
+          unlink-then-retry double grant. The rename is followed by a
+          POST-CAPTURE staleness verification: a breaker descheduled
+          between its stat and its rename can capture a FRESH lock a
+          faster breaker already re-granted — the captured file's own
+          mtime tells us, and a fresh capture is restored with
+          ``os.link`` (atomic, never overwrites a newer lock).
         - a daemon heartbeat refreshes the lock mtime at
           ``stale_lock_sec/4`` while held, so a legitimately long
           operation under the lock (vacuum on a big table) never
@@ -1520,9 +1525,27 @@ class ParquetMergeTable:
                     broken = f"{lock}.broken-{uuid.uuid4().hex}"
                     try:
                         os.rename(lock, broken)  # atomic: one breaker wins
-                        os.remove(broken)
                     except OSError:
-                        pass  # another breaker won; fall through and retry
+                        broken = None  # another breaker won; retry below
+                    if broken is not None:
+                        try:
+                            cap_age = time.time() - os.path.getmtime(broken)
+                        except OSError:
+                            cap_age = None
+                        if cap_age is not None and cap_age <= self.stale_lock_sec:
+                            # stat->rename TOCTOU: we captured a FRESH
+                            # lock re-granted after a faster breaker's
+                            # break. Put it back atomically; if a yet
+                            # newer lock appeared meanwhile, leave that
+                            # one in place (link never overwrites).
+                            try:
+                                os.link(broken, lock)
+                            except OSError:
+                                pass
+                        try:
+                            os.remove(broken)
+                        except OSError:
+                            pass
                 if time.monotonic() >= deadline:
                     raise TimeoutError(f"could not acquire commit lock {lock}")
                 time.sleep(0.05)
@@ -1540,7 +1563,10 @@ class ParquetMergeTable:
                                 return  # broken + re-granted: not ours
                         os.utime(lock, None)
                     except OSError:
-                        return
+                        # transient (e.g. a mistaken breaker mid-
+                        # capture-and-restore): keep trying — exiting
+                        # here would let a long-held lock go stale
+                        continue
             t = threading.Thread(target=_heartbeat, daemon=True)
             t.start()
             return {"fd": fd, "token": token, "stop": stop, "thread": t}
@@ -1590,6 +1616,21 @@ class ParquetMergeTable:
                     f"staged on base version {manifest['version'] - 1} but the "
                     f"table is now at {current}; re-stage the merge on the "
                     "current snapshot and retry"
+                )
+            # last line of defense for the swap itself: re-verify we
+            # STILL own the lock (a holder that went stale despite the
+            # heartbeat may have been legitimately broken) — on an
+            # object store this is the conditional-PUT precondition
+            try:
+                with open(os.path.join(self.path, "_commit.lock")) as f:
+                    still_ours = f.read() == lease["token"]
+            except OSError:
+                still_ours = False
+            if not still_ours:
+                raise ConcurrentWriteError(
+                    "commit lock was broken as stale while this commit was "
+                    "in flight; the table may have advanced — re-stage and "
+                    "retry"
                 )
             self._swap_manifest(manifest)
         finally:

@@ -68,12 +68,17 @@ def parse_page_messages(
     vanishing.
 
     ``fields``: optional subset of PAGE_MESSAGE_SCHEMA field names to
-    parse — a consumer that reads 3 of the 15 fields (the serve path:
-    url/html/updatedPrice) hands ``from_json`` a pruned schema so
-    Jackson skips materializing (and, for timestamps, string-parsing)
-    the rest. Corrupt-record semantics are unchanged: malformed JSON
-    is detected by the dedicated corrupt column regardless of the
-    field subset."""
+    parse — a consumer that reads 3 of the 15 fields hands
+    ``from_json`` a pruned schema so Jackson skips materializing
+    (and, for timestamps, string-parsing) the rest. Corruption
+    semantics NARROW with the subset: malformed JSON documents are
+    still flagged regardless, but a type-corrupt VALUE inside an
+    excluded field (e.g. a non-timestamp string in a pruned timestamp
+    column) is no longer parsed and therefore no longer marks the row
+    corrupt — callers who route on field-level corruption must parse
+    those fields. (One reason the serve path keeps the full schema by
+    default; the other is that pruning measured as a non-win,
+    THROUGHPUT.md round 9.)"""
     # PERMISSIVE from_json yields an all-null struct for bad input, so
     # corruption is detected via the dedicated corrupt-record column
     keep = (

@@ -82,10 +82,10 @@ def test_checkpoint_storage_bounded_across_rounds(spark):
 # ------------------------------------------- reliable checkpoint path
 
 
-def _rdd_ckpt_dirs(root: str) -> list[str]:
+def _round_dirs(root: str) -> list[str]:
     import glob
 
-    return glob.glob(os.path.join(root, "*", "rdd-*"))
+    return glob.glob(os.path.join(root, "round-*"))
 
 
 def test_connected_components_reliable_parity_and_bounded_files(spark, tmp_path):
@@ -100,9 +100,9 @@ def test_connected_components_reliable_parity_and_bounded_files(spark, tmp_path)
     }
     assert rel == local
     # one-round storage bound, durable flavor: after the run only the
-    # FINAL round's checkpoint files remain (edges + every earlier
-    # round were deleted as the loop advanced)
-    assert len(_rdd_ckpt_dirs(d)) == 1
+    # FINAL round's cut remains (edges + every earlier round were
+    # deleted as the loop advanced)
+    assert len(_round_dirs(d)) == 1
 
 
 def test_pagerank_reliable_parity_with_dangling_and_bounded_files(spark, tmp_path):
@@ -127,12 +127,13 @@ def test_pagerank_reliable_parity_with_dangling_and_bounded_files(spark, tmp_pat
     assert set(rel) == set(local)
     for n in local:
         assert rel[n] == pytest.approx(local[n], abs=1e-12)
-    # leftover checkpoint files are ITERATION-INDEPENDENT: the static
-    # cuts (edges, verts, edges_deg) + the last round's aggregate —
-    # never one per round
+    # leftover files are ITERATION-INDEPENDENT and minimal: only what
+    # the returned lazy frame still reads (verts + the last round's
+    # aggregate) — the edge-scale cuts are freed inside the call,
+    # never one dir per round
     d2 = str(tmp_path / "pr2")
     run_reliable(2, d2)
-    assert len(_rdd_ckpt_dirs(d6)) == len(_rdd_ckpt_dirs(d2)) == 4
+    assert len(_round_dirs(d6)) == len(_round_dirs(d2)) == 2
 
 
 def test_pagerank_reliable_matches_local_on_copurchase_graph(spark, tmp_path):

@@ -563,3 +563,44 @@ def test_datasource_instance_reuse_repins_fresh_manifest(spark, tmp_path):
     # while the FIRST reader (pinned pre-evolution) correctly fails loud
     with pytest.raises(RuntimeError, match="schema changed"):
         r1.partitions({"version": 1}, {"version": 2})
+
+
+def test_dedup_index_sink_replay_skips_applied_steps(spark, tmp_path):
+    """Restart-replay safety: a micro-batch whose version steps were
+    ALL applied (but whose offset never committed) must be skipped via
+    the sync watermark — naively re-applying step v2 after v3 already
+    moved fingerprint f to a new doc would read as an unprobed
+    duplicate and wedge the stream forever."""
+    import json as _json
+
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    idx = ParquetMergeTable(spark, str(tmp_path / "idx"), "fingerprint", num_buckets=2)
+    idx.create(spark.createDataFrame([], "fingerprint string, doc_id long"))
+    sink = dc.dedup_index_stream_sink(idx)
+
+    cols = (
+        "doc_id long, change_type string, _commit_version long, "
+        "old_fingerprint string, new_fingerprint string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (7, "insert", 2, None, "f"),   # v2: doc 7 carries f
+            (7, "delete", 3, "f", None),   # v3: doc 7 gone...
+            (9, "insert", 3, None, "f"),   # ...doc 9 reuses f
+        ],
+        cols,
+    )
+    sink(batch, 0)
+    assert {r.fingerprint: r.doc_id for r in idx.read().collect()} == {"f": 9}
+
+    # full replay (offset never committed): both steps skip, no error
+    sink(batch, 0)
+    assert {r.fingerprint: r.doc_id for r in idx.read().collect()} == {"f": 9}
+
+    # partial replay (crash between apply and watermark write): only
+    # the unapplied tail re-runs, and re-applying one step is a no-op
+    with open(idx.path + "/_dedup_sync.json", "w") as f:
+        _json.dump({"applied_through": 2}, f)
+    sink(batch, 0)
+    assert {r.fingerprint: r.doc_id for r in idx.read().collect()} == {"f": 9}
