@@ -522,17 +522,93 @@ def semantic_dedup_pairs(
         N = M / norms[:, None]
         S = N @ N.T
         iu, ju = np.triu_indices(n, k=1)
-        keep = S[iu, ju] + 1e-9 >= threshold
+        # threshold on the SAME 6dp half-up rounding every oracle uses
+        # (_round6), so a boundary cosine lands on the same side in
+        # both engines — np.round would banker's-round the .5 cases.
+        cos6 = _round6(S[iu, ju])
+        keep = cos6 >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
             {
                 "id_a": lo.astype("int64"),
                 "id_b": hi.astype("int64"),
-                "cosine": np.round(S[iu, ju][keep] + 1e-9, 6),
+                "cosine": cos6[keep],
             }
         )
 
     return assigned.groupBy("cell").applyInPandas(
         cell_pairs, "id_a long, id_b long, cosine double"
+    )
+
+
+def admission_best_match(
+    corpus: DataFrame,
+    batch: DataFrame,
+    block_col: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic admission gate for incremental ingestion: score every
+    BATCH document against its block of the EXISTING corpus and admit
+    it only when its best corpus match stays under ``threshold``.
+    Returns one row per valid batch document:
+    (id, best_match_id, best_cosine, admitted) — best_match_id /
+    best_cosine are NULL when the block holds no corpus candidate
+    (vacuously admitted). Ties break on the rounded cosine then the
+    smallest candidate id, so the choice is deterministic cross-engine.
+
+    This is the embedding-level twin of the exact-fingerprint probe
+    (`operators/decontam.probe_batch`): the fingerprint gate rejects
+    byte-near-identical re-crawls, this gate rejects semantic
+    re-phrasings the fingerprint can never see. The 100 TB shape is
+    asymmetric by design — the batch (a crawl increment, ≪ corpus) is
+    broadcast; the corpus is scanned once, block-pruned, and never
+    shuffled; only the |batch|-keyed score rows (bounded by
+    batch × block candidates) move. ``block_col`` is the fixture's
+    label here; at scale it is the LSH bucket / IVF cell the corpus
+    is already indexed under (`semantic_dedup_pairs`' quantizer),
+    which trades the exact-within-block guarantee for the measured
+    recall of the blocking — the same contract the ANN family gates.
+
+    Corrupt vectors are dropped on BOTH sides by ``valid_vectors``: a
+    corrupt batch row has no meaningful neighbors (not admitted, not
+    rejected — it simply isn't a candidate for the corpus), and a
+    corrupt corpus row must not veto admission."""
+    from pyspark.sql import Window
+
+    c = valid_vectors(corpus, vec_col).select(
+        F.col(id_col).cast("long").alias("cand_id"),
+        F.col(block_col).alias("_block"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    b = valid_vectors(batch, vec_col).select(
+        F.col(id_col).cast("long").alias("_bid"),
+        F.col(block_col).alias("_block"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    scored = c.join(F.broadcast(b), "_block").select(
+        "_bid",
+        "cand_id",
+        F.round(cosine(F.col("bv"), F.col("cv")) + F.lit(1e-9), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("_bid").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    best = (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("_bid", "cand_id", "cosine")
+    )
+    return (
+        b.select("_bid")
+        .join(best, "_bid", "left")
+        .select(
+            F.col("_bid").alias(id_col),
+            F.col("cand_id").alias("best_match_id"),
+            F.col("cosine").alias("best_cosine"),
+            F.coalesce(
+                F.col("cosine") < F.lit(threshold), F.lit(True)
+            ).alias("admitted"),
+        )
     )

@@ -401,6 +401,110 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, floor=0.4)
 
 
+# --- SemDeDup cell-blocked pair generation, gated as a contract ---
+@register(
+    "semantic_dedup_cells",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_VALID_VEC.format(c='embedding')})
+    SELECT count(*) AS n_true_pairs,
+           true AS precision_ok, true AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.35
+    """,
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for `similarity.semantic_dedup_pairs` — the SemDeDup-shaped
+    quantizer-cell blocking that replaces label blocking at 100 TB.
+    One summary row: the exact all-pairs near-dup count, precision_ok
+    (every emitted pair is a true pair — exact within-cell cosine makes
+    this by-construction, the gate proves the construction), and
+    recall_ok (cell co-location catches ≥ 15% of true pairs).
+
+    The floor is MEASURED, not aspirational: this fixture's embeddings
+    are near-uniform random (same-label mean cosine 0.0016 vs 0.0003
+    cross — labels are metadata, not geometry), so 0.35-band pairs are
+    random tails with only weak co-location signal; observed recall is
+    0.25–0.37 across sf0.001/0.01/0.1/sf1 vs ~0.0625 for random
+    16-cell co-location (4–6x random). On clustered real corpora the
+    promise is stronger and is pytest-gated at recall 1.0 on PLANTED
+    near-identical pairs (tests/test_llmdata.py) — near-dups with
+    cosine ≈ 1 quantize together; weakly-similar random pairs need not.
+
+    The exact truth side reuses the same gram-matrix kernel with
+    n_cells=1 (one exact pass — a measurement harness, affordable only
+    at fixture scale; at 100 TB exact truth is uncomputable, which is
+    precisely why the blocking quality is gated here and the promise
+    is gated on planted structure)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    found = sim.semantic_dedup_pairs(emb, threshold=0.35, n_cells=16)
+    truth = sim.semantic_dedup_pairs(emb, threshold=0.35, n_cells=1)
+    t = truth.agg(F.count("*").alias("n_true_pairs"))
+    f_ = found.agg(F.count("*").alias("n_found"))
+    c = (
+        found.select("id_a", "id_b")
+        .join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
+        .agg(F.count("*").alias("n_caught"))
+    )
+    return (
+        t.crossJoin(f_)
+        .crossJoin(c)
+        .select(
+            "n_true_pairs",
+            (F.col("n_found") == F.col("n_caught")).alias("precision_ok"),
+            (
+                (F.col("n_true_pairs") == 0)
+                | (F.col("n_caught") >= 0.15 * F.col("n_true_pairs"))
+            ).alias("recall_ok"),
+        )
+    )
+
+
+# --- semantic admission gate: batch vs corpus best-match ---
+@register(
+    "semantic_admission_gate",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_VALID_VEC.format(c='embedding')}),
+    batch AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+    corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    scored AS (
+        -- zero-norm vectors match nothing (Spark's try_divide yields
+        -- NULL and the row drops; DuckDB would return -1.0, so guard)
+        SELECT b.vec_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(b.v, c.v) + 1e-9, 6) AS cosine
+        FROM batch b JOIN corpus c ON b.label = c.label
+        WHERE list_dot_product(b.v, b.v) > 0 AND list_dot_product(c.v, c.v) > 0
+    ), best AS (
+        SELECT vec_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT b.vec_id,
+           best.cand_id AS best_match_id,
+           best.cosine AS best_cosine,
+           coalesce(best.cosine < 0.35, true) AS admitted
+    FROM batch b
+    LEFT JOIN best ON best.vec_id = b.vec_id AND best.rn = 1
+    """,
+)
+def semantic_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion admission: an incoming batch (the
+    vec_id%10=7 slice stands in for a crawl increment) probes the
+    existing corpus at the EMBEDDING level and each doc is admitted
+    only if its best same-block corpus match stays under 0.35 — the
+    semantic twin of the exact-fingerprint probe behind
+    `incremental_dedup_via_cdc` (re-phrasings instead of re-crawls).
+    Batch is broadcast, corpus scanned once and never shuffled
+    (`similarity.admission_best_match`); block key is the fixture
+    label, the LSH bucket / IVF cell at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    return sim.admission_best_match(corpus, batch, block_col="label", threshold=0.35)
+
+
 # --- text analysis: language id + quality + token counts ---
 @register(
     "text_quality_profile",

@@ -44,6 +44,13 @@ _DRIVER_UNCONFIRMED: tuple[str, ...] = (
     # incremental_dedup_via_cdc) all got driver verdicts in
     # CORRECTNESS_r08.json rows 1-3 and rotate out.
     "semantic_dedup_keep_best",
+    # round-9 late additions: the SemDeDup quantizer-cell blocking
+    # gated as a precision/recall contract (its operator previously
+    # had no consumer), and the embedding-level admission gate for
+    # incremental ingestion (semantic twin of the CDC fingerprint
+    # probe).
+    "semantic_dedup_cells",
+    "semantic_admission_gate",
 )
 
 

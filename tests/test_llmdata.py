@@ -284,3 +284,111 @@ def test_substring_spans_no_false_positives_on_unique_text(spark):
 def test_substring_spans_short_docs_skipped(spark):
     # below the window size no spans can exist (and no crash)
     assert _span_rows(spark, ["a b c", "a b c"]) == []
+
+
+# --- SemDeDup cell blocking (semantic_dedup_pairs) ---
+def _planted_frame(spark, dim=16, n_base=60, n_planted=8, seed=7):
+    """Random base vectors plus n_planted near-identical pairs
+    (cosine > 0.999) — the structure SemDeDup actually promises to
+    catch. Returns (df, planted_pair_set)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    rows, planted = [], set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    nxt = n_base
+    for j in range(n_planted):
+        v = base[j]
+        dup = v + 1e-3 * rng.randn(dim)
+        rows.append((nxt, [float(x) for x in dup]))
+        planted.add((j, nxt))
+        nxt += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, planted
+
+
+def test_semantic_dedup_pairs_planted_recall_one(spark):
+    # at threshold 0.9 only the planted near-identicals qualify
+    # (random 16-dim pairs live near cosine 0); near-identical vectors
+    # MUST quantize into the same cell, so recall is 1.0, and
+    # within-cell cosine is exact, so precision is 1.0: found == planted
+    df, planted = _planted_frame(spark)
+    found = {
+        (r.id_a, r.id_b)
+        for r in sim.semantic_dedup_pairs(df, threshold=0.9, n_cells=4).collect()
+    }
+    assert found == planted
+
+
+def test_semantic_dedup_pairs_one_cell_is_exact_truth(spark, sf_dir):
+    # the contract query's truth side (n_cells=1) must equal an
+    # expression-level exact all-pairs join — anchoring the harness
+    emb = sim.valid_vectors(_emb(spark, sf_dir), "embedding")
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in sim.semantic_dedup_pairs(emb, threshold=0.35, n_cells=1).collect()
+    }
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    cos = F.round(sim.cosine(F.col("va"), F.col("vb")) + F.lit(1e-9), 6)
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .collect()
+    }
+    assert got == exact
+
+
+# --- semantic admission gate (admission_best_match) ---
+def test_admission_best_match_semantics(spark):
+    u = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    nan = float("nan")
+    corpus = spark.createDataFrame(
+        [
+            (1, "A", u),                        # near-dup target
+            (2, "A", far),                      # orthogonal
+            (3, "B", [0.0, 0.0, 1.0, 0.0]),
+            (4, "A", [0.0, 0.0, 0.0, 0.0]),     # zero vector: matches nothing
+            (5, "A", [nan, 1.0, 1.0, 1.0]),     # corrupt: must not veto
+            (20, "D", [1.0, 1.0, 0.0, 0.0]),
+            (21, "D", [1.0, 1.0, 0.0, 0.0]),    # tie with 20 -> smaller id wins
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "A", [0.999, 0.01, 0.0, 0.0]),  # ~cos 1 with id 1 -> rejected
+            (11, "A", [0.1, 0.1, 0.9, 0.9]),     # best match weak -> admitted
+            (12, "C", u),                        # no candidates -> admitted, NULLs
+            (13, "A", [0.0, 0.0, 0.0, 0.0]),     # zero batch vec -> admitted, NULLs
+            (14, "A", [nan, 0.0, 0.0, 0.0]),     # corrupt batch row -> dropped
+            (15, "D", [1.0, 0.0, 0.0, 0.0]),     # ties 20/21 -> best_match_id 20
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in sim.admission_best_match(
+            corpus, batch, block_col="label", threshold=0.35
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13, 15}  # 14 dropped as corrupt
+    assert out[10].best_match_id == 1 and not out[10].admitted
+    assert out[10].best_cosine > 0.99
+    assert out[11].admitted and out[11].best_cosine < 0.35
+    assert out[11].best_match_id is not None  # weak match still reported
+    assert out[12].best_match_id is None and out[12].admitted
+    assert out[12].best_cosine is None
+    assert out[13].best_match_id is None and out[13].admitted
+    assert out[15].best_match_id == 20 and not out[15].admitted

@@ -59,8 +59,31 @@ PROBES = [
     "incremental_dedup_via_cdc",
     # r9 new query (VERDICT r8 item 8) — embeddings + documents
     "semantic_dedup_keep_best",
+    # r9 late addition: the embedding-level admission gate — its
+    # oracle is hash-exact (no recall dependence), so the main
+    # label-isolated fixture probes it directly
+    "semantic_admission_gate",
 ]
 REPLICAS = 10
+
+# The ANN family probes a SEPARATE derived fixture (--generate-ann /
+# --ann): the main fixture copies vectors VERBATIM per replica (the
+# semantic-dedup pair-count isolation proof needs bit-identical
+# within-replica cosines), but ANN ignores labels, so verbatim
+# duplication makes recall@10 degenerate — the exact top-10 of any
+# query collapses to ten identical-cosine copies of one vector and
+# per-query recall becomes all-or-nothing on a single cell/bucket
+# probe. The ANN fixture perturbs each replica's copies instead
+# (seeded N(0, 0.05) per component, renormalized — cosine ~0.97 to
+# the base): every base vector gains 9 strong near-dups, the
+# structure a real crawl corpus has, and the exact top-10 is
+# well-spread across cells.
+ANN_DST = "/tmp/sf1_ann"
+ANN_PROBES = [
+    "similarity_cosine_topk",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+]
 
 
 def generate() -> None:
@@ -165,6 +188,80 @@ def generate() -> None:
         f"embeddings x{REPLICAS} (vec_id doc-aligned, label-isolated), "
         f"orders x{REPLICAS} (key-shifted)"
     )
+
+
+def generate_ann() -> None:
+    """Build the ANN-shaped 10x embeddings fixture (see ANN_DST note)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(ANN_DST, exist_ok=True)
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet")).combine_chunks()
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    id_shift = int(ids.max()) + 1
+    vecs = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    elem_type = emb.column("embedding").type.value_type
+    parts = []
+    for i in range(REPLICAS):
+        if i == 0:
+            v = vecs  # replica 0: sf0.1 verbatim
+        else:
+            rng = np.random.RandomState(1000 + i)
+            v = vecs + 0.05 * rng.randn(*vecs.shape)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+        t = emb.set_column(
+            emb.column_names.index("vec_id"),
+            "vec_id",
+            pa.array(ids + i * id_shift, type=emb.column("vec_id").type),
+        )
+        t = t.set_column(
+            t.column_names.index("embedding"),
+            "embedding",
+            pa.array([row.astype(np.float64).tolist() for row in v],
+                     type=pa.list_(elem_type)),
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(ANN_DST, "embeddings.parquet"))
+    print(f"wrote {ANN_DST}: embeddings x{REPLICAS} (per-replica perturbed copies)")
+
+
+def ann_probe() -> int:
+    """Decade timing (sf0.1 -> sf1) + driver-mirroring hash compare for
+    the ANN family on the perturbed fixture. The recall CONTRACTS are
+    what the hash gates — the meaningful question at 10x corpus is
+    whether 6/16-cell IVF probing and 4-table multiprobe LSH still
+    clear their floors when each cell/bucket holds 10x the vectors."""
+    import subprocess
+
+    from htmlentityextraction_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("sf1-ann-probe")
+    qs = entry.queries()
+    out = {"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}
+    for name in ANN_PROBES:
+        ts = {}
+        for tag, d in (("sf0.1_s", SRC), ("sf1_s", ANN_DST)):
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 2))
+            ts[tag] = sorted(runs)[1]
+        ts["ratio_per_10x"] = round(ts["sf1_s"] / ts["sf0.1_s"], 2)
+        out[name] = ts
+        print(f"# {name}: {ts}", file=sys.stderr)
+    spark.stop()
+    print(json.dumps(out))
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_correctness.py"),
+        "--sf-dir",
+        ANN_DST,
+        *ANN_PROBES,
+    ]
+    return subprocess.call(cmd)
 
 
 def probe(names: list[str] | None = None) -> None:
@@ -346,6 +443,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
     ap.add_argument(
+        "--generate-ann",
+        action="store_true",
+        help="build the perturbed-copy ANN embeddings fixture",
+    )
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="decade timing + hash compare for the ANN family on the perturbed fixture",
+    )
+    ap.add_argument(
         "--hash-check",
         action="store_true",
         help="driver-mirroring hash compare of the probed queries at sf1",
@@ -359,6 +466,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.generate:
         generate()
+    elif args.generate_ann:
+        generate_ann()
+    elif args.ann:
+        raise SystemExit(ann_probe())
     elif args.hash_check:
         raise SystemExit(hash_check())
     elif args.delta_ratio:
