@@ -357,6 +357,86 @@ def dedup_index_stream_sink(index_tbl, *, fp_col: str = "fingerprint", id_col: s
     return _apply
 
 
+def semantic_admission_merge_sink(
+    corpus_tbl,
+    *,
+    block_col: str,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` consumer closing the SEMANTIC admission loop —
+    the embedding-level twin of ``dedup_index_stream_sink``'s exact-
+    fingerprint loop. Per micro-batch of candidate documents:
+
+    1. probe the LIVE corpus snapshot
+       (`similarity.admission_best_match`: batch broadcast, corpus
+       scanned once and block-pruned, never shuffled),
+    2. resolve WITHIN-batch near-dups among the corpus survivors with
+       sequential-arrival semantics — ascending-id greedy per block: a
+       doc is rejected iff it matches an EARLIER **admitted** doc
+       (docs the corpus already rejected veto nothing), an exact
+       O(k²)-per-block pass that is micro-batch-sized by construction,
+    3. upsert only the admitted docs into the corpus table, so the
+       NEXT trigger's probe sees them.
+
+    Restart replays are idempotent WITHOUT a sync watermark (unlike
+    the fingerprint sink, which must replay version-stepped deletes): a
+    replayed doc that was admitted finds ITSELF in the corpus —
+    same id, cosine 1.0 — and is re-rejected, and re-upserting an
+    identical row would be a CDC no-op anyway; a replayed doc that was
+    rejected deterministically re-rejects. Corrupt vectors are dropped
+    at the probe boundary and never reach the corpus. Arrivals are
+    insert-only candidates: a re-crawl UPDATE of an existing doc is a
+    merge-table operation, not an admission question.
+
+    Block key is the corpus's blocking column (label on the fixture,
+    the LSH bucket / IVF cell at 100 TB — the same trade the batch
+    query documents)."""
+    import numpy as np
+    import pandas as pd
+
+    from htmlentityextraction_spark.operators.similarity import (
+        _round6,
+        admission_best_match,
+    )
+
+    def _greedy_within(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pdf
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        M = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(M, axis=1)
+        safe = np.where(norms == 0, np.inf, norms)  # zero vecs match nothing
+        N = M / safe[:, None]
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if kept and (_round6(N[kept] @ N[i]) >= threshold).any():
+                continue
+            kept.append(i)
+        return pdf.iloc[kept]
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        corpus = corpus_tbl.read().select(id_col, block_col, vec_col)
+        verdict = admission_best_match(
+            corpus, batch, block_col=block_col, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+        survivors = batch.join(
+            verdict.filter(F.col("admitted")).select(id_col), id_col
+        )
+        admitted = survivors.groupBy(block_col).applyInPandas(
+            _greedy_within, survivors.schema
+        )
+        if admitted.isEmpty():
+            return
+        corpus_tbl.merge(admitted.withColumn("op", F.lit("upsert")))
+
+    return _apply
+
+
 def segment_dedup_keep_first(
     docs: DataFrame,
     *,

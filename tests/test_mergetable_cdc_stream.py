@@ -604,3 +604,123 @@ def test_dedup_index_sink_replay_skips_applied_steps(spark, tmp_path):
         _json.dump({"applied_through": 2}, f)
     sink(batch, 0)
     assert {r.fingerprint: r.doc_id for r in idx.read().collect()} == {"f": 9}
+
+
+# --- semantic admission loop (decontam.semantic_admission_merge_sink) ---
+def _adm_corpus(spark, tmp_path):
+    tbl = ParquetMergeTable(spark, str(tmp_path / "sem_corpus"), "doc_id", num_buckets=2)
+    tbl.create(
+        spark.createDataFrame(
+            [
+                (1, "A", [1.0, 0.0, 0.0, 0.0]),
+                (2, "B", [0.0, 1.0, 0.0, 0.0]),
+            ],
+            "doc_id long, label string, embedding array<double>",
+        )
+    )
+    return tbl
+
+
+def test_semantic_admission_loop_trickles(spark, tmp_path):
+    """Three micro-batches through the semantic admission loop:
+    corpus rejection, within-batch sequential greedy, CROSS-BATCH
+    rejection (batch 2 near-dups a doc ADMITTED in batch 1 — only
+    possible because admitted docs are merged before the next
+    trigger), and full-replay idempotence."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    tbl = _adm_corpus(spark, tmp_path)
+    sink = dc.semantic_admission_merge_sink(
+        tbl, block_col="label", threshold=0.8, id_col="doc_id"
+    )
+    nan = float("nan")
+    novel_a = [0.0, 0.0, 1.0, 0.0]  # orthogonal to corpus doc 1's block-A vector
+    b1 = spark.createDataFrame(
+        [
+            (10, "A", [0.999, 0.01, 0.0, 0.0]),  # near-dup of corpus 1 -> rejected
+            (11, "A", novel_a),                  # admitted
+            (12, "A", [0.01, 0.0, 0.999, 0.0]),  # near-dup of 11 IN-BATCH -> rejected
+            (13, "A", [nan, 0.0, 0.0, 0.0]),     # corrupt -> dropped at the boundary
+        ],
+        "doc_id long, label string, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20, "A", [0.0, 0.01, 0.999, 0.0]),  # near-dup of 11 (ADMITTED in b1) -> rejected
+            (21, "C", [0.5, 0.5, 0.5, 0.5]),     # no block-C candidates -> admitted
+        ],
+        "doc_id long, label string, embedding array<double>",
+    )
+    sink(b1, 0)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 11}
+    sink(b2, 1)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 11, 21}
+    v_before = tbl._read_manifest()["version"]
+    sink(b1, 0)  # full restart replay of batch 1
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 11, 21}
+    # nothing admitted (11 re-rejects against ITSELF) -> no new version
+    assert tbl._read_manifest()["version"] == v_before
+
+
+def test_semantic_admission_greedy_chain_semantics(spark, tmp_path):
+    """Sequential-arrival rule within one batch: a doc the CORPUS
+    rejected vetoes nothing (its in-batch near-dup is still checked
+    only against ADMITTED docs), and greedy order is ascending id."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    tbl = _adm_corpus(spark, tmp_path)
+    sink = dc.semantic_admission_merge_sink(
+        tbl, block_col="label", threshold=0.8, id_col="doc_id"
+    )
+    # 30 near-dups corpus doc 1 (cos 0.928) -> rejected by the corpus
+    # probe. 31 near-dups 30 (cos 0.919) but NOT doc 1 (cos 0.707 <
+    # 0.8): since 30 was never admitted it cannot veto 31 -> 31
+    # admitted. 32 near-dups 31 (cos 0.9997, corpus cos only 0.725)
+    # -> greedy-rejected.
+    batch = spark.createDataFrame(
+        [
+            (30, "A", [1.0, 0.4, 0.0, 0.0]),
+            (31, "A", [1.0, 1.0, 0.0, 0.0]),
+            (32, "A", [1.0, 0.95, 0.0, 0.0]),
+        ],
+        "doc_id long, label string, embedding array<double>",
+    )
+    sink(batch, 0)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 31}
+
+
+def test_semantic_admission_wired_into_a_real_stream(spark, tmp_path):
+    """The sink runs under writeStream.foreachBatch with one
+    micro-batch per trickle file (maxFilesPerTrigger=1), and the
+    final corpus matches the direct-invocation result."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    tbl = _adm_corpus(spark, tmp_path)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [
+        [(10, "A", [0.999, 0.01, 0.0, 0.0]), (11, "A", [0.0, 0.0, 1.0, 0.0])],
+        [(20, "A", [0.0, 0.01, 0.999, 0.0]), (21, "C", [0.5, 0.5, 0.5, 0.5])],
+    ]
+    schema = "doc_id long, label string, embedding array<double>"
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    # one dir per trigger keeps arrival order deterministic
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dc.semantic_admission_merge_sink(
+                tbl, block_col="label", threshold=0.8, id_col="doc_id"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 11, 21}
