@@ -588,6 +588,21 @@ def admission_best_match(
         F.col(block_col).alias("_block"),
         F.col(vec_col).cast("array<double>").alias("bv"),
     )
+    # Push the batch's block list into the corpus scan as a static
+    # predicate: the join alone restricts rows AFTER the scan, but an
+    # isin filter reaches the parquet reader (PushedFilters → row-group
+    # stats / partition pruning), so a trickle batch touching a handful
+    # of blocks reads a handful of blocks — the O(delta) shape the
+    # fingerprint probe already has. The collect is batch-bounded
+    # (distinct blocks ≤ batch rows, and batch ≪ corpus by contract);
+    # the cap guards the degenerate every-block batch, where pruning
+    # buys nothing and the filter would only bloat the plan.
+    blocks = [
+        r["_block"]
+        for r in b.select("_block").distinct().limit(MAX_QUERY_BATCH + 1).collect()
+    ]
+    if len(blocks) <= MAX_QUERY_BATCH:
+        c = c.filter(F.col("_block").isin(blocks))
     scored = c.join(F.broadcast(b), "_block").select(
         "_bid",
         "cand_id",
