@@ -392,3 +392,78 @@ def test_admission_best_match_semantics(spark):
     assert out[12].best_cosine is None
     assert out[13].best_match_id is None and out[13].admitted
     assert out[15].best_match_id == 20 and not out[15].admitted
+
+
+# --- expression-form sketch helpers: equivalence to the codegen shapes ---
+def test_minhash_signature_column_form_matches_codegen(spark, sf_dir):
+    """dd.minhash_signature (array-lambda form, for pre-hashed shingle
+    arrays) and dd.minhash_signatures_codegen (the explode shape the
+    LSH pipeline uses) are the SAME hash family over the SAME
+    shingles — signatures must agree bit-for-bit."""
+    from htmlentityextraction_spark.functions.text import text_only
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).limit(50)
+    num_hashes, n = 16, 5
+    codegen = dd.minhash_signatures_codegen(
+        docs, "text", "doc_id", num_hashes=num_hashes, n=n
+    )
+    norm = F.lower(F.trim(text_only(F.col("text"))))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__norm") - F.lit(n - 1), F.lit(1))),
+        lambda i: F.col("__norm").substr(i, F.lit(n)),
+    )
+    based = (
+        docs.select(F.col("doc_id").alias("doc"), norm.alias("__norm"))
+        .select("doc", dd.base_hashes(shingles).alias("__base"))
+    )
+    cols = dd.minhash_signature(F.col("__base"), num_hashes=num_hashes)
+    expr_form = based.select(
+        "doc", *[c.alias(f"sig_{i}") for i, c in enumerate(cols)]
+    )
+    a = {r["doc"]: tuple(r[f"sig_{i}"] for i in range(num_hashes)) for r in codegen.collect()}
+    b = {r["doc"]: tuple(r[f"sig_{i}"] for i in range(num_hashes)) for r in expr_form.collect()}
+    assert a == b and len(a) == 50
+
+
+def test_simhash60_column_form_matches_codegen(spark):
+    """dd.simhash60 (aggregate-lambda form) equals the explode+codegen
+    vote accumulation used inside dd.simhash_pairs for the same token
+    arrays."""
+    from htmlentityextraction_spark.functions.text import tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    expr_form = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dd.simhash60(tokenize(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    toks = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(tokenize(F.col("text"))).alias("__t")
+    ).select("doc", dd._token_hash60(F.col("__t")).alias("__h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(dd.SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(dd.SIMHASH_BITS)
+    ]
+    acc = bits[0]
+    for c in bits[1:]:
+        acc = acc + c
+    codegen = {r.doc: r.sh for r in votes.select("doc", acc.alias("sh")).collect()}
+    assert expr_form == codegen and len(expr_form) == 3

@@ -331,3 +331,69 @@ def test_gap_fill_linear_interpolates_interior_gaps(spark):
         ("2024-01-04", 40.0, False),
         ("2024-01-05", 20.0, False),
     ]
+
+
+def test_valid_event_time_sql_twin_matches_spark(spark):
+    """functions.temporal.valid_event_time_sql is the DuckDB twin of
+    valid_event_time — both engines must keep exactly the same rows
+    at the window boundaries (inclusive min, exclusive max; 2038 and
+    leap-day instants valid; NULL dropped)."""
+    import duckdb
+
+    from htmlentityextraction_spark.functions.temporal import (
+        valid_event_time,
+        valid_event_time_sql,
+    )
+
+    rows = [
+        (1, "1969-12-31 23:59:59"),   # pre-epoch sentinel -> drop
+        (2, "1999-12-31 23:59:59"),   # just under the min -> drop
+        (3, "2000-01-01 00:00:00"),   # inclusive min -> keep
+        (4, "2038-01-19 03:14:08"),   # past the 32-bit rollover -> keep
+        (5, "2096-02-29 23:59:59"),   # leap day -> keep
+        (6, "2099-12-31 23:59:59"),   # last valid second -> keep
+        (7, "2100-01-01 00:00:00"),   # exclusive max -> drop
+        (8, None),                    # corrupt -> drop
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    spark_kept = {r.id for r in df.filter(valid_event_time("ts")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if ts is None else repr(ts)}::TIMESTAMP)" for i, ts in rows
+        )
+        + ") v(id, ts)"
+    )
+    duck_kept = {
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM t WHERE {valid_event_time_sql('ts')}"
+        ).fetchall()
+    }
+    assert spark_kept == duck_kept == {3, 4, 5, 6}
+
+
+def test_most_frequent_survivorship_rule_deterministic_ties(spark):
+    """survivorship.most_frequent plugs into golden_record as a field
+    rule; ties resolve to the LOWEST value (mode deterministic=true),
+    never nondeterministically."""
+    from htmlentityextraction_spark.operators.survivorship import (
+        golden_record,
+        most_frequent,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "b"), (1, "a"), (1, "a"), (1, "b"), (1, "c"),  # a/b tie -> a
+            (2, "z"), (2, "z"), (2, "y"),
+        ],
+        "cluster long, name string",
+    )
+    got = {
+        r.cluster: r.name
+        for r in golden_record(df, "cluster", {"name": most_frequent("name")}).collect()
+    }
+    assert got == {1: "a", 2: "z"}
