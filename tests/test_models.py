@@ -226,3 +226,15 @@ def test_cogrouped_scorer_equals_broadcast_scorer(spark):
     picked_c = {r.url: r.model_price
                 for r in md.pick_model_price(md.score_candidates_cogrouped(feats, reg)).collect()}
     assert picked_c == picked_b
+
+
+def test_gbt_predict_proba_is_sigmoid_of_margin():
+    # the scikit-style probability surface: sigmoid(margin), in (0,1),
+    # monotone in the margin, and 0.5 exactly at the decision boundary
+    X, y = _separable()
+    m = GBTClassifier(n_estimators=10, max_depth=3).fit(X, y)
+    margin = m.margin(X)
+    proba = m.predict_proba(X)
+    assert np.allclose(proba, 1.0 / (1.0 + np.exp(-margin)))
+    assert ((proba > 0.0) & (proba < 1.0)).all()
+    assert ((proba > 0.5) == (m.predict(X) == 1)).all()
