@@ -405,18 +405,28 @@ def semantic_admission_merge_sink(
         if len(pdf) < 2:
             return pdf
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        M = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
-        norms = np.linalg.norm(M, axis=1)
-        safe = np.where(norms == 0, np.inf, norms)  # zero vecs match nothing
-        N = M / safe[:, None]
-        kept: list[int] = []
-        for i in range(len(pdf)):
-            if kept and (_round6(N[kept] @ N[i]) >= threshold).any():
+        # Vectors compare only within their own dimensionality: a
+        # mixed-dim pair has no defined cosine (the JVM path's
+        # zip_with yields NULL and no veto — mirror that instead of
+        # crashing a vstack over ragged rows). Zero vectors match
+        # nothing and veto nothing.
+        kept_by_dim: dict[int, list] = {}
+        kept_idx: list[int] = []
+        for i, raw in enumerate(pdf[vec_col]):
+            v = np.asarray(raw, dtype=np.float64)
+            n = np.linalg.norm(v)
+            u = v / n if n > 0 else None
+            peers = kept_by_dim.get(v.shape[0])
+            if (
+                u is not None
+                and peers
+                and (_round6(np.stack(peers) @ u) >= threshold).any()
+            ):
                 continue
-            kept.append(i)
-        return pdf.iloc[kept]
+            kept_idx.append(i)
+            if u is not None:
+                kept_by_dim.setdefault(v.shape[0], []).append(u)
+        return pdf.iloc[kept_idx]
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         corpus = corpus_tbl.read().select(id_col, block_col, vec_col)

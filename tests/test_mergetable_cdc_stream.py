@@ -724,3 +724,34 @@ def test_semantic_admission_wired_into_a_real_stream(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 11, 21}
+
+
+def test_semantic_admission_tolerates_empty_and_ragged_batches(spark, tmp_path):
+    """Production edges that must not kill the stream: an empty
+    micro-batch, an all-corrupt micro-batch, and a RAGGED one (a
+    mixed-dimensionality vector among normal ones — a mis-versioned
+    encoder's output). A mixed-dim pair has no defined cosine, so the
+    odd vector neither vetoes nor is vetoed; it is admitted like any
+    candidate with no comparable neighbors."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    tbl = _adm_corpus(spark, tmp_path)
+    sink = dc.semantic_admission_merge_sink(
+        tbl, block_col="label", threshold=0.8, id_col="doc_id"
+    )
+    schema = "doc_id long, label string, embedding array<double>"
+    sink(spark.createDataFrame([], schema), 0)  # empty batch: no-op
+    nan = float("nan")
+    sink(spark.createDataFrame([(40, "A", [nan, 0.0, 0.0, 0.0])], schema), 1)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2}
+    ragged = spark.createDataFrame(
+        [
+            (41, "A", [0.0, 0.0, 1.0, 0.0]),   # novel 4-dim -> admitted
+            (42, "A", [0.7, 0.7]),             # 2-dim among 4-dim: no defined
+                                               # cosine vs anything -> admitted
+            (43, "A", [0.0, 0.01, 0.999, 0.0]),  # near-dups 41 -> rejected
+        ],
+        schema,
+    )
+    sink(ragged, 2)
+    assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 41, 42}
