@@ -428,8 +428,34 @@ def semantic_admission_merge_sink(
                 kept_by_dim.setdefault(v.shape[0], []).append(u)
         return pdf.iloc[kept_idx]
 
+    def _corpus_for(batch: DataFrame) -> DataFrame:
+        """The corpus snapshot the probe scans. When the table tracks
+        zone-map stats on the block column (create it with
+        ``stats_cols=[block_col]`` and keep it OPTIMIZE-ZORDERed by
+        block), each trigger reads ONLY the buckets whose block range
+        intersects the batch's blocks — manifest-level pruning via
+        ``read_where``, the O(touched blocks) shape; the batch's
+        distinct-block collect is micro-batch-bounded. Otherwise fall
+        back to the full snapshot (the isin pushdown still prunes
+        row-groups inside files, but every file is listed)."""
+        if block_col not in (getattr(corpus_tbl, "stats_cols", None) or []):
+            return corpus_tbl.read()
+        from functools import reduce
+
+        blocks = [
+            r["_b"]
+            for r in batch.select(F.col(block_col).alias("_b")).distinct().collect()
+            if r["_b"] is not None
+        ]
+        if not blocks:
+            return corpus_tbl.read()
+        return reduce(
+            DataFrame.unionByName,
+            [corpus_tbl.read_where(block_col, b, b) for b in sorted(blocks)],
+        )
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        corpus = corpus_tbl.read().select(id_col, block_col, vec_col)
+        corpus = _corpus_for(batch).select(id_col, block_col, vec_col)
         verdict = admission_best_match(
             corpus, batch, block_col=block_col, threshold=threshold,
             id_col=id_col, vec_col=vec_col,

@@ -755,3 +755,72 @@ def test_semantic_admission_tolerates_empty_and_ragged_batches(spark, tmp_path):
     )
     sink(ragged, 2)
     assert {r.doc_id for r in tbl.read().collect()} == {1, 2, 41, 42}
+
+
+def test_semantic_admission_pruned_corpus_read(spark, tmp_path):
+    """When the corpus table tracks zone-map stats on the block column
+    and its layout clusters blocks (ingestion-ordered ids + range
+    bucketing here), each trigger reads ONLY the buckets whose block
+    range intersects the batch's blocks — read_where, never a full
+    read(); without block stats the sink falls back to read() and
+    never calls read_where. Both pinned with fail-loud proxies, plus
+    a quantitative files-opened check on the clustered layout."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    schema = "doc_id long, label string, embedding array<double>"
+    # labels cluster with the id ranges range-bucketing splits on:
+    # A = ids 0-99, B = 100-199, C = 200-299 (width 50 -> 2 buckets each)
+    rows = [
+        (i, lab, [float(i % 7 + 1), float(i % 5 + 1), 1.0, 0.0])
+        for base, lab in ((0, "A"), (100, "B"), (200, "C"))
+        for i in range(base, base + 100)
+    ]
+
+    class _NoFullRead(ParquetMergeTable):
+        def read(self, version=None):
+            raise AssertionError("pruned sink must not full-scan the corpus")
+
+    class _NoPrunedRead(ParquetMergeTable):
+        def read_where(self, col, lo=None, hi=None, version=None):
+            raise AssertionError("stats-less sink must not take the pruned path")
+
+    pruned = _NoFullRead(
+        spark, str(tmp_path / "pruned"), "doc_id",
+        bucketing="range", range_width=50, stats_cols=["label"],
+    )
+    # create() goes through the real class: the proxy only guards the
+    # sink's probe-time reads
+    ParquetMergeTable(
+        spark, str(tmp_path / "pruned"), "doc_id",
+        bucketing="range", range_width=50, stats_cols=["label"],
+    ).create(spark.createDataFrame(rows, schema))
+
+    # the pruning is real on this layout: label B lives in 2 of 6 buckets
+    b_files = pruned.read_where("label", "B", "B").inputFiles()
+    total_files = ParquetMergeTable(
+        spark, str(tmp_path / "pruned"), "doc_id",
+        bucketing="range", range_width=50, stats_cols=["label"],
+    ).files().count()
+    assert 0 < len(b_files) <= total_files / 3
+
+    sink = dc.semantic_admission_merge_sink(
+        pruned, block_col="label", threshold=0.999999, id_col="doc_id"
+    )
+    batch = spark.createDataFrame(
+        [(500, "B", [9.0, 9.0, 9.0, 1.0]), (501, "B", [9.0, 1.0, 9.0, 1.0])],
+        schema,
+    )
+    sink(batch, 0)  # would raise if read() were touched
+    got = {r.doc_id for r in ParquetMergeTable(
+        spark, str(tmp_path / "pruned"), "doc_id",
+        bucketing="range", range_width=50, stats_cols=["label"],
+    ).read().collect()}
+    assert {500, 501} <= got and len(got) == 302
+
+    plain = _NoPrunedRead(spark, str(tmp_path / "plain"), "doc_id", num_buckets=4)
+    plain.create(spark.createDataFrame(rows, schema))
+    sink2 = dc.semantic_admission_merge_sink(
+        plain, block_col="label", threshold=0.999999, id_col="doc_id"
+    )
+    sink2(batch, 0)  # would raise if read_where were touched
+    assert {r.doc_id for r in plain.read().collect()} >= {500, 501}
