@@ -490,24 +490,30 @@ def semantic_dedup_pairs(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    sample = np.array(
-        [list(r["cvec"]) for r in quantizer_fit_frame(c, fit_sample_cap, seed).collect()],
-        dtype=np.float64,
-    )
-    centers = _fit_kmeans_local(sample, n_cells, seed)
-    c2 = (centers**2).sum(1)
+    if n_cells == 1:
+        # the exact-truth degenerate: one cell holds everything, so
+        # the quantizer fit (a count + sample collect + Lloyd's) and
+        # the assignment pass would compute an unconditional constant
+        assigned = c.withColumn("cell", F.lit(0).cast("int"))
+    else:
+        sample = np.array(
+            [list(r["cvec"]) for r in quantizer_fit_frame(c, fit_sample_cap, seed).collect()],
+            dtype=np.float64,
+        )
+        centers = _fit_kmeans_local(sample, n_cells, seed)
+        c2 = (centers**2).sum(1)
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
-            d = (M**2).sum(1)[:, None] - 2.0 * (M @ centers.T) + c2[None, :]
-            yield pd.DataFrame(
-                {"vid": pdf["vid"], "cvec": pdf["cvec"], "cell": d.argmin(1).astype(np.int32)}
-            )
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+                d = (M**2).sum(1)[:, None] - 2.0 * (M @ centers.T) + c2[None, :]
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "cvec": pdf["cvec"], "cell": d.argmin(1).astype(np.int32)}
+                )
 
-    assigned = c.mapInPandas(assign, "vid long, cvec array<double>, cell int")
+        assigned = c.mapInPandas(assign, "vid long, cvec array<double>, cell int")
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
