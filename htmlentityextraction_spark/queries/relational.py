@@ -392,24 +392,36 @@ def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(sum(l_extendedprice) FILTER (l_returnflag = 'A'), 0) + 1e-9, 2) AS flag_a,
            round(coalesce(sum(l_extendedprice) FILTER (l_returnflag = 'N'), 0) + 1e-9, 2) AS flag_n,
            round(coalesce(sum(l_extendedprice) FILTER (l_returnflag = 'R'), 0) + 1e-9, 2) AS flag_r
-    FROM lineitem GROUP BY l_linestatus
-    """,
+    FROM lineitem WHERE {fp} GROUP BY l_linestatus
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: manual per-user × store pivot with getOrElse("NA")
     `analytics/Kafka2ProdXStoreReport.scala:103-122` → groupBy().pivot()
-    with an explicit value list (avoids the distinct-values scan)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    with an explicit value list (avoids the distinct-values scan).
+    Corrupt measurements drop at ingestion (finite_measure, both
+    engines): a cell holding both ±1e308 extremes summed to inf+(-inf)
+    = NaN in Spark while DuckDB's summation order kept it finite —
+    the cross-engine order-dependence class; found by the fresh-seed
+    313 mixed fuzz at sf0.001 (this query's coarse 3x3 pivot is
+    exactly the shape that concentrates both extremes in one cell)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     p = (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) + 1e-9, 2))
     )
+    # the coalesce INSIDE agg never runs for an ABSENT pivot cell —
+    # pivot emits NULL without evaluating the expression (the
+    # reference's getOrElse("NA") default, same fuzz finding) — so
+    # the empty-cell → 0 default must sit on the pivot OUTPUT
     return p.select(
         "l_linestatus",
-        F.col("A").alias("flag_a"),
-        F.col("N").alias("flag_n"),
-        F.col("R").alias("flag_r"),
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("flag_a"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("flag_n"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("flag_r"),
     )
 
 

@@ -42,6 +42,12 @@ Twelve poison kinds, one failure surface each:
 - ``time`` — pathological-but-valid timestamps into events.ts
   (negative epochs, epoch zero, 2038, near-pandas-max 2262, leap-day):
   watermark starvation and calendar-spine explosion.
+- ``infpair`` — BOTH ±1e308 extremes paired on ADJACENT rows of every
+  float column: +big + (-big) in one aggregation group is
+  inf + (-inf) = NaN under one engine's summation order and finite
+  under the other's. The mixed kind carries both extremes but their
+  GROUP co-location is seed luck (nine rounds of sweeps before seed
+  313 landed them in one pivot cell); pairing makes it deterministic.
 
 A query is hardened when it is hash-green on the clean dir AND all
 fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
@@ -314,6 +320,39 @@ def fuzz_table(
         counts["ts"] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
+    if kind == "infpair":
+        # BOTH ±1e308 extremes deliberately paired on ADJACENT rows of
+        # every float column: +big + (-big) inside one aggregation
+        # group is inf + (-inf) = NaN under one engine's summation
+        # order and finite under the other's — the cross-engine
+        # order-dependence class. The mixed kind carries both extremes
+        # too, but whether they co-locate in one GROUP is seed luck
+        # (seed 313 took nine rounds of sweeps to land them in one
+        # pivot cell); adjacent-row pairing makes co-location the
+        # default for every coarse grouping, so the whole class
+        # surfaces deterministically in one sweep.
+        for col in INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if arr.type not in (pa.float64(), pa.float32()):
+                continue
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:infpair".encode())
+            )
+            n = len(t)
+            starts = rng.random(n) < rate / 2
+            if n:
+                starts[n - 1] = False  # a start needs a partner row
+            partners = np.zeros(n, dtype=bool)
+            partners[1:] = starts[:-1]
+            out = pc.if_else(pa.array(starts), pa.scalar(1e308, type=arr.type), arr)
+            out = pc.if_else(pa.array(partners), pa.scalar(-1e308, type=arr.type), out)
+            t = t.set_column(idx, col, out)
+            counts[col] = int(starts.sum() + partners.sum())
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind == "mixed":
         # every poison class at once, interleaved per row — the shape
         # real production data has (a NULL category, a NaN metric,
@@ -386,7 +425,7 @@ def main() -> None:
         "--kind",
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
-            "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
+            "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time", "infpair",
         ],
         default="null",
     )
