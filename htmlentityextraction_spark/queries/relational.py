@@ -399,12 +399,15 @@ def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: manual per-user × store pivot with getOrElse("NA")
     `analytics/Kafka2ProdXStoreReport.scala:103-122` → groupBy().pivot()
     with an explicit value list (avoids the distinct-values scan).
-    Corrupt measurements drop at ingestion (finite_measure, both
-    engines): a cell holding both ±1e308 extremes summed to inf+(-inf)
-    = NaN in Spark while DuckDB's summation order kept it finite —
-    the cross-engine order-dependence class; found by the fresh-seed
-    313 mixed fuzz at sf0.001 (this query's coarse 3x3 pivot is
-    exactly the shape that concentrates both extremes in one cell)."""
+    Two hardenings from the fresh-seed-313 mixed fuzz at sf0.001:
+    Spark's pivot emits NULL for an ABSENT (group, pivot-value) cell
+    WITHOUT evaluating the agg expression — so an empty-cell default
+    must coalesce on the pivot OUTPUT, never inside agg() (the fuzz
+    produced a (NULL-status, 'A') combination with zero rows; the
+    clean fixture fills all six cells, which kept this latent) — and
+    corrupt measurements drop at ingestion (finite_measure, both
+    engines), which itself can empty a cell the output coalesce now
+    covers."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
     )

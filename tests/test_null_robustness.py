@@ -164,3 +164,42 @@ def test_null_fuzz_tool_is_deterministic(tmp_path):
     cb = nf.fuzz_table("/root/testdata/sf0.001", str(b), "documents", 0.03, 5)
     assert ca == cb and sum(ca.values()) > 0
     assert (a / "documents.parquet").read_bytes() == (b / "documents.parquet").read_bytes()
+
+
+def test_infpair_fuzz_kind_pairs_both_extremes_adjacently(tmp_path):
+    """Potency contract for --kind infpair: every +1e308 is IMMEDIATELY
+    followed by its -1e308 partner (strict non-overlapping pairs), and
+    the pair exhibits the cancellation-swallowing hazard the kind
+    exists to surface — a fold that meets the pair mid-stream loses
+    its entire prefix (x + 1e308 == 1e308 exactly), so engines with
+    different fold orders keep different remainders. If the pairing
+    ever degrades to lone extremes, this catches it before a green
+    sweep is mistaken for class closure."""
+    import importlib.util
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    counts = nf.fuzz_table(
+        "/root/testdata/sf0.001", str(tmp_path), "lineitem", 0.03, 5, "infpair"
+    )
+    assert sum(counts.values()) > 0
+    t = pq.read_table(str(tmp_path / "lineitem.parquet"))
+    v = np.array(t.column("l_extendedprice").to_pylist(), dtype=np.float64)
+    plus = np.flatnonzero(v == 1e308)
+    minus = np.flatnonzero(v == -1e308)
+    assert len(plus) > 0 and len(minus) == len(plus)
+    # every +1e308 is immediately followed by its -1e308 partner
+    assert np.array_equal(minus, plus + 1)
+    # the swallowing hazard is real: a prefix folded into the pair is
+    # lost, so fold order changes an ungated sum's value
+    prefix = 12345.678
+    swallowed = prefix + v[plus[0]] + v[minus[0]]  # prefix, then pair
+    kept = v[plus[0]] + v[minus[0]] + prefix       # pair first, then prefix
+    assert swallowed == 0.0 and kept == prefix

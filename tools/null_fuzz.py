@@ -43,11 +43,12 @@ Twelve poison kinds, one failure surface each:
   (negative epochs, epoch zero, 2038, near-pandas-max 2262, leap-day):
   watermark starvation and calendar-spine explosion.
 - ``infpair`` — BOTH ±1e308 extremes paired on ADJACENT rows of every
-  float column: +big + (-big) in one aggregation group is
-  inf + (-inf) = NaN under one engine's summation order and finite
-  under the other's. The mixed kind carries both extremes but their
-  GROUP co-location is seed luck (nine rounds of sweeps before seed
-  313 landed them in one pivot cell); pairing makes it deterministic.
+  float column. The pair telescopes to 0.0, but it SWALLOWS whatever
+  partial sum precedes it (x + 1e308 == 1e308 exactly), and which
+  values precede it depends on each engine's fold order — an ungated
+  float sum over a group holding a pair diverges by the swallowed
+  amount. Pairing makes group co-location deterministic where the
+  mixed kind leaves it to seed luck.
 
 A query is hardened when it is hash-green on the clean dir AND all
 fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
@@ -322,15 +323,21 @@ def fuzz_table(
         return counts
     if kind == "infpair":
         # BOTH ±1e308 extremes deliberately paired on ADJACENT rows of
-        # every float column: +big + (-big) inside one aggregation
-        # group is inf + (-inf) = NaN under one engine's summation
-        # order and finite under the other's — the cross-engine
-        # order-dependence class. The mixed kind carries both extremes
-        # too, but whether they co-locate in one GROUP is seed luck
-        # (seed 313 took nine rounds of sweeps to land them in one
-        # pivot cell); adjacent-row pairing makes co-location the
-        # default for every coarse grouping, so the whole class
-        # surfaces deterministically in one sweep.
+        # every float column. The ± pair itself telescopes to exactly
+        # 0.0 in any order — the hazard is CANCELLATION SWALLOWING:
+        # whatever partial sum precedes the pair is absorbed
+        # (x + 1e308 == 1e308 exactly for any |x| < ~2e292, so the
+        # subsequent -1e308 zeroes the accumulator, losing x), and
+        # which values are "before the pair" depends on each engine's
+        # fold order and partial-aggregation boundaries — an UNGATED
+        # float sum over a group containing a pair diverges by the
+        # swallowed amount. A green full sweep certifies every
+        # registered float sum either drops corrupt measurements at
+        # ingestion (finite_measure) or never groups a pair. Adjacent
+        # pairing makes group co-location the default for coarse
+        # groupings instead of the mixed kind's seed luck. Pairs are
+        # non-overlapping by construction (a start consumes its
+        # partner slot) so every + has exactly one adjacent -.
         for col in INJECT.get(table, []):
             if col not in t.column_names:
                 continue
@@ -342,9 +349,15 @@ def fuzz_table(
                 zlib.crc32(f"{seed}:{table}:{col}:infpair".encode())
             )
             n = len(t)
-            starts = rng.random(n) < rate / 2
-            if n:
-                starts[n - 1] = False  # a start needs a partner row
+            raw = rng.random(n) < rate / 2
+            starts = np.zeros(n, dtype=bool)
+            i = 0
+            while i < n - 1:
+                if raw[i]:
+                    starts[i] = True
+                    i += 2  # the partner slot is consumed
+                else:
+                    i += 1
             partners = np.zeros(n, dtype=bool)
             partners[1:] = starts[:-1]
             out = pc.if_else(pa.array(starts), pa.scalar(1e308, type=arr.type), arr)
