@@ -342,15 +342,15 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT l_partkey AS prodid, l_suppkey AS store,
                list_transform(
-                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
-                                   'ln': l_linenumber, 'p': l_extendedprice})),
+                   list_sort(list({{'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                                   'ln': l_linenumber, 'p': l_extendedprice}})),
                    s -> s.p) AS ps
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem WHERE {fp} GROUP BY 1, 2
     )
     SELECT prodid, store, len(ps)::BIGINT AS n_obs,
            round(list_reduce(ps, (acc, x) -> acc * 0.5 + x * 0.5) + 1e-9, 6) AS ema
     FROM g
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average (alpha=0.5) of each (product,
@@ -363,8 +363,18 @@ def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; per-group state is the series itself, bounded by the
     per-product observation count — the same contract as the
     reference's per-product delta walks (`analytics/DeltaCalc.scala:
-    62-75`)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    62-75`).
+
+    Corrupt measurements drop at ingestion (finite_measure, both
+    engines): identical fold ORDER is not identical fold ROUNDING —
+    one engine fuses acc*0.5 + x*0.5 (FMA, single rounding) where the
+    other rounds twice, a difference only representable when operands
+    exceed 2^52 (ulp ≥ 0.5). A fresh-seed-317 extreme fuzz landed
+    2^53+1 in one series and the two folds split by half an ulp at
+    3.4e15; no real price reaches the 1e10 domain bound."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     g = (
         li.groupBy(
             F.col("l_partkey").alias("prodid"), F.col("l_suppkey").alias("store")
