@@ -392,11 +392,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_lsh", _ANN_ORACLE)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table multiprobe LSH ANN gated as a recall contract
-    (floor 0.4; observed 0.5-0.9 on the fixtures)."""
+    """Multi-table multiprobe LSH ANN gated as a recall contract.
+    6 tables, not 4: at 4 tables one clean-fixture query sat at
+    recall 0.40 — passing the 0.4 floor with ZERO margin — and a
+    fresh-seed mixed fuzz (349, sf0.1) nudged it to 0.3 (the same
+    no-margin contract class the r8 SVC and IVF findings fixed).
+    At 6 tables the minimum observed recall is 0.6 across clean
+    sf0.001/0.01/0.1, the poisoned fixture, and the sf1 ANN fixture
+    (1.0 there), a 50% margin over the floor at 1.5x the bucket
+    work — still far under scan cost."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = sim.ann_lsh_topk(emb, queries, k=10, bits=6, tables=4)
+    approx = sim.ann_lsh_topk(emb, queries, k=10, bits=6, tables=6)
     exact = sim.cosine_topk(emb, queries, k=10)
     return _ann_recall_contract(approx, exact, floor=0.4)
 
