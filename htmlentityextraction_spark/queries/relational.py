@@ -83,15 +83,19 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderstatus = 'F'
+    WHERE o.o_orderstatus = 'F' AND {fp}
     GROUP BY c.c_mktsegment, o.o_orderpriority
-    """,
+    """.format(fp=finite_measure_sql("l.l_extendedprice")),
 )
 def join_lineitem_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: RDD equi joins `emr/Seeds2S3.scala:31-35`, DF joins
     `analysis/BadDomAnal.scala:85`. Catalyst broadcast-joins customer
-    (small side) and shuffle-joins lineitem⋈orders on the shared key."""
-    li = load_table(spark, sf_dir, "lineitem")
+    (small side) and shuffle-joins lineitem⋈orders on the shared key.
+    Corrupt measurements drop at ingestion (finite_measure, both
+    engines — the 2^53-scale ulp-order class, see join_of_aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = load_table(spark, sf_dir, "customer")
     return (
@@ -152,15 +156,20 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE {fp}
     GROUP BY r.r_name, n.n_name
-    """,
+    """.format(fp=finite_measure_sql("s.s_acctbal")),
 )
 def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: broadcast dMap/model-registry lookups
     (`domain/models/GBTDomainSuperPar.scala:23`,
     `streaming/Htmls2PredsPipe.scala:89-90`) → explicit broadcast()
-    hints; at 100 TB the fact side streams map-side with zero shuffle."""
-    sup = load_table(spark, sf_dir, "supplier")
+    hints; at 100 TB the fact side streams map-side with zero shuffle.
+    Corrupt measurements drop at ingestion (finite_measure, both
+    engines — the 2^53-scale ulp-order class, see join_of_aggregates)."""
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        finite_measure("s_acctbal")
+    )
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     return (
@@ -178,23 +187,30 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_of_aggregates",
     """
-    WITH ord AS (
+    WITH src AS (SELECT * FROM orders WHERE {fp}),
+    ord AS (
         SELECT o_custkey, count(*) AS n_orders,
                round(sum(o_totalprice) + 1e-9, 2) AS total_spent
-        FROM orders GROUP BY o_custkey
+        FROM src GROUP BY o_custkey
     ), latest AS (
         SELECT o_custkey, max(o_orderdate) AS last_order
-        FROM orders GROUP BY o_custkey
+        FROM src GROUP BY o_custkey
     )
     SELECT ord.o_custkey AS custkey, ord.n_orders, ord.total_spent, latest.last_order
     FROM ord JOIN latest ON ord.o_custkey = latest.o_custkey
-    """,
+    """.format(fp=finite_measure_sql("o_totalprice")),
 )
 def join_of_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: deltaData ⋈ varPosData `analytics/CalcIndices.scala:195-198`.
     Both aggregates hash-partition on the same key → AQE reuses the
-    exchange; no extra shuffle for the join."""
-    orders = load_table(spark, sf_dir, "orders")
+    exchange; no extra shuffle for the join. Corrupt order rows drop
+    at ingestion (finite_measure, both engines): a 2^53-scale extreme
+    in one customer's orders pushed their sum to 2.7e16, where the
+    last ulp (4.0 — far coarser than the 2-dp rounding) depends on
+    engine summation order (fresh-seed-353 extreme fuzz at sf0.1)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        finite_measure("o_totalprice")
+    )
     ord_agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total_spent"),
@@ -298,13 +314,18 @@ def argmax_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(l_shipdate) AS max_shipdate,
            round(sum(l_extendedprice) + 1e-9, 2) AS total_price,
            round(avg(l_discount) + 1e-9, 6) AS avg_discount
-    FROM lineitem
-    """,
+    FROM lineitem WHERE {fp} AND {fd}
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               fd=finite_measure_sql("l_discount")),
 )
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: `agg(max(lastupdatedtime))` scalar-to-driver
-    `analysis/BadDomAnal.scala:77`."""
-    return load_table(spark, sf_dir, "lineitem").agg(
+    `analysis/BadDomAnal.scala:77`. Corrupt measurements drop at
+    ingestion (finite_measure on both used measures, both engines —
+    the 2^53-scale ulp-order class, see join_of_aggregates)."""
+    return load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice") & finite_measure("l_discount")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.max("l_shipdate").alias("max_shipdate"),
         F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("total_price"),
@@ -322,13 +343,19 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'none' END AS bucket,
            count(*) AS n,
            round(sum(l_extendedprice) + 1e-9, 2) AS revenue
-    FROM lineitem GROUP BY 1
-    """,
+    FROM lineitem WHERE {fp} GROUP BY 1
+    """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def histogram_discount_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: price-change-count buckets `analytics/Hotspots.scala:50-54,110-123`
-    — four filtered passes there, one when-chain + single agg here."""
-    li = load_table(spark, sf_dir, "lineitem")
+    — four filtered passes there, one when-chain + single agg here.
+    The summed measure drops corrupt values at ingestion (ulp-order
+    class, see join_of_aggregates); the bucketed discount keeps its
+    raw domain — extreme/NaN discounts bucket identically cross-engine
+    (both treat NaN/inf as greatest in comparisons)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice")
+    )
     bucket = (
         F.when(F.col("l_discount") >= 0.08, "high")
         .when(F.col("l_discount") >= 0.04, "mid")
@@ -504,14 +531,15 @@ def stable_ids_for_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey % 8 AS grp, count(*) AS n,
            round(sum(l_quantity) + 1e-9, 2) AS total_qty
-    FROM lineitem GROUP BY 1
-    """,
+    FROM lineitem WHERE {fp} GROUP BY 1
+    """.format(fp=finite_measure_sql("l_quantity")),
 )
 def modulo_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: `index % domainGrp` sharding `utils/Utils.scala:351-353`,
-    `domain/models/GBTPerDomainPar.scala:34-36`."""
+    `domain/models/GBTPerDomainPar.scala:34-36`. Corrupt quantities
+    drop at ingestion (ulp-order class, see join_of_aggregates)."""
     return (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_quantity"))
         .groupBy(F.pmod(F.col("l_orderkey"), F.lit(8)).alias("grp"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity") + 1e-9, 2).alias("total_qty"))
     )
@@ -531,17 +559,24 @@ def modulo_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n    ON c.c_nationkey = n.n_nationkey
     JOIN region r    ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'EUROPE' AND o.o_orderstatus <> 'F'
+      AND {fp} AND {fd}
     GROUP BY n.n_name
-    """,
+    """.format(fp=finite_measure_sql("l.l_extendedprice"),
+               fd=finite_measure_sql("l.l_discount")),
 )
 def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped star join: two fact tables + three broadcast
     dims with the local-supplier correlation predicate. Catalyst
     broadcasts nation/region/supplier and AQE sizes the two fact
-    shuffles — the canonical shape for revenue rollups at 100 TB."""
+    shuffles — the canonical shape for revenue rollups at 100 TB.
+    Corrupt measurements drop at ingestion (both factors of the
+    revenue product, both engines — ulp-order class, see
+    join_of_aggregates)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice") & finite_measure("l_discount")
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.temporal import epoch_seconds
 from htmlentityextraction_spark.operators import temporal as tp
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -100,11 +101,13 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n, round(sum(l_quantity) + 1e-9, 6) AS qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
+    FROM lineitem WHERE {fp} GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(fp=finite_measure_sql("l_quantity")),
 )
 def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # corrupt quantities drop at ingestion (ulp-order class; the
+    # ROLLUP grand-total row is the coarsest sum in the registry)
+    li = load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_quantity"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity") + 1e-9, 6).alias("qty")
     )
@@ -115,11 +118,13 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n, round(avg(l_discount) + 1e-9, 6) AS avg_disc
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
+    FROM lineitem WHERE {fp} GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(fp=finite_measure_sql("l_discount")),
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # corrupt discounts drop at ingestion (avg shares sum's ulp-order
+    # hazard; the CUBE grand-total row is the coarsest mean)
+    li = load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_discount"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.avg("l_discount") + 1e-9, 6).alias("avg_disc")
     )

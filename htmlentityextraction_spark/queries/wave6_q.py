@@ -26,6 +26,7 @@ from htmlentityextraction_spark.operators.zorder import (
     zvalue,
 )
 from htmlentityextraction_spark.queries.llmdata import _FT
+from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -37,9 +38,9 @@ from htmlentityextraction_spark.sources.tables import load_table
            CAST(count(*) AS BIGINT) AS n_orders,
            round(sum(o.o_totalprice) + 1e-9, 2) AS revenue
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    WHERE c.c_acctbal > 9000
+    WHERE c.c_acctbal > 9000 AND {fp}
     GROUP BY c.c_custkey
-    """,
+    """.format(fp=finite_measure_sql("o.o_totalprice")),
 )
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim join with a Bloom-filter runtime pre-filter
@@ -51,7 +52,10 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the pre-shuffle row cut Spark's AQE runtime bloom
     applies, made explicit and composable."""
     customer = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # corrupt order totals drop at ingestion (ulp-order class)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).filter(finite_measure("o_totalprice"))
     joined = bloom_semi_join(
         orders, customer, "o_custkey", "c_custkey", num_bits=1 << 16, num_hashes=5
     )
