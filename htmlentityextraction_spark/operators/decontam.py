@@ -440,8 +440,6 @@ def semantic_admission_merge_sink(
         row-groups inside files, but every file is listed)."""
         if block_col not in (getattr(corpus_tbl, "stats_cols", None) or []):
             return corpus_tbl.read()
-        from functools import reduce
-
         blocks = [
             r["_b"]
             for r in batch.select(F.col(block_col).alias("_b")).distinct().collect()
@@ -449,10 +447,11 @@ def semantic_admission_merge_sink(
         ]
         if not blocks:
             return corpus_tbl.read()
-        return reduce(
-            DataFrame.unionByName,
-            [corpus_tbl.read_where(block_col, b, b) for b in sorted(blocks)],
-        )
+        # ONE manifest pass + ONE scan however many blocks the batch
+        # touches (a per-block read_where union degenerates to
+        # |blocks| manifest probes + plans once block cardinality
+        # grows past a handful).
+        return corpus_tbl.read_where_in(block_col, blocks)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         corpus = _corpus_for(batch).select(id_col, block_col, vec_col)

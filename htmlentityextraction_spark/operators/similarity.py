@@ -521,6 +521,18 @@ def semantic_dedup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        if n > 50_000:
+            # A cell this large means the quantizer blocking degenerated
+            # (or the n_cells=1 exact-truth path was pointed at a real
+            # corpus): the n x n gram plus two triu index arrays is
+            # multi-GB in ONE task and O(n^2) beyond. Fail loud instead
+            # of silently attempting it — raise n_cells so per-cell
+            # sizes stay bounded.
+            raise ValueError(
+                f"semantic_dedup_pairs: cell holds {n} vectors (> 50000); "
+                "the exact per-cell gram is quadratic — increase n_cells "
+                "so cells stay bounded (n_cells ~ n / target_cell_size)"
+            )
         ids = pdf["vid"].to_numpy()
         M = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
         norms = np.sqrt((M**2).sum(1))

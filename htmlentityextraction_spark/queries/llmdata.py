@@ -467,6 +467,132 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the 100 TB composition: cell-blocked pairs -> closure -> keep-best ---
+@register(
+    "semantic_dedup_scale_pipeline",
+    f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_VALID_VEC.format(c='embedding')}
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.35
+    ), edges AS (
+        SELECT id_a AS u, id_b AS w FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT u, w FROM edges
+        UNION
+        SELECT r.u, g.w FROM reach r JOIN edges g ON r.w = g.u
+    ), comp AS (
+        SELECT u AS vec_id, least(u, min(w)) AS cluster_id FROM reach GROUP BY u
+    ), lab AS (
+        SELECT m.vec_id,
+               coalesce(c.cluster_id, m.vec_id) AS cluster_id,
+               coalesce(d.n_chars, -1) AS quality
+        FROM e m
+        JOIN documents d ON d.doc_id = m.vec_id
+        LEFT JOIN comp c ON c.vec_id = m.vec_id
+    ), ranked AS (
+        SELECT vec_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, vec_id) = 1 AS keep
+        FROM lab
+    )
+    SELECT count(*) FILTER (WHERE NOT keep) AS n_true_removed,
+           true AS refinement_ok, true AS no_false_removal_ok,
+           true AS removal_recall_ok
+    FROM ranked
+    """,
+)
+def semantic_dedup_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition a 100 TB corpus actually runs (VERDICT r9 item
+    2): quantizer-CELL-blocked pair generation
+    (`similarity.semantic_dedup_pairs`, 16 cells — sum-of-cell² work,
+    no label metadata needed) → transitive closure
+    (`components.connected_components`) → per-cluster keep-BEST
+    exemplar by quality (`resolve_clusters_keep_best`). Registered
+    like `semantic_dedup_cells`: the exact all-pairs closure is
+    computable at fixture scale, so the oracle recomputes TRUTH
+    end-to-end (recursive CTE + window) and the Spark side reports
+    the composition's contract against it in one row:
+
+    - ``refinement_ok`` — cell pairs ⊆ true pairs, so every
+      production cluster must sit INSIDE one truth cluster (the
+      subgraph's components refine the full graph's); the gate
+      proves the construction.
+    - ``no_false_removal_ok`` — refinement makes removal SAFE: a doc
+      the production pipeline removes lost to a better doc in its
+      (smaller) cluster, and that winner sits in the same truth
+      cluster, so truth removes the doc too. Production never
+      deletes anything the exact pipeline would keep — the property
+      that lets a 100 TB corpus run the cheap blocking without risk.
+    - ``removal_recall_ok`` — production catches ≥ 15% of true
+      removals. MEASURED on this near-uniform random fixture (the
+      blocking's worst case, same geometry note as
+      `semantic_dedup_cells`): 0.33 / 0.32 / 0.52 at
+      sf0.001/0.01/0.1 — 2.1x the floor at the observed minimum; on
+      planted near-identical dups (real corpora's shape) cell
+      co-location is pytest-gated at recall 1.0.
+    """
+    from htmlentityextraction_spark.operators import components as cc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    items = (
+        sim.valid_vectors(emb, "embedding")
+        .select("vec_id")
+        .join(docs.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        .select("vec_id", F.coalesce("n_chars", F.lit(-1)).alias("quality"))
+    )
+    ppairs = sim.semantic_dedup_pairs(emb, threshold=0.35, n_cells=16).select(
+        "id_a", "id_b"
+    )
+    tpairs = sim.semantic_dedup_pairs(emb, threshold=0.35, n_cells=1).select(
+        "id_a", "id_b"
+    )
+    prod = cc.resolve_clusters_keep_best(
+        items, ppairs, id_col="vec_id", quality_col="quality"
+    )
+    truth = cc.resolve_clusters_keep_best(
+        items, tpairs, id_col="vec_id", quality_col="quality"
+    )
+    j = prod.select(
+        "vec_id", F.col("cluster_id").alias("pc"), F.col("keep").alias("p_keep")
+    ).join(
+        truth.select(
+            "vec_id", F.col("cluster_id").alias("tc"), F.col("keep").alias("t_keep")
+        ),
+        "vec_id",
+    )
+    agg = j.agg(
+        F.coalesce(F.sum(F.when(~F.col("t_keep"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_true_removed"),
+        F.coalesce(F.sum(F.when(~F.col("p_keep"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_prod_removed"),
+        F.coalesce(
+            F.sum(F.when((~F.col("p_keep")) & F.col("t_keep"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_false_removed"),
+    )
+    refine = j.groupBy("pc").agg(F.countDistinct("tc").alias("ntc")).agg(
+        F.coalesce(F.max("ntc"), F.lit(0)).alias("max_tc")
+    )
+    return agg.crossJoin(refine).select(
+        "n_true_removed",
+        (F.col("max_tc") <= 1).alias("refinement_ok"),
+        (F.col("n_false_removed") == 0).alias("no_false_removal_ok"),
+        (
+            (F.col("n_true_removed") == F.lit(0))
+            | (F.col("n_prod_removed") >= 0.15 * F.col("n_true_removed"))
+        ).alias("removal_recall_ok"),
+    )
+
+
 # --- semantic admission gate: batch vs corpus best-match ---
 @register(
     "semantic_admission_gate",

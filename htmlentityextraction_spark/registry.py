@@ -51,6 +51,11 @@ _DRIVER_UNCONFIRMED: tuple[str, ...] = (
     # probe).
     "semantic_dedup_cells",
     "semantic_admission_gate",
+    # round-10 addition (VERDICT r9 item 2): the 100 TB composition —
+    # quantizer-cell-blocked pairs → transitive closure → keep-best —
+    # gated against the exact all-pairs closure as refinement /
+    # no-false-removal / removal-recall contracts.
+    "semantic_dedup_scale_pipeline",
 )
 
 

@@ -29,10 +29,6 @@ TABLES = (
 )
 
 
-def default_sf_dir() -> str:
-    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied by callers
     are pushed into the parquet reader by Catalyst (verify with

@@ -781,7 +781,7 @@ def test_semantic_admission_pruned_corpus_read(spark, tmp_path):
             raise AssertionError("pruned sink must not full-scan the corpus")
 
     class _NoPrunedRead(ParquetMergeTable):
-        def read_where(self, col, lo=None, hi=None, version=None):
+        def read_where_in(self, col, values, version=None):
             raise AssertionError("stats-less sink must not take the pruned path")
 
     pruned = _NoFullRead(
@@ -824,3 +824,70 @@ def test_semantic_admission_pruned_corpus_read(spark, tmp_path):
     )
     sink2(batch, 0)  # would raise if read_where were touched
     assert {r.doc_id for r in plain.read().collect()} >= {500, 501}
+
+
+def test_semantic_admission_touched_blocks_ratio_at_64_blocks(spark, tmp_path):
+    """Quantitative O(touched blocks) contract at a block cardinality
+    far past the 3-label smoke fixture: a 64-block corpus (one range
+    bucket per block), a batch touching 2 blocks. The sink's corpus
+    read must open ~2/64 of the table's files — asserted through
+    ``prune_report_in`` (the manifest-level decision the sink's
+    ``read_where_in`` executes) AND through the actual files a pruned
+    read lists. One manifest pass + ONE scan however many blocks the
+    batch names (the per-block ``read_where`` union this replaced
+    degenerated to |blocks| manifest probes)."""
+    from htmlentityextraction_spark.operators import decontam as dc
+
+    schema = "doc_id long, block long, embedding array<double>"
+    n_blocks, per_block = 64, 8
+    rows = [
+        (b * 100 + i, b, [float(b), float(i + 1), 1.0, 0.0])
+        for b in range(n_blocks)
+        for i in range(per_block)
+    ]
+    path = str(tmp_path / "blocks64")
+    tbl = ParquetMergeTable(
+        spark, path, "doc_id",
+        bucketing="range", range_width=100, stats_cols=["block"],
+    )
+    tbl.create(spark.createDataFrame(rows, schema))
+    assert len(tbl._read_manifest()["buckets"]) == n_blocks
+
+    # manifest-level decision: exactly the 2 touched blocks scanned
+    rep = tbl.prune_report_in("block", [5, 41])
+    assert len(rep["scanned"]) == 2
+    assert len(rep["skipped"]) == n_blocks - 2
+
+    # physical-level: the pruned read lists ~2/64 of the files
+    total_files = tbl.files().count()
+    opened = tbl.read_where_in("block", [5, 41]).inputFiles()
+    assert 0 < len(opened) <= total_files * 2 / n_blocks
+
+    # and the sink actually takes that path end-to-end
+    class _CountingTable(ParquetMergeTable):
+        reads: list = []
+
+        def read_where_in(self, col, values, version=None):
+            df = super().read_where_in(col, values, version)
+            _CountingTable.reads.append(len(df.inputFiles()))
+            return df
+
+        def read(self, version=None):
+            raise AssertionError("64-block sink must not full-scan")
+
+    counting = _CountingTable(
+        spark, path, "doc_id",
+        bucketing="range", range_width=100, stats_cols=["block"],
+    )
+    sink = dc.semantic_admission_merge_sink(
+        counting, block_col="block", threshold=0.999999, id_col="doc_id"
+    )
+    batch = spark.createDataFrame(
+        [(9000, 5, [50.0, 1.0, 9.0, 1.0]), (9001, 41, [60.0, 2.0, 9.0, 1.0])],
+        schema,
+    )
+    sink(batch, 0)
+    assert len(_CountingTable.reads) == 1, "corpus must be read ONCE per trigger"
+    assert _CountingTable.reads[0] <= total_files * 2 / n_blocks
+    got = {r.doc_id for r in tbl.read().collect()}
+    assert {9000, 9001} <= got and len(got) == n_blocks * per_block + 2

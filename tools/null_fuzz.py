@@ -360,8 +360,14 @@ def fuzz_table(
                     i += 1
             partners = np.zeros(n, dtype=bool)
             partners[1:] = starts[:-1]
-            out = pc.if_else(pa.array(starts), pa.scalar(1e308, type=arr.type), arr)
-            out = pc.if_else(pa.array(partners), pa.scalar(-1e308, type=arr.type), out)
+            # 1e308 cast to float32 silently becomes +inf, turning the
+            # telescoping pair into NaN poisoning (inf + -inf) — a
+            # different hazard than the cancellation-swallowing this
+            # kind exists to probe. Use a float32-representable extreme
+            # there so the pair still sums to exactly 0.0.
+            mag = 1e38 if arr.type == pa.float32() else 1e308
+            out = pc.if_else(pa.array(starts), pa.scalar(mag, type=arr.type), arr)
+            out = pc.if_else(pa.array(partners), pa.scalar(-mag, type=arr.type), out)
             t = t.set_column(idx, col, out)
             counts[col] = int(starts.sum() + partners.sum())
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))

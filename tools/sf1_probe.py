@@ -230,7 +230,7 @@ def ann_probe() -> int:
     """Decade timing (sf0.1 -> sf1) + driver-mirroring hash compare for
     the ANN family on the perturbed fixture. The recall CONTRACTS are
     what the hash gates — the meaningful question at 10x corpus is
-    whether 6/16-cell IVF probing and 4-table multiprobe LSH still
+    whether 6/16-cell IVF probing and 6-table multiprobe LSH still
     clear their floors when each cell/bucket holds 10x the vectors."""
     import subprocess
 
