@@ -211,7 +211,7 @@ _VALID_VEC = sim.VALID_VEC_SQL
 @register(
     "embedding_neardup_pairs",
     f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
                WHERE {_VALID_VEC.format(c='embedding')})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cosine
@@ -246,7 +246,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_keep_best",
     f"""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_VALID_VEC.format(c='embedding')}
     ), pairs AS (
@@ -323,9 +323,9 @@ def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_cosine_topk",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5 AND {_VALID_VEC.format(c='embedding')}),
-         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+         c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
                WHERE {_VALID_VEC.format(c='embedding')}),
          scored AS (
             SELECT query_id, neighbor_id,
@@ -412,7 +412,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_cells",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE {_VALID_VEC.format(c='embedding')})
     SELECT count(*) AS n_true_pairs,
            true AS precision_ok, true AS recall_ok
@@ -471,7 +471,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_scale_pipeline",
     f"""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_VALID_VEC.format(c='embedding')}
     ), pairs AS (
@@ -597,7 +597,7 @@ def semantic_dedup_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "semantic_admission_gate",
     f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
                WHERE {_VALID_VEC.format(c='embedding')}),
     batch AS (SELECT * FROM e WHERE vec_id % 10 = 7),
     corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 7),

@@ -11,6 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import llmprep as lp
+from htmlentityextraction_spark.operators.similarity import (
+    VALID_VEC_SQL,
+    valid_vectors,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -22,13 +26,14 @@ _TOKS = (
 
 @register(
     "embedding_normalize_quantize",
-    """
-    WITH e AS (
+    f"""
+    WITH e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS nrm,
                list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS amax
         FROM embeddings
-    )
+        WHERE {VALID_VEC_SQL.format(c='embedding')}
+    )""" + """
     SELECT vec_id,
            CAST(unnest(generate_series(1, len(v))) AS BIGINT) AS idx,
            unnest(list_transform(v, x -> floor(x / nrm * 1000000 + 0.5) / 1000000)) AS unit_val,
@@ -43,10 +48,15 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x less shuffle and scan). Output is exploded to one row per
     vector element (vec_id, idx, unit_val, q8_val, scale): array-typed
     output columns are unhashable for the driver's pandas
-    canonicalizer, and scalar rows are hash-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    canonicalizer, and scalar rows are hash-checkable.
+
+    Corrupt vectors are dropped at the standard `valid_vectors`
+    boundary (r10 vecpoison finding): one NaN element would crash
+    BOTH engines' int8 cast (ANSI/DuckDB conversion error) — a vector
+    a failed encoder wrote has no norm and no quantization."""
+    emb = valid_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     unit = lp.l2_normalize(F.col("v"))
     q, scale = lp.quantize_int8(F.col("v"))
     wide = emb.select(

@@ -14,17 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.operators.similarity import (
+    VALID_VEC_SQL,
+    valid_vectors,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
 
 @register(
     "embedding_dimension_profile",
-    """
+    f"""
     WITH x AS (
         SELECT generate_subscripts(embedding, 1) AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
+        WHERE {VALID_VEC_SQL.format(c='embedding')}
     )
     SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
            round(avg(v) + 1e-9, 6) AS mean,
@@ -41,10 +46,17 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     anisotropy checks. One posexplode + one groupBy on the
     64-value dimension domain — the shuffle carries (dim, partial
     moments), not vectors; at 100 TB the combine is map-side and the
-    reduce side sees 64 keys."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.posexplode("embedding").alias("pos", "v")
-    )
+    reduce side sees 64 keys.
+
+    Corrupt VECTORS (NULL / NaN / out-of-domain elements) are dropped
+    whole at the standard `valid_vectors` boundary before exploding —
+    the r10 second-moment class audit: a raw stddev_pop over a
+    poisoned element diverges cross-engine (DuckDB var_pop RAISES on
+    NaN/1e308 where Spark propagates NaN), and a one-bad-element
+    vector is a failed encoder write, not 63 good measurements."""
+    emb = valid_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).select(F.posexplode("embedding").alias("pos", "v"))
     x = emb.select((F.col("pos") + 1).cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
     return x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),

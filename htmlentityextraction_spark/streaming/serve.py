@@ -80,6 +80,7 @@ def serve_stream(
     registry: DataFrame | list,
     out_dir: str,
     parse_fields: list | None = None,
+    sink_files: int | None = None,
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
     fanning out to historical/ (all), realtime/ (passing), logs/
@@ -90,7 +91,16 @@ def serve_stream(
     ``parse_fields``: optional field subset handed to the boundary
     ``from_json`` (e.g. ``SERVE_PARSE_FIELDS``); default parses the
     full PAGE_MESSAGE_SCHEMA — the measured A/B showed pruning is not
-    a win on this path (see SERVE_PARSE_FIELDS note)."""
+    a win on this path (see SERVE_PARSE_FIELDS note).
+
+    ``sink_files``: optional cap on part files for the FILTERED sinks
+    (realtime/logs) — each trigger otherwise commits
+    source-parallelism files per sink, and on an object store the
+    per-file PUT/commit dominates small triggers. The coalesce
+    applies only AFTER the historical write has materialized the
+    cached result at full parallelism, so the compute pipeline never
+    narrows; historical (the bulk sink) keeps source parallelism.
+    Default off — the A/B on this box is recorded in THROUGHPUT.md."""
     registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
     want_parallelism = spark.sparkContext.defaultParallelism
@@ -116,10 +126,15 @@ def serve_stream(
                 "raw_payload", F.lit("corruptMessage").alias("status")
             ).write.mode("append").parquet(os.path.join(out_dir, "logs_corrupt"))
             result.write.mode("append").parquet(os.path.join(out_dir, "historical"))
-            result.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
+            # the historical write above materialized the cache at
+            # full parallelism; the filtered sinks now read hot cache,
+            # so a coalesce here caps their file commits without
+            # narrowing any compute
+            routed = result.coalesce(sink_files) if sink_files else result
+            routed.filter(F.col("status").isin(*PASSING)).write.mode("append").parquet(
                 os.path.join(out_dir, "realtime")
             )
-            result.filter(~F.col("status").isin(*PASSING)).write.mode("append").parquet(
+            routed.filter(~F.col("status").isin(*PASSING)).write.mode("append").parquet(
                 os.path.join(out_dir, "logs")
             )
         finally:

@@ -49,6 +49,16 @@ Twelve poison kinds, one failure surface each:
   float sum over a group holding a pair diverges by the swallowed
   amount. Pairing makes group co-location deterministic where the
   mixed kind leaves it to seed luck.
+- ``vecpoison`` — ELEMENT-level poison inside float-list columns
+  (embeddings.embedding): one NULL/NaN/±inf/±1e10/1e38 element per
+  picked vector, plus the occasional zero-length vector. Every other
+  kind can only NULL the whole array, so the `valid_vectors` /
+  VALID_VEC_SQL element predicates (NULL-element, isnan, |x|>=1e10)
+  had NO fuzz axis exercising them — yet a failed encoder writes
+  exactly this shape, and an unguarded element reaches engines that
+  disagree (DuckDB var_pop/list aggregates RAISE on non-finite,
+  Spark propagates NaN; one 1e38 element silently poisons a BLAS
+  gram row).
 
 A query is hardened when it is hash-green on the clean dir AND all
 fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
@@ -372,6 +382,37 @@ def fuzz_table(
             counts[col] = int(starts.sum() + partners.sum())
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
+    if kind == "vecpoison":
+        pool = [
+            None, float("nan"), float("inf"), float("-inf"),
+            1e10, -1e10, 1e38,
+        ]
+        for col in t.column_names:
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if not (
+                pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+            ) or not pa.types.is_floating(arr.type.value_type):
+                continue
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:vecpoison".encode())
+            )
+            vals = arr.to_pylist()
+            k = 0
+            for ri in range(len(vals)):
+                if vals[ri] is None or rng.random() >= rate:
+                    continue
+                if k % 8 == 7:
+                    vals[ri] = []  # zero-length vector
+                elif vals[ri]:
+                    v = list(vals[ri])
+                    v[int(rng.integers(len(v)))] = pool[k % len(pool)]
+                    vals[ri] = v
+                k += 1
+            t = t.set_column(idx, col, pa.array(vals, type=arr.type))
+            counts[col] = k
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind == "mixed":
         # every poison class at once, interleaved per row — the shape
         # real production data has (a NULL category, a NaN metric,
@@ -444,7 +485,8 @@ def main() -> None:
         "--kind",
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
-            "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time", "infpair",
+            "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
+            "infpair", "vecpoison",
         ],
         default="null",
     )

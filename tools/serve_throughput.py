@@ -81,10 +81,14 @@ def build_fixture(spark, sf_dir: str, kind: str, pages: int, files: int, dst: st
     return n, int(total_bytes)
 
 
-def run_serve(spark, src: str, registry_rows, parse_fields="default") -> float:
+def run_serve(
+    spark, src: str, registry_rows, parse_fields="default", sink_files=None
+) -> float:
     from htmlentityextraction_spark.streaming import serve
 
     kw = {} if parse_fields == "default" else {"parse_fields": parse_fields}
+    if sink_files:
+        kw["sink_files"] = sink_files
     out = tempfile.mkdtemp(prefix="thr_out_")
     raw = spark.readStream.schema("value string").parquet(src)
     t0 = time.time()
@@ -104,6 +108,14 @@ def main() -> None:
         action="store_true",
         help="also time each fixture with the FULL 15-field from_json "
         "schema (pre-r9 behavior) for the pruned-parse A/B",
+    )
+    ap.add_argument(
+        "--ab-sink-batch",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also time each fixture with the filtered sinks coalesced "
+        "to N files per trigger (sink-commit pressure A/B)",
     )
     args = ap.parse_args()
 
@@ -131,6 +143,10 @@ def main() -> None:
         if args.ab_full_parse:
             results[kind]["warm_full_parse_s"] = run_serve(
                 spark, src, registry_rows, parse_fields=None
+            )
+        if args.ab_sink_batch:
+            results[kind][f"warm_sink{args.ab_sink_batch}_s"] = run_serve(
+                spark, src, registry_rows, sink_files=args.ab_sink_batch
             )
         shutil.rmtree(src, ignore_errors=True)
         print(f"# {kind}: {results[kind]}", file=sys.stderr)

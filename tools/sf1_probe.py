@@ -63,6 +63,12 @@ PROBES = [
     # oracle is hash-exact (no recall dependence), so the main
     # label-isolated fixture probes it directly
     "semantic_admission_gate",
+    # r10 addition (VERDICT r9 item 2): the composed cell-blocked
+    # semantic dedup. NOTE its registered form computes BOTH the
+    # production path and the quadratic exact-truth harness (same
+    # split as semantic_dedup_cells); SCALE_PROBE.md records the
+    # production-only decade separately.
+    "semantic_dedup_scale_pipeline",
 ]
 REPLICAS = 10
 
@@ -420,6 +426,217 @@ def delta_ratio() -> None:
         spark.stop()
 
 
+def admission_sink_probe() -> None:
+    """MEASURE the streaming semantic-admission sink's O(touched
+    blocks) contract (VERDICT r9 item 1) — mirroring what
+    ``--delta-ratio`` did for the fingerprint-CDC loop. Fixture shape:
+    the corpus's block count GROWS with the corpus (quantizer cells ~
+    n / target_cell_size), per-block size constant — sf0.1 embeddings
+    (2k vectors) in a 63-block table, the derived sf1 embeddings
+    (20k) in a ~630-block table, ~32 vectors per block in both.
+    block = vec_id // 32 aligns blocks 1:1 with range buckets (the
+    "keep it clustered by block" layout the sink documents).
+
+    Per corpus, trickle three 16-doc micro-batches touching 2 blocks
+    each through ``semantic_admission_merge_sink`` and record:
+
+    - the manifest pruning decision (``prune_report_in``: scanned /
+      total buckets ≈ touched fraction),
+    - parquet files the corpus probe actually opened / table files,
+    - median wall per trigger — flat sf0.1 → sf1 is the claim (cost
+      tracks rows-in-touched-blocks, not corpus rows),
+    - the same trickle against a stats-less hash-bucketed copy of the
+      sf1 corpus (the sink's full-scan fallback) — the lever's size.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.operators import decontam as dc
+    from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
+    from htmlentityextraction_spark.session import get_spark
+
+    spark = get_spark("sf1-admission-sink-probe")
+    out = {"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}
+    base = tempfile.mkdtemp(prefix="sf1_admission_", dir="/tmp")
+    PER_BLOCK = 32
+
+    def build(src_dir: str, name: str, pruned: bool) -> ParquetMergeTable:
+        emb = (
+            spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+            .select(
+                "vec_id",
+                (F.col("vec_id") / PER_BLOCK).cast("long").alias("block"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+        )
+        if pruned:
+            tbl = ParquetMergeTable(
+                spark, os.path.join(base, name), "vec_id",
+                bucketing="range", range_width=PER_BLOCK, stats_cols=["block"],
+            )
+        else:
+            tbl = ParquetMergeTable(
+                spark, os.path.join(base, name), "vec_id", num_buckets=64
+            )
+        tbl.create(emb)
+        return tbl
+
+    def trickle(tbl: ParquetMergeTable, label: str) -> None:
+        blocks = sorted(
+            r.block for r in tbl.read().select("block").distinct().collect()
+        )
+        total_buckets = len(tbl._read_manifest()["buckets"])
+        total_files = int(tbl.files().count())
+        max_id = tbl.read().agg(F.max("vec_id")).first()[0]
+        opened: list[int] = []
+        orig_in = tbl.read_where_in
+        orig_full = tbl.read
+
+        def counting_in(col, values, version=None):
+            df = orig_in(col, values, version)
+            opened.append(len(df.inputFiles()))
+            return df
+
+        def counting_full(version=None):
+            df = orig_full(version)
+            opened.append(len(df.inputFiles()))
+            return df
+
+        tbl.read_where_in = counting_in  # type: ignore[method-assign]
+        tbl.read = counting_full  # type: ignore[method-assign]
+        sink = dc.semantic_admission_merge_sink(
+            tbl, block_col="block", threshold=0.35, id_col="vec_id"
+        )
+        walls = []
+        for t in range(3):
+            b2 = [blocks[(7 + 11 * t) % len(blocks)], blocks[(29 + 11 * t) % len(blocks)]]
+            # 8 docs from EACH block (a bare limit(16) over the
+            # two-block read can satisfy itself from one file and
+            # silently shrink the batch to one touched block)
+            batch = (
+                orig_in("block", b2[:1])
+                .limit(8)
+                .unionByName(orig_in("block", b2[1:]).limit(8))
+                .select(
+                    (F.col("vec_id") + (max_id + 1) * (t + 1)).alias("vec_id"),
+                    "block",
+                    "embedding",
+                )
+            )
+            batch = batch.localCheckpoint()  # pin rows before the sink mutates tbl
+            rep = tbl.prune_report_in("block", b2)
+            t0 = time.time()
+            sink(batch, t)
+            walls.append(round(time.time() - t0, 2))
+            if t == 0:
+                out[label] = {
+                    "corpus_rows": int(orig_full().count()),
+                    "total_buckets": total_buckets,
+                    "total_files": total_files,
+                    "batch_blocks": 2,
+                    "buckets_scanned": len(rep["scanned"]),
+                    "bucket_ratio": round(len(rep["scanned"]) / total_buckets, 4),
+                }
+        # first opened entry per trigger is the corpus probe read
+        out[label]["files_opened_first_trigger"] = opened[0]
+        out[label]["file_ratio"] = round(opened[0] / total_files, 4)
+        out[label]["trigger_wall_s_median3"] = sorted(walls)[1]
+        out[label]["trigger_walls_s"] = walls
+        tbl.read_where_in = orig_in  # type: ignore[method-assign]
+        tbl.read = orig_full  # type: ignore[method-assign]
+
+    try:
+        trickle(build(SRC, "adm01", pruned=True), "admission_sink_sf0.1_pruned")
+        trickle(build(DST, "adm1", pruned=True), "admission_sink_sf1_pruned")
+        trickle(build(DST, "adm1f", pruned=False), "admission_sink_sf1_fullscan")
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+def reliable_checkpoint_probe() -> None:
+    """Price the durable-checkpoint option at sf1 (VERDICT r9 item 5):
+    run the PageRank probe's exact edge pipeline over the derived sf1
+    lineitem twice — default ``localCheckpoint`` rounds vs
+    ``reliable_checkpoint_dir`` (per-round parquet cuts that survive
+    executor loss) — and record the wall-time delta plus an
+    order-insensitive value hash over the rounded ranks proving both
+    paths produce identical results. Turns the cluster guidance
+    ("pay parquet round-trips for executor-loss survival") into a
+    number."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.operators.components import pagerank
+    from htmlentityextraction_spark.session import get_spark
+    from htmlentityextraction_spark.sources.tables import load_table
+
+    spark = get_spark("sf1-reliable-checkpoint-probe")
+    out = {"loadavg_1m_at_start": round(os.getloadavg()[0], 2)}
+
+    def edges_of(sf_dir: str):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        half = (
+            a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .distinct()
+        )
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def run(sf_dir: str, ck_dir: str | None):
+        ts = []
+        sig = None
+        for _ in range(3):
+            t0 = time.time()
+            ranks = pagerank(
+                edges_of(sf_dir), iterations=3, damping=0.85,
+                reliable_checkpoint_dir=ck_dir,
+            ).select(
+                "node", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank")
+            )
+            row = ranks.agg(
+                F.count("*").alias("n"),
+                # decimal accumulator: a long sum of xxhash64 values
+                # overflows under ANSI
+                F.sum(F.xxhash64("node", "rank").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            ts.append(round(time.time() - t0, 2))
+            sig = (int(row.n), int(row.h))
+        return sorted(ts)[1], sig
+
+    base = tempfile.mkdtemp(prefix="sf1_relck_", dir="/tmp")
+    try:
+        for tag, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            local_s, local_sig = run(sf_dir, None)
+            rel_s, rel_sig = run(sf_dir, os.path.join(base, f"ck_{tag}"))
+            assert local_sig == rel_sig, (
+                f"checkpoint paths diverged at {tag}: {local_sig} vs {rel_sig}"
+            )
+            out[f"pagerank_{tag}"] = {
+                "local_checkpoint_s": local_s,
+                "reliable_checkpoint_s": rel_s,
+                "overhead_x": round(rel_s / local_s, 2),
+                "nodes": local_sig[0],
+                "value_hash_equal": True,
+            }
+            print(f"# pagerank_{tag}: {out[f'pagerank_{tag}']}", file=sys.stderr)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def hash_check() -> int:
     """Correctness at sf1, not just wall time (VERDICT r7 item 2): run
     the driver-mirroring compare (Spark query vs DuckDB oracle, row
@@ -462,6 +679,16 @@ if __name__ == "__main__":
         action="store_true",
         help="measured O(delta) bucket/file-read ratios for trickle merges at sf1",
     )
+    ap.add_argument(
+        "--admission-sink",
+        action="store_true",
+        help="measured O(touched blocks) ratios for the streaming semantic-admission sink",
+    )
+    ap.add_argument(
+        "--reliable-checkpoint",
+        action="store_true",
+        help="durable vs local checkpoint cost for the sf1 PageRank walk (same hash both paths)",
+    )
     ap.add_argument("names", nargs="*", help="probe only these queries")
     args = ap.parse_args()
     if args.generate:
@@ -474,5 +701,9 @@ if __name__ == "__main__":
         raise SystemExit(hash_check())
     elif args.delta_ratio:
         delta_ratio()
+    elif args.admission_sink:
+        admission_sink_probe()
+    elif args.reliable_checkpoint:
+        reliable_checkpoint_probe()
     else:
         probe(args.names or None)
