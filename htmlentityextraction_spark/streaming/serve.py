@@ -80,7 +80,7 @@ def serve_stream(
     registry: DataFrame | list,
     out_dir: str,
     parse_fields: list | None = None,
-    sink_files: int | None = None,
+    sink_files: int | str | None = "auto",
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
     fanning out to historical/ (all), realtime/ (passing), logs/
@@ -93,17 +93,23 @@ def serve_stream(
     full PAGE_MESSAGE_SCHEMA — the measured A/B showed pruning is not
     a win on this path (see SERVE_PARSE_FIELDS note).
 
-    ``sink_files``: optional cap on part files for the FILTERED sinks
+    ``sink_files``: cap on part files for the FILTERED sinks
     (realtime/logs) — each trigger otherwise commits
-    source-parallelism files per sink, and on an object store the
-    per-file PUT/commit dominates small triggers. The coalesce
+    source-parallelism files per sink, and the per-file commit (a
+    PUT on an object store) dominates small triggers. The coalesce
     applies only AFTER the historical write has materialized the
     cached result at full parallelism, so the compute pipeline never
     narrows; historical (the bulk sink) keeps source parallelism.
-    Default off — the A/B on this box is recorded in THROUGHPUT.md."""
+    Default ``"auto"`` = max(4, parallelism // 8) — an 8x commit cut
+    that still scales write bandwidth with the fleet. MEASURED
+    (THROUGHPUT.md round 10): −12–19% trigger wall on the
+    overhead-dominated fixtures across three A/B sessions. Pass
+    ``None`` to disable (pre-r10 shape)."""
     registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
     want_parallelism = spark.sparkContext.defaultParallelism
+    if sink_files == "auto":
+        sink_files = max(4, want_parallelism // 8)
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         # A micro-batch inherits the SOURCE's partitioning (Kafka topic

@@ -87,8 +87,10 @@ def run_serve(
     from htmlentityextraction_spark.streaming import serve
 
     kw = {} if parse_fields == "default" else {"parse_fields": parse_fields}
-    if sink_files:
-        kw["sink_files"] = sink_files
+    if sink_files is not None:
+        # 0 = explicitly OFF (the pre-r10 one-file-per-partition
+        # shape, for regression A/Bs against the now-default coalesce)
+        kw["sink_files"] = sink_files or None
     out = tempfile.mkdtemp(prefix="thr_out_")
     raw = spark.readStream.schema("value string").parquet(src)
     t0 = time.time()
@@ -112,10 +114,11 @@ def main() -> None:
     ap.add_argument(
         "--ab-sink-batch",
         type=int,
-        default=0,
+        default=None,
         metavar="N",
         help="also time each fixture with the filtered sinks coalesced "
-        "to N files per trigger (sink-commit pressure A/B)",
+        "to N files per trigger (0 = explicitly OFF, the pre-r10 "
+        "shape — sink-commit pressure A/B)",
     )
     args = ap.parse_args()
 
@@ -144,7 +147,7 @@ def main() -> None:
             results[kind]["warm_full_parse_s"] = run_serve(
                 spark, src, registry_rows, parse_fields=None
             )
-        if args.ab_sink_batch:
+        if args.ab_sink_batch is not None:
             results[kind][f"warm_sink{args.ab_sink_batch}_s"] = run_serve(
                 spark, src, registry_rows, sink_files=args.ab_sink_batch
             )
