@@ -124,13 +124,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, source,
                list_distinct({_TOKS.format(col='text')}) AS toks
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
                          AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ), reach AS (
@@ -249,11 +249,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE e AS MATERIALIZED (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_VALID_VEC.format(c='embedding')}
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.35
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS w FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ), reach AS (
@@ -474,11 +474,11 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_VALID_VEC.format(c='embedding')}
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.35
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS w FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ), reach AS (
