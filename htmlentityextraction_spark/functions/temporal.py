@@ -90,3 +90,37 @@ def valid_event_time_sql(expr: str) -> str:
         f"({expr} >= TIMESTAMP '2000-01-01 00:00:00'"
         f" AND {expr} < TIMESTAMP '2100-01-01 00:00:00')"
     )
+
+
+# Dimension-date validity window: the warehouse time axes
+# (l_shipdate, o_orderdate) carry legitimate dates back into the
+# 1990s, so valid_event_time's stream-calibrated [2000, 2100) window
+# would amputate real history — but the same corrupt-clock sentinels
+# (NULL, epoch zero, 1900 defaults, far-future garbage) occur and are
+# just as poisonous: a NULL date cannot be placed on a series at all
+# (Spark windows sort NULLS FIRST on ASC, DuckDB NULLS LAST — one
+# NULL-dated row shifts every lag/rank/fold seed in its group, the
+# r10 datenull finding: 13 series queries diverged), and a 1900/2262
+# date is a producer bug, not an observation. [1990, 2100) — wide for
+# history, closed to sentinels; 2038 and leap-days flow through.
+VALID_DATE_AXIS_MIN = "1990-01-01"
+VALID_DATE_AXIS_MAX = "2100-01-01"
+
+
+def valid_date_axis(col: Column | str) -> Column:
+    """Predicate: dimension date within the sane-clock window (NULL
+    excluded by comparison semantics). Apply at the SERIES ingestion
+    boundary of any walk ordered by a warehouse date — the time-axis
+    twin of ``functions.pricing.finite_measure``."""
+    c = _as_col(col)
+    return (c >= F.lit(VALID_DATE_AXIS_MIN).cast("timestamp")) & (
+        c < F.lit(VALID_DATE_AXIS_MAX).cast("timestamp")
+    )
+
+
+def valid_date_axis_sql(expr: str) -> str:
+    """DuckDB twin of :func:`valid_date_axis` for oracle SQL."""
+    return (
+        f"({expr} >= TIMESTAMP '1990-01-01 00:00:00'"
+        f" AND {expr} < TIMESTAMP '2100-01-01 00:00:00')"
+    )

@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
-from htmlentityextraction_spark.functions.temporal import epoch_seconds
+from htmlentityextraction_spark.functions.temporal import (
+    epoch_seconds,
+    valid_date_axis,
+    valid_date_axis_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -23,7 +27,7 @@ from htmlentityextraction_spark.sources.tables import load_table
                    PARTITION BY l_partkey, l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS delta
         FROM lineitem
-        WHERE {fp}
+        WHERE {fp} AND {vt}
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
     ranked AS (
         SELECT prodid, store_id, price, delta,
@@ -40,7 +44,8 @@ from htmlentityextraction_spark.sources.tables import load_table
            max(CASE WHEN rn_dec = 1 THEN store_id END) AS max_dec_store,
            round(max(CASE WHEN rn_dec = 1 THEN delta END) + 1e-9, 6) AS max_dec_delta
     FROM ranked GROUP BY prodid
-    """.format(fp=finite_measure_sql("l_extendedprice")),
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               vt=valid_date_axis_sql("l_shipdate")),
 )
 def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV7 extremes (`analytics/ProdMetricsV7.scala:116-151`):
@@ -52,6 +57,7 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
@@ -88,7 +94,7 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(l_extendedprice) OVER w AS prev_price,
                l_extendedprice - lag(l_extendedprice) OVER w AS delta
         FROM lineitem
-        WHERE {fp}
+        WHERE {fp} AND {vt}
         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
@@ -111,7 +117,8 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(prev_price + 1e-9, 6) AS price_from,
            round(price + 1e-9, 6) AS price_to
     FROM ranked WHERE rn_dec <= 2
-    """.format(fp=finite_measure_sql("l_extendedprice")),
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               vt=valid_date_axis_sql("l_shipdate")),
 )
 def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV6 top-2 variant (`analytics/ProdMetricsV6.scala:
@@ -126,7 +133,7 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(finite_measure("l_extendedprice"))
+        .filter(finite_measure("l_extendedprice") & valid_date_axis("l_shipdate"))
         .select(
             F.col("l_partkey").alias("prodid"),
             F.col("l_suppkey").alias("store_id"),
@@ -260,7 +267,7 @@ def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY l_partkey, l_suppkey
                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         FROM lineitem
-        WHERE {fp}
+        WHERE {fp} AND {vt}
     ), latest AS (SELECT * FROM obs WHERE rn = 1),
     back AS (
         SELECT l.prodid, l.store_id, l.price, l.ts,
@@ -280,7 +287,8 @@ def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN obs o2 ON o2.prodid = b.prodid AND o2.store_id = b.store_id AND o2.ts = b.ts_2d
     LEFT JOIN obs o6 ON o6.prodid = b.prodid AND o6.store_id = b.store_id AND o6.ts = b.ts_6d
     GROUP BY b.prodid, b.store_id, b.price
-    """.format(fp=finite_measure_sql("l_extendedprice")),
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               vt=valid_date_axis_sql("l_shipdate")),
 )
 def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeltaCalc day-back windows (`analytics/DeltaCalc.scala:46`,
@@ -292,6 +300,7 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
@@ -342,15 +351,16 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT l_partkey AS prodid, l_suppkey AS store,
                list_transform(
-                   list_sort(list({{'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                   list_sort(list({{'ts': floor(epoch(l_shipdate)), 'ok': l_orderkey,
                                    'ln': l_linenumber, 'p': l_extendedprice}})),
                    s -> s.p) AS ps
-        FROM lineitem WHERE {fp} GROUP BY 1, 2
+        FROM lineitem WHERE {fp} AND {vt} GROUP BY 1, 2
     )
     SELECT prodid, store, len(ps)::BIGINT AS n_obs,
            round(list_reduce(ps, (acc, x) -> acc * 0.5 + x * 0.5) + 1e-9, 6) AS ema
     FROM g
-    """.format(fp=finite_measure_sql("l_extendedprice")),
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               vt=valid_date_axis_sql("l_shipdate")),
 )
 def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average (alpha=0.5) of each (product,
@@ -374,6 +384,7 @@ def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.4e15; no real price reaches the 1e10 domain bound."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     )
     g = (
         li.groupBy(

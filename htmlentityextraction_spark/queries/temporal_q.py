@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from htmlentityextraction_spark.functions.temporal import epoch_seconds
 from htmlentityextraction_spark.operators import temporal as tp
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.temporal import (
+    valid_date_axis,
+    valid_date_axis_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -24,17 +28,18 @@ from htmlentityextraction_spark.sources.tables import load_table
         -- the as-of carries the latest real observation on both
         -- engines (null-fuzz aligned)
         SELECT l_partkey, l_shipdate, max(l_extendedprice) AS price
-        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        FROM lineitem WHERE l_extendedprice IS NOT NULL AND {vt_ship}
         GROUP BY l_partkey, l_shipdate
     ), probes AS (
         SELECT o_orderkey, o_orderdate, o_orderkey % 2000 AS probe_partkey
-        FROM orders WHERE o_orderkey % 7 = 0
+        FROM orders WHERE o_orderkey % 7 = 0 AND {vt_ord}
     )
     SELECT p.o_orderkey, p.probe_partkey, p.o_orderdate,
            h.price AS asof_price
     FROM probes p ASOF LEFT JOIN hist h
       ON p.probe_partkey = h.l_partkey AND p.o_orderdate >= h.l_shipdate
-    """,
+    """.format(vt_ship=valid_date_axis_sql("l_shipdate"),
+               vt_ord=valid_date_axis_sql("o_orderdate")),
 )
 def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest known price per (part, order date). Spark
@@ -43,13 +48,14 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded from history (not "known")."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
+        & valid_date_axis("l_shipdate")
     )
     hist = li.groupBy("l_partkey", "l_shipdate").agg(
         F.max("l_extendedprice").alias("price")
     )
     probes = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.pmod("o_orderkey", F.lit(7)) == 0)
+        .filter((F.pmod("o_orderkey", F.lit(7)) == 0) & valid_date_axis("o_orderdate"))
         .select(
             "o_orderkey",
             "o_orderdate",
@@ -152,9 +158,9 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
         SELECT l_partkey AS prodid, l_suppkey AS store,
                l_extendedprice AS price,
-               epoch(l_shipdate) AS ts,
+               floor(epoch(l_shipdate)) AS ts,
                lag(l_extendedprice) OVER w AS prev_price
-        FROM lineitem
+        FROM lineitem WHERE {vt}
         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), changes AS (
@@ -167,7 +173,7 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(valid_from) OVER (PARTITION BY prodid, store
                                   ORDER BY valid_from) IS NULL AS is_current
     FROM changes
-    """,
+    """.format(vt=valid_date_axis_sql("l_shipdate")),
 )
 def scd2_price_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) construction from a change
@@ -179,7 +185,9 @@ def scd2_price_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     two window passes sharing one (prodid, store) partitioning, no
     self-joins."""
     w = Window.partitionBy("prodid", "store").orderBy("__ts", "__ok", "__ln")
-    obs = load_table(spark, sf_dir, "lineitem").select(
+    obs = load_table(spark, sf_dir, "lineitem").filter(
+        valid_date_axis("l_shipdate")
+    ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),
         F.col("l_extendedprice").alias("price"),

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.temporal import valid_date_axis
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -161,6 +162,7 @@ def match_recognize_lite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_partkey % 25 = 7 AND l_extendedprice IS NOT NULL
           AND NOT isnan(l_extendedprice)
           AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+          AND l_shipdate >= TIMESTAMP '1990-01-01' AND l_shipdate < TIMESTAMP '2100-01-01'
     ), stats AS (
         SELECT prodid, store, stddev_pop(p) AS sigma
         FROM obs GROUP BY prodid, store
@@ -200,6 +202,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.pmod(F.col("l_partkey"), F.lit(25)) == 7)
         & finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     )
     w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"

@@ -21,6 +21,10 @@ from htmlentityextraction_spark.functions.temporal import epoch_micros
 from htmlentityextraction_spark.operators.asof import asof_join
 from htmlentityextraction_spark.operators.incremental import ParquetMergeTable
 from htmlentityextraction_spark.operators.interval import interval_join
+from htmlentityextraction_spark.functions.temporal import (
+    valid_date_axis,
+    valid_date_axis_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -241,12 +245,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS yyyymm,
                (CASE WHEN {fp}
                 THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE {vt})
     SELECT CAST(nk * 1000000 + yyyymm AS BIGINT) AS view_key,
            CAST(nk AS BIGINT) AS c_nationkey, yyyymm,
            count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM j GROUP BY 1, 2, 3
-    """.format(fp=finite_measure_sql("o.o_totalprice")),
+    """.format(fp=finite_measure_sql("o.o_totalprice"),
+               vt=valid_date_axis_sql("o.o_orderdate")),
 )
 def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance: the materialized view
@@ -259,7 +265,12 @@ def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute, so the hash match proves base + delta converges to
     the one-shot view. At 100 TB the daily maintenance cost is
     O(delta + touched buckets), never O(history)."""
-    orders = load_table(spark, sf_dir, "orders").select(
+    # an undated order has no (nation, month) cell, and the NULL would
+    # otherwise vanish from the base/delta split (NULL < cutoff is
+    # NULL) while the oracle's full recompute keeps it — r10 datenull
+    orders = load_table(spark, sf_dir, "orders").filter(
+        valid_date_axis("o_orderdate")
+    ).select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

@@ -37,6 +37,7 @@ from htmlentityextraction_spark.operators.survivorship import (
 )
 from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.temporal import valid_date_axis
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -814,13 +815,14 @@ def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT l_partkey AS prodid,
                list_transform(
-                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                   list_sort(list({'ts': floor(epoch(l_shipdate)), 'ok': l_orderkey,
                                    'ln': l_linenumber,
                                    'p': CAST(l_extendedprice AS DOUBLE)})),
                    s -> s.p) AS ps
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
           AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+          AND l_shipdate >= TIMESTAMP '1990-01-01' AND l_shipdate < TIMESTAMP '2100-01-01'
         GROUP BY 1),
     e AS (SELECT prodid, len(ps) AS n, ps,
                  unnest(generate_series(1, len(ps))) AS i
@@ -853,6 +855,7 @@ def max_drawdown_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(
@@ -1018,13 +1021,14 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT l_partkey AS prodid,
                list_transform(
-                   list_sort(list({'ts': epoch(l_shipdate), 'ok': l_orderkey,
+                   list_sort(list({'ts': floor(epoch(l_shipdate)), 'ok': l_orderkey,
                                    'ln': l_linenumber,
                                    'p': CAST(l_extendedprice AS DOUBLE)})),
                    s -> s.p) AS ps
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
           AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
+          AND l_shipdate >= TIMESTAMP '1990-01-01' AND l_shipdate < TIMESTAMP '2100-01-01'
         GROUP BY 1),
     m AS (
         SELECT prodid, ps, len(ps) AS n,
@@ -1056,6 +1060,7 @@ def cusum_price_shift_per_product(spark: SparkSession, sf_dir: str) -> DataFrame
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.temporal import (
+    valid_date_axis,
+    valid_date_axis_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -20,9 +24,15 @@ from htmlentityextraction_spark.sources.tables import load_table
 def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corrupt price observations (NULL/NaN/|v|>=1e10) drop at
     # ingestion: a 2^53-scale price makes every lag-delta's round()
-    # ulp-dependent across engines (extreme-fuzz aligned)
+    # ulp-dependent across engines (extreme-fuzz aligned). The TIME
+    # axis gets the same boundary (r10 datenull finding): a NULL
+    # ship date cannot be placed on the series — Spark windows sort
+    # NULLS FIRST on ASC, DuckDB NULLS LAST, so one NULL-dated row
+    # shifts every lag in its group — and an out-of-window date is a
+    # corrupt producer clock (functions.temporal.valid_event_time).
     return load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     ).select(
         F.col("l_partkey").alias("prod"),
         F.col("l_suppkey").alias("store"),
@@ -39,7 +49,8 @@ _OBS_SQL = """
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
       AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
-"""
+      AND {vt}
+""".format(vt=valid_date_axis_sql("l_shipdate"))
 
 
 # --- A2: per-observation delta vs previous (lag) ---
@@ -236,7 +247,8 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rolling_median
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
-    """,
+      AND {vt}
+    """.format(vt=valid_date_axis_sql("l_shipdate")),
 )
 def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 5-observation median per price series — the robust
@@ -252,6 +264,7 @@ def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
+        & valid_date_axis("l_shipdate")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),

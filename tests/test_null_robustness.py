@@ -203,3 +203,77 @@ def test_infpair_fuzz_kind_pairs_both_extremes_adjacently(tmp_path):
     swallowed = prefix + v[plus[0]] + v[minus[0]]  # prefix, then pair
     kept = v[plus[0]] + v[minus[0]] + prefix       # pair first, then prefix
     assert swallowed == 0.0 and kept == prefix
+
+
+def test_datenull_hazard_and_date_axis_boundary(spark, tmp_path):
+    """The r10 datenull class, pinned: (1) the cross-engine hazard is
+    real — Spark's ASC window puts a NULL date FIRST where DuckDB's
+    ORDER BY puts it LAST, so one NULL-dated row shifts every lag in
+    its series; (2) `valid_date_axis` closes it at the ingestion
+    boundary with the exact window semantics the 13 gated series
+    queries rely on: NULL and sentinel clocks (epoch zero, 1900,
+    2262) excluded, real history (1995), 2038 and leap-day instants
+    included; (3) the fuzz kind actually injects into BOTH dimension
+    axes."""
+    import datetime
+    import importlib.util
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.functions.temporal import valid_date_axis
+
+    rows = [
+        (1, None, 10.0),
+        (1, datetime.datetime(2024, 1, 1), 20.0),
+        (1, datetime.datetime(2024, 1, 2), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "g int, d timestamp, p double")
+    w = Window.partitionBy("g").orderBy("d")
+    spark_first = (
+        df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").first().p
+    )
+    duck_last = duckdb.sql(
+        "SELECT p FROM (VALUES (NULL::TIMESTAMP, 10.0),"
+        " (TIMESTAMP '2024-01-01', 20.0), (TIMESTAMP '2024-01-02', 30.0))"
+        " t(d, p) ORDER BY d LIMIT 1"
+    ).fetchone()[0]
+    assert spark_first == 10.0, "Spark ASC default is NULLS FIRST"
+    assert duck_last == 20.0, "DuckDB ASC default is NULLS LAST"
+
+    # the boundary: sentinels out, history and valid oddities in
+    probe = spark.createDataFrame(
+        [
+            (None, False), (datetime.datetime(1970, 1, 1), False),
+            (datetime.datetime(1900, 1, 1), False),
+            (datetime.datetime(2262, 1, 1), False),
+            (datetime.datetime(1995, 6, 1), True),
+            (datetime.datetime(2038, 1, 19, 3, 14, 8), True),
+            (datetime.datetime(2024, 2, 29, 23, 59, 59, 999999), True),
+        ],
+        "d timestamp, want boolean",
+    )
+    got = probe.select(
+        F.coalesce(valid_date_axis("d"), F.lit(False)).alias("ok"), "want"
+    ).collect()
+    assert all(r.ok == r.want for r in got)
+
+    # the kind injects into both dimension axes
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py"),
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    c1 = nf.fuzz_table(
+        "/root/testdata/sf0.001", str(tmp_path), "lineitem", 0.05, 7, "datenull"
+    )
+    c2 = nf.fuzz_table(
+        "/root/testdata/sf0.001", str(tmp_path), "orders", 0.05, 7, "datenull"
+    )
+    assert c1.get("l_shipdate", 0) > 0 and c2.get("o_orderdate", 0) > 0
+    shipped = pq.read_table(str(tmp_path / "lineitem.parquet")).column("l_shipdate")
+    assert shipped.null_count > 0, "NULL dates must actually land"

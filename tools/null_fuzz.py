@@ -59,6 +59,13 @@ Twelve poison kinds, one failure surface each:
   disagree (DuckDB var_pop/list aggregates RAISE on non-finite,
   Spark propagates NaN; one 1e38 element silently poisons a BLAS
   gram row).
+- ``datenull`` — NULL + the ``time`` pool's pathological timestamps
+  into the DIMENSION time axes (lineitem.l_shipdate,
+  orders.o_orderdate) that the ``time`` kind never touches. The sharp
+  hazard is the NULL: Spark windows sort NULLS FIRST on ASC by
+  default, DuckDB NULLS LAST, so any per-group series walk ordered by
+  a nullable date shifts every lag/rank/fold seed between engines;
+  the extremes probe calendar arithmetic off the fixture's 2024 band.
 
 A query is hardened when it is hash-green on the clean dir AND all
 fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
@@ -382,6 +389,33 @@ def fuzz_table(
             counts[col] = int(starts.sum() + partners.sum())
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
+    if kind == "datenull":
+        # NULL + pathological-but-valid timestamps into the DIMENSION
+        # time axes (l_shipdate, o_orderdate) the `time` kind never
+        # touches (it owns events.ts only). The sharp hazard is the
+        # NULL: Spark windows sort NULLS FIRST on ASC by default,
+        # DuckDB sorts NULLS LAST — any per-group series walk ordered
+        # by a nullable date silently shifts every lag/rank between
+        # engines. The extremes probe calendar arithmetic off the
+        # fixture's narrow 2024 band.
+        for col in ("l_shipdate", "o_orderdate"):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:datenull".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            pool = [None] + TIME_POOL_US
+            repl = pa.array(
+                [pool[i % len(pool)] for i in range(len(t))],
+                type=pa.timestamp("us"),
+            ).cast(arr.type)
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr.combine_chunks()))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
     if kind == "vecpoison":
         pool = [
             None, float("nan"), float("inf"), float("-inf"),
@@ -486,7 +520,7 @@ def main() -> None:
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
             "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
-            "infpair", "vecpoison",
+            "infpair", "vecpoison", "datenull",
         ],
         default="null",
     )
