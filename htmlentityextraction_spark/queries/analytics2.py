@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.temporal import (
+    valid_date_axis,
+    valid_date_axis_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -92,6 +96,7 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(l_extendedprice) OVER (PARTITION BY l_partkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
         FROM lineitem
+        WHERE {fp} AND {vt}
     ), changes AS (
         SELECT prodid,
                -- CAST: DuckDB sum() over integers yields HUGEINT, which the
@@ -106,7 +111,8 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_changes >= 1 THEN 1
                 ELSE 0 END AS hot_level
     FROM changes
-    """,
+    """.format(fp=finite_measure_sql("l_extendedprice"),
+               vt=valid_date_axis_sql("l_shipdate")),
 )
 def hotspots_hot_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotspots (`analytics/Hotspots.scala:50-54,110-123`): count real
@@ -115,7 +121,12 @@ def hotspots_hot_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference materialized four filtered RDD sets; a single bucket
     column prunes to any of them."""
     w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    ordered = load_table(spark, sf_dir, "lineitem").select(
+    # a corrupt price is not a change observation, and a NULL-dated
+    # row has no place in the change ORDER (r10 mixed-interaction
+    # finding: NULL-date reordering only shows once prices vary too)
+    ordered = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice") & valid_date_axis("l_shipdate")
+    ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_extendedprice").alias("price"),
         F.lag("l_extendedprice").over(w).alias("prev_price"),

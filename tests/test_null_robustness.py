@@ -244,6 +244,22 @@ def test_datenull_hazard_and_date_axis_boundary(spark, tmp_path):
     assert spark_first == 10.0, "Spark ASC default is NULLS FIRST"
     assert duck_last == 20.0, "DuckDB ASC default is NULLS LAST"
 
+    # DESC orderings AGREE (both engines: NULLS LAST in both
+    # directions for DuckDB, F.desc = NULLS LAST for Spark) — this is
+    # why the audit gates only ASC-ordered series walks and leaves
+    # the keep-latest DESC pickers (bad_domain_analysis,
+    # pivot_store_price_matrix, flagship price_deltas) ungated.
+    w_desc = Window.partitionBy("g").orderBy(F.desc("d"))
+    spark_desc_first = (
+        df.withColumn("rn", F.row_number().over(w_desc)).filter("rn = 1").first().p
+    )
+    duck_desc_first = duckdb.sql(
+        "SELECT p FROM (VALUES (NULL::TIMESTAMP, 10.0),"
+        " (TIMESTAMP '2024-01-01', 20.0), (TIMESTAMP '2024-01-02', 30.0))"
+        " t(d, p) ORDER BY d DESC LIMIT 1"
+    ).fetchone()[0]
+    assert spark_desc_first == 30.0 and duck_desc_first == 30.0
+
     # the boundary: sentinels out, history and valid oddities in
     probe = spark.createDataFrame(
         [

@@ -452,9 +452,28 @@ def fuzz_table(
         # real production data has (a NULL category, a NaN metric,
         # an inf outlier, and an emoji string CAN share one group):
         # floats cycle NULL+NaN+extremes, strings cycle NULL+text
-        # adversaries, other types take NULLs. Interactions between
+        # adversaries, other types take NULLs; since r10, the
+        # dimension date axes additionally cycle NULL+sentinel clocks
+        # (the datenull pool), so a NULL ship date and a poisoned
+        # price CAN share one observation. Interactions between
         # per-axis fixes (e.g. NULL-key ordering x extreme-value
         # exclusion in the same window) only surface here.
+        for col in ("l_shipdate", "o_orderdate"):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:mixed".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            pool = [None] + TIME_POOL_US
+            repl = pa.array(
+                [pool[i % len(pool)] for i in range(len(t))],
+                type=pa.timestamp("us"),
+            ).cast(arr.type)
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr.combine_chunks()))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
         for col in INJECT.get(table, []):
             if col not in t.column_names:
                 continue
