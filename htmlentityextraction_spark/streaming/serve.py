@@ -80,7 +80,7 @@ def serve_stream(
     registry: DataFrame | list,
     out_dir: str,
     parse_fields: list | None = None,
-    sink_files: int | str | None = "auto",
+    sink_files: int | str | None = None,
 ) -> StreamingQueryHolder:
     """Run the serve path over a stream of raw JSON page messages,
     fanning out to historical/ (all), realtime/ (passing), logs/
@@ -93,18 +93,19 @@ def serve_stream(
     full PAGE_MESSAGE_SCHEMA — the measured A/B showed pruning is not
     a win on this path (see SERVE_PARSE_FIELDS note).
 
-    ``sink_files``: cap on part files for the FILTERED sinks
-    (realtime/logs) — each trigger otherwise commits
-    source-parallelism files per sink, and the per-file commit (a
-    PUT on an object store) dominates small triggers. The coalesce
-    applies only AFTER the historical write has materialized the
-    cached result at full parallelism, so the compute pipeline never
-    narrows; historical (the bulk sink) keeps source parallelism.
-    Default ``"auto"`` = max(4, parallelism // 8) — an 8x commit cut
-    that still scales write bandwidth with the fleet. MEASURED
-    (THROUGHPUT.md round 10): −12–19% trigger wall on the
-    overhead-dominated fixtures across three A/B sessions. Pass
-    ``None`` to disable (pre-r10 shape)."""
+    ``sink_files``: optional cap on part files for the FILTERED
+    sinks (realtime/logs) — each trigger otherwise commits
+    source-parallelism files per sink. The coalesce applies only
+    AFTER the historical write has materialized the cached result at
+    full parallelism, so the compute pipeline never narrows;
+    historical (the bulk sink) keeps source parallelism. Pass
+    ``"auto"`` for max(4, parallelism // 8). DEFAULT OFF: the
+    order-controlled ABBA A/B (THROUGHPUT.md round 10) measured a
+    tie on local fs — the naive A/B's apparent −12–19% was run-order
+    confound — so on THIS box the lever does not clear the landing
+    bar. It remains the right knob on an object store, where each of
+    the 96-per-trigger file commits is a round-trip PUT; enable it
+    there."""
     registry_rows = registry.collect() if isinstance(registry, DataFrame) else list(registry)
 
     want_parallelism = spark.sparkContext.defaultParallelism
