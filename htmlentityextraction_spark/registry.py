@@ -37,24 +37,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-9 addition (judge-sanctioned: VERDICT r8 item 8 —
-    # cluster-level semantic dedup: embedding near-dup pairs →
-    # transitive closure → per-cluster keep-best survivorship). The
-    # r7/r8 entries (mergetable_schema_evolution, _drop_widen,
-    # incremental_dedup_via_cdc) all got driver verdicts in
-    # CORRECTNESS_r08.json rows 1-3 and rotate out.
-    "semantic_dedup_keep_best",
-    # round-9 late additions: the SemDeDup quantizer-cell blocking
-    # gated as a precision/recall contract (its operator previously
-    # had no consumer), and the embedding-level admission gate for
-    # incremental ingestion (semantic twin of the CDC fingerprint
-    # probe).
-    "semantic_dedup_cells",
-    "semantic_admission_gate",
     # round-10 addition (VERDICT r9 item 2): the 100 TB composition —
     # quantizer-cell-blocked pairs → transitive closure → keep-best —
     # gated against the exact all-pairs closure as refinement /
-    # no-false-removal / removal-recall contracts.
+    # no-false-removal / removal-recall contracts. The r9 entries
+    # (semantic_dedup_keep_best / _cells / semantic_admission_gate)
+    # all got full-green driver verdicts in CORRECTNESS_r09.json and
+    # rotate out.
     "semantic_dedup_scale_pipeline",
 )
 
