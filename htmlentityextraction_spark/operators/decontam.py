@@ -434,7 +434,7 @@ def semantic_admission_merge_sink(
         ``stats_cols=[block_col]`` and keep it OPTIMIZE-ZORDERed by
         block), each trigger reads ONLY the buckets whose block range
         intersects the batch's blocks — manifest-level pruning via
-        ``read_where``, the O(touched blocks) shape; the batch's
+        ``read_where_in``, the O(touched blocks) shape; the batch's
         distinct-block collect is micro-batch-bounded. Otherwise fall
         back to the full snapshot (the isin pushdown still prunes
         row-groups inside files, but every file is listed)."""

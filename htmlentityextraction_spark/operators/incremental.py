@@ -768,7 +768,7 @@ class ParquetMergeTable:
             cond = cond & (c <= F.lit(hi))
         return self._to_logical_df(df.filter(cond), m)
 
-    def read_where_in(self, col, values, version: int | None = None) -> DataFrame:
+    def read_where_in(self, col: str, values, version: int | None = None) -> DataFrame:
         """Set-membership read with manifest zone-map pruning: scan
         only buckets whose [min, max] for ``col`` contains AT LEAST
         ONE of ``values``, then apply the exact ``isin`` predicate.
@@ -780,7 +780,12 @@ class ParquetMergeTable:
         degrades to a scan — pruning is an optimization, never a
         correctness gate."""
         m = self._manifest_for(version)
-        vals = sorted({v for v in values if v is not None})
+        # deterministic plan literals; type-tagged key so a heterogeneous
+        # value set (int + str) sorts instead of raising TypeError
+        vals = sorted(
+            {v for v in values if v is not None},
+            key=lambda v: (type(v).__name__, repr(v)),
+        )
         if not m["buckets"] or not vals:
             return self.spark.createDataFrame([], self._schema_of_empty(m))
         kept = self.prune_report_in(col, vals, version)["scanned"]
@@ -792,7 +797,7 @@ class ParquetMergeTable:
             df.filter(F.col(self._phys(m, col)).isin(*vals)), m
         )
 
-    def prune_report_in(self, col, values, version: int | None = None) -> dict:
+    def prune_report_in(self, col: str, values, version: int | None = None) -> dict:
         """Manifest-only pruning decision for ``col IN (values)`` —
         the observable behind :meth:`read_where_in`, and the hook
         measurement harnesses use to record a touched-blocks ratio

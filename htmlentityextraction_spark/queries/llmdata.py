@@ -586,9 +586,15 @@ def semantic_dedup_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_true_removed",
         (F.col("max_tc") <= 1).alias("refinement_ok"),
         (F.col("n_false_removed") == 0).alias("no_false_removal_ok"),
+        # recall over TRUE-POSITIVE removals (prod ∩ truth) so the column
+        # stands alone — counting all prod removals would overstate recall
+        # exactly when false removals exist (ADVICE r10)
         (
             (F.col("n_true_removed") == F.lit(0))
-            | (F.col("n_prod_removed") >= 0.15 * F.col("n_true_removed"))
+            | (
+                F.col("n_prod_removed") - F.col("n_false_removed")
+                >= 0.15 * F.col("n_true_removed")
+            )
         ).alias("removal_recall_ok"),
     )
 

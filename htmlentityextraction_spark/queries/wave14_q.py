@@ -945,6 +945,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
                value
         FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
     ), m AS (
         SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
                avg(value) AS mean_value
@@ -968,7 +969,13 @@ def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before trusting the same pipeline on a real rollout. One
     grouped aggregate over four cells, the estimate broadcast back
     onto each cell row."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    # finite_measure at ingestion: avg(value) is an order-sensitive
+    # fold — a ±5e307 pair in one cell makes Spark's partial-agg and
+    # DuckDB's sequential sums cancel differently (r10 fold-shape
+    # audit; same class as daily_value_autocorrelation).
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & finite_measure("value")
+    )
     cells = ev.select(
         (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treated"),
         (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("post"),

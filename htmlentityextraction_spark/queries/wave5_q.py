@@ -205,6 +205,7 @@ def golden_user_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(value) AS day_value
         FROM events WHERE event_type = 'purchase'
           AND ts >= TIMESTAMP '2000-01-01 00:00:00' AND ts < TIMESTAMP '2100-01-01 00:00:00'
+          AND value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
         GROUP BY user_id, CAST(ts AS DATE)),
     spine AS (
         SELECT user_id,
@@ -233,10 +234,13 @@ def gap_fill_user_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/timeseries.py`). The oracle rebuilds the spine with
     generate_series and IGNORE NULLS last_value."""
     # sane-clock guard: one corrupt 1900-era event would widen the
-    # per-user calendar spine to ~45k days (time-fuzz aligned)
+    # per-user calendar spine to ~45k days (time-fuzz aligned).
+    # finite_measure on value: the daily sum is an order-sensitive
+    # double fold — r11 fold-SHAPE audit (same class as the r10
+    # daily_value_autocorrelation finding).
     ev = load_table(spark, sf_dir, "events").filter(valid_event_time("ts"))
     daily = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & finite_measure("value"))
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.sum("value").alias("day_value"))
     )

@@ -111,6 +111,13 @@ def serve_stream(
     want_parallelism = spark.sparkContext.defaultParallelism
     if sink_files == "auto":
         sink_files = max(4, want_parallelism // 8)
+    # Fail at call time, not inside the first trigger's foreachBatch:
+    # a stray string ("8") or non-positive count would otherwise
+    # surface as an opaque streaming-query failure.
+    if sink_files is not None and (not isinstance(sink_files, int) or sink_files < 1):
+        raise ValueError(
+            f"sink_files must be None, a positive int, or 'auto'; got {sink_files!r}"
+        )
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         # A micro-batch inherits the SOURCE's partitioning (Kafka topic

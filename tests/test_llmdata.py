@@ -467,3 +467,22 @@ def test_simhash60_column_form_matches_codegen(spark):
         acc = acc + c
     codegen = {r.doc: r.sh for r in votes.select("doc", acc.alias("sh")).collect()}
     assert expr_form == codegen and len(expr_form) == 3
+
+
+def test_semantic_dedup_pairs_oversize_cell_raises_loud(spark):
+    """VERDICT r10 hygiene: a cell holding > 50k vectors must raise the
+    explicit ValueError (executor-side, surfacing as a job failure
+    whose message names the fix) instead of silently attempting the
+    multi-GB n x n gram. n_cells=1 funnels everything into one cell."""
+    import pytest
+
+    n = 50_001
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array((F.col("id") % 97).cast("double"), F.lit(1.0)).alias("embedding"),
+        )
+    )
+    with pytest.raises(Exception, match="semantic_dedup_pairs: cell holds"):
+        sim.semantic_dedup_pairs(df, threshold=0.99, n_cells=1).collect()

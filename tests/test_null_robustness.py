@@ -293,3 +293,40 @@ def test_datenull_hazard_and_date_axis_boundary(spark, tmp_path):
     assert c1.get("l_shipdate", 0) > 0 and c2.get("o_orderdate", 0) > 0
     shipped = pq.read_table(str(tmp_path / "lineitem.parquet")).column("l_shipdate")
     assert shipped.null_count > 0, "NULL dates must actually land"
+
+
+def test_inlined_validity_window_oracle_literals_match_constants():
+    """Several oracles inline the validity-window bounds as literals
+    instead of calling valid_date_axis_sql / valid_event_time_sql (to
+    avoid brace-escaping inside .format strings). If the boundary
+    constants ever move, those literals would drift silently from the
+    Spark-side filters — pin constants and literals to each other
+    (ADVICE r10). The named anchors make the failure message say which
+    oracles inline which window."""
+    import re
+
+    from htmlentityextraction_spark.functions.temporal import (
+        VALID_DATE_AXIS_MAX,
+        VALID_DATE_AXIS_MIN,
+        VALID_EVENT_TIME_MAX,
+        VALID_EVENT_TIME_MIN,
+    )
+    from htmlentityextraction_spark.registry import oracles as _oracles
+
+    # the constants the inlined literals were written against
+    assert (VALID_DATE_AXIS_MIN, VALID_DATE_AXIS_MAX) == ("1990-01-01", "2100-01-01")
+    assert (VALID_EVENT_TIME_MIN, VALID_EVENT_TIME_MAX) == ("2000-01-01", "2100-01-01")
+
+    oracles = _oracles()
+    date_axis_inliners, event_time_inliners = set(), set()
+    for name, sql in oracles.items():
+        lits = set(re.findall(r"TIMESTAMP '(\d{4}-\d{2}-\d{2})", sql))
+        if VALID_DATE_AXIS_MIN in lits:
+            date_axis_inliners.add(name)
+            assert VALID_DATE_AXIS_MAX in lits, (name, "lower bound without upper")
+        if VALID_EVENT_TIME_MIN in lits and VALID_EVENT_TIME_MAX in lits:
+            event_time_inliners.add(name)
+    # known anchors — if these stop inlining, drop them here; if a
+    # constant changes, the equality asserts above fail first
+    assert {"ewma_control_chart", "max_drawdown_per_product"} <= date_axis_inliners
+    assert "linear_interp_user_value" in event_time_inliners
