@@ -57,6 +57,46 @@ EXTENDED = [
 ]
 
 
+def run_anchor(spark) -> float:
+    """CODE-FROZEN calibration anchor (round 11) — do NOT change this
+    workload, its sizes, or its timing basis: cross-round comparisons
+    divide by it. A fixed generated frame (200M rows — sized so the
+    anchor runs ~2-4 s idle, far above scheduler jitter; no fixture
+    dependency) through one shuffle + hash agg + sort, noop-sink,
+    median of 3.
+
+    Why: byte-identical headline plans drift 18.7-29.4 s on this box
+    (BENCHNOTES.md) — wider than the 2x regression budget — so absolute
+    seconds cannot falsify a <1.5x regression. The anchor runs in the
+    SAME session/process/box-state as the queries it normalizes; a real
+    per-query regression moves that query's ratio-to-anchor while box
+    noise moves numerator and denominator together."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        df = (
+            spark.range(0, 200_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.avg("v").alias("a"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("k")
+        )
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    runs = sorted(once() for _ in range(3))
+    print(f"# anchor: {runs[1]}s (runs {runs})", file=sys.stderr)
+    return runs[1]
+
+
 def _uptime_sec() -> int:
     try:
         with open("/proc/uptime") as fh:
@@ -118,6 +158,10 @@ def main() -> None:
             print(f"# {name}: {out[name]}s (runs {t1}/{t2}/{t3}){tag}", file=sys.stderr)
         return out
 
+    # calibration anchor FIRST (after warmup, before any query) — the
+    # in-session yardstick every per-query figure is divided by
+    anchor_sec = run_anchor(spark)
+
     timings = run_set(names, "")
     extended = run_set([n for n in EXTENDED if n in qs], " (extended)")
 
@@ -134,6 +178,18 @@ def main() -> None:
         # the run_set comment). Never compare across bases; first-run
         # times stay visible under "cold".
         "basis": "noop-write-median3",
+        # r11 calibration anchor: a code-frozen generated workload
+        # (12M-row shuffle+agg+sort, median-of-3) timed in the SAME
+        # session before the queries. Compare RATIOS across rounds —
+        # box drift moves anchor and queries together, a real
+        # regression moves one ratio. Rule: a cross-round per-query
+        # ratio change >1.5x is a finding; absolute seconds are only
+        # comparable within the documented drift band (BENCHNOTES.md).
+        "anchor_sec": anchor_sec,
+        "ratios": {
+            n: round(t / anchor_sec, 3) for n, t in timings.items()
+        } if anchor_sec > 0 else {},
+        "total_ratio": round(total / anchor_sec, 3) if anchor_sec > 0 else None,
         # measurement environment: judged r6's numbers untrustworthy
         # because the bench ran after ~15h of accumulated session state;
         # record load + uptime so future readers can adjudicate noise.

@@ -12,6 +12,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Java's \s set, spelled explicitly. Java regex \s = [ \t\n\x0B\f\r]
+# but RE2 (DuckDB) \s = [\t\n\f\r ] — VERTICAL TAB is the one char the
+# two engines' shorthands disagree on (textuni-fuzz finding, r11). Any
+# whitespace class evaluated on BOTH engines must spell this class
+# instead of \s; both regex dialects parse these escapes identically.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_CLASS = f"[{WS_CHARS}]"
+
+
+def java_lower_sql(expr: str) -> str:
+    """DuckDB oracle twin of Spark/Java ``lower()``.
+
+    utf8proc (DuckDB) lowers İ (U+0130) with the SIMPLE mapping to
+    plain ``i``; Java/Spark applies the FULL mapping to ``i`` +
+    combining dot (U+0307) — the only non-conditional multi-character
+    lowercase in Unicode SpecialCasing.txt, and it SPLITS words under
+    a subsequent ``[^A-Za-z]`` strip ('İstanbul' → 'i stanbul' vs
+    'istanbul'; textuni-fuzz finding, r11). Pre-expanding İ before
+    lower() reproduces Java semantics exactly. Conditional mappings
+    (Final_Sigma) cannot be expressed in RE2 and remain a documented
+    engine divergence (tests/test_text_robustness.py)."""
+    return f"lower(replace({expr}, 'İ', 'i' || chr(775)))"
+
+
 def shrink_string(s: Column) -> Column:
     """Collapse 3+ blanks, strip thousands-commas between digits, drop
     tabs/newlines/commas.

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from htmlentityextraction_spark.functions.text import text_only, tokenize
+from htmlentityextraction_spark.functions.text import (
+    WS_CHARS,
+    WS_CLASS,
+    text_only,
+    tokenize,
+)
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -84,14 +89,19 @@ def quality_score(text: Column) -> Column:
 
 
 def token_count_whitespace(text: Column) -> Column:
-    """Whitespace tokenization count."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    """Whitespace tokenization count. WS_CLASS, not \\s: Java's \\s
+    includes vertical tab, RE2's does not — the oracle must split on
+    the identical set (textuni-fuzz aligned)."""
+    return F.size(F.split(F.trim(text), WS_CLASS + "+")).cast("long")
 
 
 def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish proxy: word pieces + punctuation as separate tokens
-    (regex `\\w+|[^\\w\\s]`), the standard pre-tokenizer shape."""
-    pieces = F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 1)
+    (regex `\\w+|[^\\w<ws>]`), the standard pre-tokenizer shape.
+    Explicit whitespace chars instead of \\s: RE2's \\s excludes
+    vertical tab, so DuckDB would emit a VT as a punctuation token
+    Java never sees (textuni-fuzz aligned)."""
+    pieces = F.regexp_extract_all(text, F.lit(rf"(\w+|[^\w{WS_CHARS}])"), 1)
     return F.size(pieces).cast("long")
 
 

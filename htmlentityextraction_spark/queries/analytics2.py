@@ -298,12 +298,21 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_entity_match",
     """
     WITH clean AS (
-        SELECT s_suppkey AS clean_id, lower(s_name) AS cname FROM supplier
+        -- printable-ASCII normalization BEFORE lower: DuckDB's
+        -- levenshtein counts BYTES while Spark's counts codepoints
+        -- (one astral char = 4 vs 1 edits — pinned engine fact,
+        -- textuni-fuzz r11), so edit distance is only cross-engine
+        -- comparable over a single-byte alphabet; it also removes the
+        -- locale-special casefolds before lower() sees them. No-op on
+        -- the clean fixture (names are ASCII).
+        SELECT s_suppkey AS clean_id,
+               lower(regexp_replace(s_name, '[^ -~]', '', 'g')) AS cname FROM supplier
     ), dirty AS (
         SELECT s_suppkey + 10000 AS dirty_id,
                CASE WHEN s_suppkey % 2 = 1
-                    THEN lower(substring(s_name, 1, 3) || substring(s_name, 5))
-                    ELSE lower(s_name) END AS dname
+                    THEN lower(regexp_replace(substring(s_name, 1, 3) || substring(s_name, 5),
+                               '[^ -~]', '', 'g'))
+                    ELSE lower(regexp_replace(s_name, '[^ -~]', '', 'g')) END AS dname
         FROM supplier
     )
     SELECT d.dirty_id, c.clean_id,
@@ -321,17 +330,23 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes n x m."""
     from htmlentityextraction_spark.operators.entity import fuzzy_join
 
+    # printable-ASCII normalization before lower: DuckDB levenshtein
+    # counts BYTES, Spark codepoints (textuni-fuzz pinned fact) —
+    # edit distance is only engine-portable over single-byte keys.
+    # No-op on the clean fixture.
+    ascii_only = lambda c: F.regexp_replace(c, "[^ -~]", "")  # noqa: E731
     sup = load_table(spark, sf_dir, "supplier")
     clean = sup.select(
-        F.col("s_suppkey").alias("clean_id"), F.lower("s_name").alias("cname")
+        F.col("s_suppkey").alias("clean_id"),
+        F.lower(ascii_only(F.col("s_name"))).alias("cname"),
     )
     dirty = sup.select(
         (F.col("s_suppkey") + 10000).alias("dirty_id"),
         F.when(
             F.pmod("s_suppkey", F.lit(2)) == 1,
-            F.lower(F.concat(F.expr("substring(s_name, 1, 3)"), F.expr("substring(s_name, 5, 10000)"))),
+            F.lower(ascii_only(F.concat(F.expr("substring(s_name, 1, 3)"), F.expr("substring(s_name, 5, 10000)")))),
         )
-        .otherwise(F.lower("s_name"))
+        .otherwise(F.lower(ascii_only(F.col("s_name"))))
         .alias("dname"),
     )
     return fuzzy_join(dirty, clean, "dirty_id", "dname", "clean_id", "cname", max_distance=1)

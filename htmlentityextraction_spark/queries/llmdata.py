@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import dedup as dd
 from htmlentityextraction_spark.operators import similarity as sim
+from htmlentityextraction_spark.functions.text import WS_CHARS, java_lower_sql
 from htmlentityextraction_spark.operators import textanalysis as ta
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -650,7 +651,7 @@ def semantic_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
         SELECT doc_id, text, lang AS label_lang,
-               list_distinct({_TOKS.format(col='lower(text)')}) AS ltoks,
+               list_distinct({_TOKS.format(col=java_lower_sql('text'))}) AS ltoks,
                list_distinct({_TOKS.format(col='text')}) AS dtoks,
                {_TOKS.format(col='text')} AS toks,
                length(text)::DOUBLE AS n_chars,
@@ -677,7 +678,7 @@ def semantic_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN s_zh > 0 THEN 'zh'
                 ELSE 'und' END AS predicted_lang,
            CAST(n_tokens AS BIGINT) AS n_tokens_ws,
-           len(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)) AS n_tokens_bpe,
+           len(regexp_extract_all(text, '(\\w+|[^\\w{WS_CHARS}])', 1)) AS n_tokens_bpe,
            CASE WHEN text IS NULL THEN NULL ELSE
            round((least(n_tokens / 20.0, 1.0) * 0.3
                   + greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10.0, 0.0) * 0.2
@@ -719,7 +720,7 @@ _LM_DENOM = f"(n + 0.5 * {_LM_V + 1})"
     f"""
     WITH toks AS (
         SELECT doc_id, tok FROM (
-            SELECT doc_id, unnest({_TOKS.format(col='lower(text)')}) AS tok
+            SELECT doc_id, unnest({_TOKS.format(col=java_lower_sql('text'))}) AS tok
             FROM documents
         ) WHERE tok <> ''
     ), counts AS (
@@ -932,7 +933,7 @@ def select_corpus_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_FT = f"list_filter({_TOKS.format(col='lower(text)')}, x -> x <> '')"
+_FT = f"list_filter({_TOKS.format(col=java_lower_sql('text'))}, x -> x <> '')"
 
 
 @register(

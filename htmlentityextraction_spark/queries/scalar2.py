@@ -90,7 +90,9 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT p_partkey, p_brand,
                '<item><gtin>G' || p_partkey || '</gtin><brand>' ||
-               replace(replace(replace(replace(p_brand,
+               replace(replace(replace(replace(
+                   regexp_replace(p_brand,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
                    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
                    chr(13), '&#13;') ||
                '</brand><price>' || CAST(floor(p_retailprice) AS BIGINT) || '.00</price>' ||
@@ -104,9 +106,14 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            regexp_extract(xml, '<gtin>([^<]*)</gtin>', 1) AS gtin,
            -- the template XML-escapes the brand, so Spark's
-           -- xpath_string decodes back to the ORIGINAL p_brand
-           -- (text-fuzz aligned: entity-looking brands round-trip)
-           CASE WHEN xml IS NULL THEN NULL ELSE p_brand END AS brand,
+           -- xpath_string decodes back to the control-stripped brand
+           -- (text-fuzz aligned: entity-looking brands round-trip;
+           -- C0 controls minus tab/lf/cr are ILLEGAL in XML 1.0 even
+           -- as entities — Xerces hard-crashes on a raw 0x0B — so the
+           -- feed template strips them, textuni-fuzz aligned)
+           CASE WHEN xml IS NULL THEN NULL
+                ELSE regexp_replace(p_brand,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') END AS brand,
            CASE WHEN xml LIKE '%<sale_price>%'
                 THEN regexp_extract(xml, '<sale_price>([^<]*)</sale_price>', 1)
                 ELSE regexp_extract(xml, '<price>([^<]*)</price>', 1) END AS effective_price
@@ -129,8 +136,14 @@ def xml_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # XML-escape the brand (free text): raw & or < makes the feed
     # item unparseable, and an UNescaped \r would be eaten by XML
     # line-end normalization (text-fuzz aligned; same chain in the
-    # oracle template, so xpath decodes back to the original brand)
-    brand_esc = F.col("p_brand")
+    # oracle template, so xpath decodes back to the same brand).
+    # C0 controls other than \t\n\r are ILLEGAL in XML 1.0 even as
+    # character entities — a raw 0x0B in free text crashes Xerces
+    # inside xpath_string (textuni-fuzz finding) — so the feed
+    # template STRIPS them first, as any real feed builder must.
+    brand_esc = F.regexp_replace(
+        F.col("p_brand"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""
+    )
     for needle, repl in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ("\r", "&#13;")):
         brand_esc = F.replace(brand_esc, F.lit(needle), F.lit(repl))
     xml = F.concat(
@@ -857,7 +870,9 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
                CASE WHEN p_partkey % 4 <> 0
                     THEN ', "attrs": {"size": ' || p_partkey % 50 ||
                          ', "brand": "' ||
-                         replace(replace(replace(replace(replace(p_brand,
+                         replace(replace(replace(replace(replace(
+                             regexp_replace(p_brand,
+                                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
                              chr(92), chr(92) || chr(92)),
                              '"', chr(92) || '"'),
                              chr(10), chr(92) || 'n'),
@@ -893,8 +908,13 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
     # brand is free text: JSON-escape backslash/quote/control chars
     # before templating, or one quoted brand makes the whole payload
     # malformed and parse_json throws (text-fuzz aligned; identical
-    # replace chain in the oracle)
-    esc = F.col("p_brand")
+    # replace chain in the oracle). C0 controls the chain does NOT
+    # escape (VT/FF/etc.) are raw-illegal inside JSON strings — one
+    # 0x0B made FAILFAST parse_json kill the job (textuni-fuzz
+    # finding) — so the template strips them, like the XML feed.
+    esc = F.regexp_replace(
+        F.col("p_brand"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""
+    )
     for needle, repl in (
         ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
     ):

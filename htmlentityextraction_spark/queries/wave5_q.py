@@ -38,6 +38,7 @@ from htmlentityextraction_spark.operators.survivorship import (
 from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import valid_date_axis
+from htmlentityextraction_spark.functions.text import WS_CLASS
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -532,7 +533,12 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
         SELECT doc_id,
-               lower(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 30))
+               -- explicit ws class ([ \\t\\n\\x0B\\f\\r], Java's \\s incl.
+               -- VT which RE2's \\s lacks) + java_lower İ pre-expansion:
+               -- textuni-fuzz aligned (see functions.text)
+               lower(replace(
+                   substr(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), 1, 30),
+                   'İ', 'i' || chr(775)))
                    AS key
         FROM documents WHERE text IS NOT NULL),
     ranked AS (
@@ -558,7 +564,7 @@ def sorted_neighborhood_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.lower(
-            F.substring(F.regexp_replace(F.col("text"), r"\s+", " "), 1, 30)
+            F.substring(F.regexp_replace(F.col("text"), WS_CLASS + "+", " "), 1, 30)
         ).alias("key"),
     )
     return sorted_neighborhood_pairs(

@@ -138,3 +138,84 @@ def test_casefold_engine_divergence_documented(spark, ch):
         assert s_upper == "SS" and d_upper == "ẞ"
     if ch == "ﬁ":  # ﬁ: Spark uppercases to FI, duck keeps ﬁ
         assert s_upper == "FI" and d_upper == "ﬁ"
+
+
+def test_textuni_kind_potency_and_engine_facts(spark, tmp_path):
+    """Potency contract for --kind textuni (the r11 Unicode/collation
+    axis): (1) the two engine divergences the axis exists to probe are
+    PINNED as facts — Java/Spark full-mapping lower('İ') vs DuckDB's
+    simple mapping, and Java \\s matching vertical tab while RE2's \\s
+    does not; (2) the class boundaries reproduce Java semantics in
+    DuckDB (java_lower_sql, WS_CLASS); (3) the kind actually lands
+    non-ASCII hazards in every target column. If an engine upgrade
+    shifts either side, this fails loudly instead of a sweep silently
+    probing nothing."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.functions.text import WS_CLASS, java_lower_sql
+
+    # (1a) the casefold divergence: Spark full mapping splits İstanbul
+    s_lower = spark.range(1).select(F.lower(F.lit("İstanbul")).alias("v")).first().v
+    assert s_lower == "i̇stanbul"
+    d_lower = duckdb.sql("SELECT lower('İstanbul')").fetchone()[0]
+    assert d_lower == "istanbul"
+    # (1b) ... and java_lower_sql reproduces Spark in DuckDB
+    d_java = duckdb.sql(f"SELECT {java_lower_sql(chr(39) + 'İstanbul' + chr(39))}").fetchone()[0]
+    assert d_java == s_lower
+
+    # (2a) the \s divergence: Java matches VT, RE2 does not
+    s_ws = spark.range(1).select(
+        F.regexp_replace(F.lit("a\x0bb"), r"\s+", " ").alias("v")
+    ).first().v
+    assert s_ws == "a b", "Java \\s must match vertical tab"
+    d_ws = duckdb.sql(r"SELECT regexp_replace('a' || chr(11) || 'b', '\s+', ' ', 'g')").fetchone()[0]
+    assert d_ws == "a\x0bb", "RE2 \\s must NOT match vertical tab"
+    # (2b) ... and WS_CLASS closes it: identical on both engines
+    s_cls = spark.range(1).select(
+        F.regexp_replace(F.lit("a\x0bb"), WS_CLASS + "+", " ").alias("v")
+    ).first().v
+    d_cls = duckdb.sql(
+        f"SELECT regexp_replace('a' || chr(11) || 'b', '{WS_CLASS}+', ' ', 'g')"
+    ).fetchone()[0]
+    assert s_cls == d_cls == "a b"
+
+    # (3) the kind lands hazards in every declared target column
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    pool_join = "".join(nf.TEXTUNI_POOL)
+    for hazard in ("İ", "ß", "ﬁ", "\x0b", "​", "́", "１"):
+        assert hazard in pool_join, f"pool lost hazard {hazard!r}"
+    assert "Σ" not in pool_join, "final-sigma is a documented contract, not a fuzz char"
+    for table, cols in nf.TEXTUNI_INJECT.items():
+        counts = nf.fuzz_table(
+            "/root/testdata/sf0.001", str(tmp_path), table, 0.10, 11, "textuni"
+        )
+        for col in cols:
+            assert counts.get(col, 0) > 0, (table, col, counts)
+        t = pq.read_table(str(tmp_path / f"{table}.parquet"))
+        joined = "".join(x for x in t.column(cols[0]).to_pylist() if x)
+        assert any(ord(c) > 127 for c in joined), (table, cols[0])
+
+
+def test_levenshtein_engine_unit_divergence_documented(spark):
+    """Pinned engine fact (textuni-fuzz r11): DuckDB's levenshtein
+    counts BYTES, Spark's counts codepoints — one astral char is 4
+    edits vs 1. The fuzzy-join class boundary (printable-ASCII key
+    normalization in fuzzy_entity_match) exists because of this; if
+    either engine changes its unit, this fails and the boundary can
+    be reconsidered."""
+    from pyspark.sql import functions as F
+
+    s = spark.range(1).select(
+        F.levenshtein(F.lit("a\U0001F41Cb"), F.lit("ab")).alias("d")
+    ).first().d
+    assert s == 1, "Spark levenshtein must count codepoints"
+    d = duckdb.sql("SELECT levenshtein('a' || chr(128028) || 'b', 'ab')").fetchone()[0]
+    assert d == 4, "DuckDB levenshtein must count bytes (utf8 length of the char)"

@@ -66,6 +66,11 @@ Twelve poison kinds, one failure surface each:
   default, DuckDB NULLS LAST, so any per-group series walk ordered by
   a nullable date shifts every lag/rank/fold seed between engines;
   the extremes probe calendar arithmetic off the fixture's 2024 band.
+- ``textuni`` — NON-ASCII content into the case-mapped / tokenized /
+  regex'd string columns (see TEXTUNI_POOL for the hazard classes;
+  r11 first sweep found 7 divergences: Xerces crashing on raw VT in
+  constructed XML, Java-vs-utf8proc lower('İ') through 5 token
+  pipelines, and RE2-vs-Java \\s through a sort key).
 
 A query is hardened when it is hash-green on the clean dir AND all
 fuzzed dirs, at sf0.01 and sf0.001, under at least two seeds.
@@ -171,6 +176,66 @@ CAT_INJECT: dict[str, tuple[str, list[str]]] = {
     "lineitem": ("l_returnflag", ["l_quantity", "l_extendedprice"]),
 }
 
+# ``--kind textuni``: NON-ASCII text content — the axis no prior kind
+# touched (every other kind injects ASCII whitespace/`tok` strings).
+# Probes the full F4-F8 surface (shrink/textOnly/tokenize/ngrams/
+# getDomain), every lower()/trim()/regexp path, string ORDER BY /
+# min/max (both engines binary-collate UTF-8, which a green sweep
+# certifies), and the Java-vs-RE2 regex dialect. Hazards, by class:
+# - combining marks: NFD vs NFC are DIFFERENT codepoint sequences —
+#   no engine normalizes implicitly; byte-collation must agree.
+# - zero-width (ZWSP/ZWJ/ZWNJ/BOM) and bidi marks (LRM/RLM): count
+#   as codepoints in length(), survive trim(), invisible in output.
+# - astral-plane emoji + ZWJ family sequences + skin-tone modifiers:
+#   surrogate-pair handling (Java UTF-16) vs codepoint (RE2/UTF-8).
+# - full-width letters/digits: case-map simply (agree), never parse
+#   as numbers on either engine.
+# - locale-special casefolds İ/ß/ﬁ/ı: lower('İ') GENUINELY diverges
+#   (Java full mapping i+U+0307 vs utf8proc simple 'i') — oracles
+#   that lower raw text must use java_lower_sql (the class fix this
+#   kind exists to enforce); ß/ﬁ diverge only on upper(), which no
+#   query applies. Final-sigma (ΑΣ) stays EXCLUDED: Java's
+#   context-sensitive Final_Sigma rule cannot be expressed in RE2
+#   (pinned in tests/test_text_robustness.py instead).
+# - vertical tab \x0B: Java \s includes it, RE2 \s does NOT — the
+#   one char where the engines' \s sets differ; both sides must
+#   spell explicit whitespace classes (functions.text.WS_CLASS).
+# - NBSP/NEL: in NEITHER engine's \s (agreement probed).
+# - U+2126 OHM vs U+03A9 OMEGA: canonical-equivalence bait for any
+#   accidental normalization.
+TEXTUNI_POOL = [
+    "Café combining NFD",
+    "café precomposed NFC",
+    "zero​width‍joins‌here",
+    "﻿BOM prefixed",
+    "\U0001F469‍\U0001F469‍\U0001F467‍\U0001F466 family",
+    "\U0001F44D\U0001F3FD skin tone",
+    "\U0001D518\U0001D52B\U0001D526 math letters",
+    "ＦＵＬＬｗｉｄｔｈ１２３",
+    "straße groß ß",
+    "İstanbul İİ dotted",
+    "ırmak ı dotless",
+    "ﬁnancial ﬂow ﬁ",
+    "µ micro µs",
+    "vertical\x0btab split",
+    "nbsp andnel",
+    "עברית with english مزيج",
+    "‏‎LRM RLM marks",
+    "z̀́̂̃algo stack",
+    "Ω ohm vs Ω omega",
+]
+
+# textuni targets: the string columns case-mapped / tokenized /
+# regex'd / ordered by registered queries (events.event_type is every
+# behavioral grouping key; documents.* is the whole F4-F8 + dedup
+# surface; s_name/p_brand are entity-resolution + ordering keys).
+TEXTUNI_INJECT: dict[str, list[str]] = {
+    "events": ["event_type"],
+    "documents": ["text", "lang", "source"],
+    "supplier": ["s_name"],
+    "part": ["p_brand"],
+}
+
 # ``--kind extreme``: cycle pathological-but-representable doubles
 # through FLOAT columns. Distinct from NaN: ±inf passes every
 # ``NOT isnan`` guard yet overflows ANSI casts at cents boundaries;
@@ -262,6 +327,27 @@ def fuzz_table(
             mask = pa.array(rng.random(rows) < rate)
             repl = pa.array(
                 [pool[i % len(pool)] for i in range(rows)], type=arr.type
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
+    if kind == "textuni":
+        rows = len(t)
+        for col in TEXTUNI_INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if arr.type not in (pa.string(), pa.large_string()):
+                continue
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:textuni".encode())
+            )
+            mask = pa.array(rng.random(rows) < rate)
+            repl = pa.array(
+                [TEXTUNI_POOL[i % len(TEXTUNI_POOL)] for i in range(rows)],
+                type=arr.type,
             )
             t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
             counts[col] = int(pc.sum(mask).as_py() or 0)
@@ -487,7 +573,13 @@ def fuzz_table(
                     [pool[i % len(pool)] for i in range(len(t))], type=arr.type
                 )
             elif arr.type in (pa.string(), pa.large_string()):
-                pool = [None] + (JSON_POOL if col == "props" else TEXT_POOL)
+                # since r11 the string cycle ALSO carries the textuni
+                # hazards, so a NULL category, a NaN metric, an İ/VT
+                # string, and a sentinel date CAN share one group —
+                # per-axis fixes are only proven composable here
+                pool = [None] + (
+                    JSON_POOL if col == "props" else TEXT_POOL + TEXTUNI_POOL
+                )
                 repl = pa.array(
                     [pool[i % len(pool)] for i in range(len(t))], type=arr.type
                 )
@@ -539,7 +631,7 @@ def main() -> None:
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
             "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
-            "infpair", "vecpoison", "datenull",
+            "infpair", "vecpoison", "datenull", "textuni",
         ],
         default="null",
     )

@@ -637,6 +637,128 @@ def reliable_checkpoint_probe() -> None:
         spark.stop()
 
 
+CLOSURE_DST = "/tmp/sf1_closure"
+
+
+def generate_closure() -> None:
+    """Bounded-component sf1-scale embedding fixture (VERDICT r10 item
+    3): the main sf1 fixture's 0.35-graph is one ~20k-node giant
+    component, making the DuckDB recursive-closure oracle O(n^2)-
+    infeasible (SCALE_PROBE.md), so the closure family's sf1 evidence
+    was Spark-vs-Spark only. This fixture PLANTS bounded components so
+    the recursive CTE is linear-ish and the full CROSS-ENGINE hash
+    runs at sf1 scale.
+
+    Geometry — separation GUARANTEED by construction, not sampling:
+    128 clusters on the 32 disjoint coordinate planes of R^64, four
+    directions per plane at 90 deg spacing, each member an in-plane
+    unit vector within +-5 deg of its cluster direction. Therefore
+    cross-plane cosine is EXACTLY 0, same-plane cross-cluster absolute
+    cosine <= cos(80 deg) ~ 0.174, within-cluster cosine >= cos(10
+    deg) ~ 0.985 — nothing lands near the 0.35 threshold, so the pair
+    set is noise-immune, every component is a planted cluster (a
+    complete subgraph: the closure converges in one round), and the
+    largest component is bounded by the largest planted size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(CLOSURE_DST, exist_ok=True)
+    emb_src = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    elem_type = emb_src.column("embedding").type.value_type
+    vid_type = emb_src.column("vec_id").type
+    dim, n_rows, n_planes, n_dirs = 64, 20_000, 32, 4
+
+    # deterministic size ladder: singletons through a ~1k-doc component,
+    # cycled over 128 clusters, remainder onto the last cluster
+    ladder = [1, 2, 5, 10, 25, 60, 150, 400]
+    sizes = [ladder[i % len(ladder)] for i in range(n_planes * n_dirs)]
+    # spread the remainder over the 16 largest clusters so every
+    # component stays bounded (max ~1000, not one remainder monster)
+    big = [i for i, s in enumerate(sizes) if s == max(ladder)]
+    rem = n_rows - sum(sizes)
+    for k, i in enumerate(big):
+        sizes[i] += rem // len(big) + (1 if k < rem % len(big) else 0)
+    assert sum(sizes) == n_rows and max(sizes) <= 1100, (sum(sizes), max(sizes))
+
+    rng = np.random.RandomState(4242)
+    vecs = np.zeros((n_rows, dim))
+    cluster_of = np.zeros(n_rows, dtype=np.int64)
+    vid = 0
+    for c, size in enumerate(sizes):
+        plane, d = c % n_planes, c // n_planes
+        i, j = 2 * plane, 2 * plane + 1
+        base = d * (np.pi / 2)
+        ang = base + np.deg2rad(rng.uniform(-5.0, 5.0, size=size))
+        vecs[vid : vid + size, i] = np.cos(ang)
+        vecs[vid : vid + size, j] = np.sin(ang)
+        cluster_of[vid : vid + size] = c
+        vid += size
+    assert vid == n_rows
+
+    # verify the construction's bounds before writing anything
+    g = vecs @ vecs.T
+    same = cluster_of[:, None] == cluster_of[None, :]
+    assert g[same].min() >= 0.984, g[same].min()
+    cross_max = g[~same].max() if (~same).any() else 0.0
+    assert cross_max < 0.18, cross_max
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_rows), type=vid_type),
+            "embedding": pa.array(
+                [row.tolist() for row in vecs], type=pa.list_(elem_type)
+            ),
+            "label": pa.array(
+                [f"c{c:03d}" for c in cluster_of], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(emb, os.path.join(CLOSURE_DST, "embeddings.parquet"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_rows), type=vid_type),
+            "text": pa.array([f"planted doc {v}" for v in range(n_rows)]),
+            "lang": pa.array(["en"] * n_rows),
+            "source": pa.array(["planted"] * n_rows),
+            # keep-best quality: varied, near-unique within any cluster
+            "n_chars": pa.array(
+                [int(100 + (v * 131) % 9973) for v in range(n_rows)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(docs, os.path.join(CLOSURE_DST, "documents.parquet"))
+    print(
+        f"wrote {CLOSURE_DST}: {n_rows} vectors, {len(sizes)} planted components "
+        f"(max {max(sizes)}), cross-cluster max cos {cross_max:.3f}"
+    )
+
+
+def closure_check() -> int:
+    """Cross-engine (Spark vs DuckDB recursive-CTE) hash compare of the
+    closure family at sf1 scale on the bounded-component fixture —
+    the evidence the main sf1 fixture cannot produce."""
+    import subprocess
+
+    t0 = time.time()
+    rc = subprocess.call(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "check_correctness.py"
+            ),
+            "--sf-dir",
+            CLOSURE_DST,
+            "semantic_dedup_scale_pipeline",
+            "semantic_dedup_cells",
+            "semantic_dedup_keep_best",
+        ]
+    )
+    print(f"# closure_check wall: {round(time.time() - t0, 1)}s", file=sys.stderr)
+    return rc
+
+
 def hash_check() -> int:
     """Correctness at sf1, not just wall time (VERDICT r7 item 2): run
     the driver-mirroring compare (Spark query vs DuckDB oracle, row
@@ -689,10 +811,24 @@ if __name__ == "__main__":
         action="store_true",
         help="durable vs local checkpoint cost for the sf1 PageRank walk (same hash both paths)",
     )
+    ap.add_argument(
+        "--generate-closure",
+        action="store_true",
+        help="build the bounded-component closure fixture (cross-engine sf1 oracle)",
+    )
+    ap.add_argument(
+        "--closure",
+        action="store_true",
+        help="cross-engine hash compare of the closure family on the bounded fixture",
+    )
     ap.add_argument("names", nargs="*", help="probe only these queries")
     args = ap.parse_args()
     if args.generate:
         generate()
+    elif args.generate_closure:
+        generate_closure()
+    elif args.closure:
+        raise SystemExit(closure_check())
     elif args.generate_ann:
         generate_ann()
     elif args.ann:
