@@ -99,7 +99,8 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantile_normalize_chars_by_source",
     """
-    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
     pooled AS (
         SELECT n_chars AS v,
@@ -132,7 +133,15 @@ def quantile_normalize_chars_by_source(spark: SparkSession, sf_dir: str) -> Data
     oracle-exact for the gate; at 100 TB the pooled side becomes an
     approx_percentile grid (a few hundred rows broadcast) with
     identical plumbing."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # NULL n_chars has no rank (Spark windows sort NULLS FIRST on ASC,
+    # DuckDB NULLS LAST — the datenull ordering class on the INT axis;
+    # intedge-fuzz finding r11): missing lengths are excluded, every
+    # non-NULL int (zero, negative, width-extreme) sorts identically.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
     nn = d.agg(F.count(F.lit(1)).alias("n"))
     pooled = d.select(
         F.col("n_chars").alias("v"),

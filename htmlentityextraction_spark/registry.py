@@ -37,14 +37,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-10 addition (VERDICT r9 item 2): the 100 TB composition —
-    # quantizer-cell-blocked pairs → transitive closure → keep-best —
-    # gated against the exact all-pairs closure as refinement /
-    # no-false-removal / removal-recall contracts. The r9 entries
-    # (semantic_dedup_keep_best / _cells / semantic_admission_gate)
-    # all got full-green driver verdicts in CORRECTNESS_r09.json and
-    # rotate out.
-    "semantic_dedup_scale_pipeline",
+    # round-11: no new queries, but these changed SEMANTICS this round
+    # (fold-shape finite_measure gates; textuni class fixes: java-lower
+    # oracles, explicit whitespace classes, control-char stripping in
+    # the XML/JSON feed templates, ASCII-normalized fuzzy keys) —
+    # front-loaded so the driver re-verifies the changed behavior.
+    # The r10 entry (semantic_dedup_scale_pipeline) got its full-green
+    # driver verdict in CORRECTNESS_r10.json row 1 and rotates out.
+    "daily_value_autocorrelation",
+    "did_aa_experiment_check",
+    "gap_fill_user_purchase_value",
+    "text_quality_profile",
+    "lm_unigram_doc_scores",
+    "lm_bigram_doc_scores",
+    "sorted_neighborhood_doc_pairs",
+    "pmi_collocations",
+    "bm25_doc_ranking",
+    "xml_field_extraction",
+    "variant_semistructured_extraction",
+    "fuzzy_entity_match",
+    "setsim_prefix_join_docs",
 )
 
 

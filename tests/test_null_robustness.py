@@ -330,3 +330,36 @@ def test_inlined_validity_window_oracle_literals_match_constants():
     # constant changes, the equality asserts above fail first
     assert {"ewma_control_chart", "max_drawdown_per_product"} <= date_axis_inliners
     assert "linear_interp_user_value" in event_time_inliners
+
+
+def test_intedge_kind_lands_sentinel_ints(tmp_path):
+    """Potency contract for --kind intedge (r11): the kind must land
+    NULL + zero + negative + type-width-extreme integers in BOTH
+    target columns (documents.n_chars was in NO inject list before
+    this kind — even its NULL path was unprobed; the first sweep
+    found the NULL-int ASC-ordering divergence in
+    quantile_normalize_chars_by_source)."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    c_docs = nf.fuzz_table(
+        "/root/testdata/sf0.001", str(tmp_path), "documents", 0.30, 13, "intedge"
+    )
+    c_part = nf.fuzz_table(
+        "/root/testdata/sf0.001", str(tmp_path), "part", 0.30, 13, "intedge"
+    )
+    assert c_docs.get("n_chars", 0) > 0 and c_part.get("p_size", 0) > 0
+    nc = pq.read_table(str(tmp_path / "documents.parquet")).column("n_chars")
+    assert nc.null_count > 0, "NULL ints must actually land"
+    vals = set(v for v in nc.to_pylist() if v is not None)
+    assert 0 in vals and -1 in vals and 2**62 in vals and -(2**62) in vals
+    ps = pq.read_table(str(tmp_path / "part.parquet")).column("p_size")
+    pvals = set(v for v in ps.to_pylist() if v is not None)
+    assert 2**31 - 1 in pvals and -(2**31) in pvals, "int32 width extremes must land"

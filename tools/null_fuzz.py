@@ -236,6 +236,20 @@ TEXTUNI_INJECT: dict[str, list[str]] = {
     "part": ["p_brand"],
 }
 
+# ``--kind intedge``: sentinel INTEGERS into the integer VALUE columns
+# no other kind touches (documents.n_chars is in no INJECT list at
+# all — even its NULL path was unprobed; part.p_size got NULLs only).
+# Hazards: zero (division guards), negatives (a "length" that isn't),
+# type-width extremes (INT32_MIN/MAX for int32, +-2^62 for int64 —
+# ordering, int->string casts, ANSI overflow on any arithmetic fold,
+# percent_rank/ntile domains), and NULL (ordering + coalesce paths).
+INTEDGE_POOL64 = [None, 0, -1, 2**31 - 1, -(2**31), 2**62, -(2**62)]
+INTEDGE_POOL32 = [None, 0, -1, 2**31 - 1, -(2**31), 12345, -12345]
+INTEDGE_INJECT: dict[str, list[str]] = {
+    "documents": ["n_chars"],
+    "part": ["p_size"],
+}
+
 # ``--kind extreme``: cycle pathological-but-representable doubles
 # through FLOAT columns. Distinct from NaN: ±inf passes every
 # ``NOT isnan`` guard yet overflows ANSI casts at cents boundaries;
@@ -327,6 +341,26 @@ def fuzz_table(
             mask = pa.array(rng.random(rows) < rate)
             repl = pa.array(
                 [pool[i % len(pool)] for i in range(rows)], type=arr.type
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return counts
+    if kind == "intedge":
+        for col in INTEDGE_INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if not pa.types.is_integer(arr.type):
+                continue
+            pool = INTEDGE_POOL32 if arr.type.bit_width <= 32 else INTEDGE_POOL64
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:intedge".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            repl = pa.array(
+                [pool[i % len(pool)] for i in range(len(t))], type=arr.type
             )
             t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
             counts[col] = int(pc.sum(mask).as_py() or 0)
@@ -631,7 +665,7 @@ def main() -> None:
         choices=[
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
             "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
-            "infpair", "vecpoison", "datenull", "textuni",
+            "infpair", "vecpoison", "datenull", "textuni", "intedge",
         ],
         default="null",
     )
