@@ -34,7 +34,13 @@ def _uniform_from_id(id_col: Column) -> Column:
 
 def ares_key(id_col: Column, weight_col: Column) -> Column:
     """log(u)/w — maximize this for weight-proportional sampling.
-    Rows with weight <= 0 get -infinity (never sampled)."""
+    Rows with weight <= 0 get -infinity as defense in depth, but
+    callers must EXCLUDE them before ranking: -inf only means "never
+    sampled" while the sample is full — under top-k with spare
+    capacity (a stratum smaller than k, a corpus with < k eligible
+    docs) a -inf row still fills a slot. The intedge×mixed
+    interaction fuzz caught exactly that: a -2^62 n_chars doc
+    sampled into a 2-doc stratum (r11)."""
     u = _uniform_from_id(id_col)
     return F.when(
         weight_col > 0, F.log(u) / weight_col
@@ -49,7 +55,11 @@ def weighted_sample(
     short of a collision) break on id for full determinism."""
     key = ares_key(F.col(id_col), F.col(weight_col))
     return (
-        df.withColumn("__ares", key)
+        # weight <= 0 (or NULL) means NOT IN THE POPULATION, not
+        # lowest-priority: without this filter such rows pad the
+        # sample whenever fewer than k eligible rows exist
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ares", key)
         .orderBy(F.desc("__ares"), F.col(id_col))
         .limit(k)
         .drop("__ares")
@@ -63,7 +73,11 @@ def weighted_sample_per_stratum(
     key = ares_key(F.col(id_col), F.col(weight_col))
     w = Window.partitionBy(stratum_col).orderBy(F.desc("__ares"), F.col(id_col))
     return (
-        df.withColumn("__ares", key)
+        # same population boundary as weighted_sample: a stratum with
+        # spare capacity must not absorb weight<=0 rows (the
+        # intedge×mixed interaction finding, r11)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__ares", key)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__ares", "__rn")

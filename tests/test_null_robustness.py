@@ -363,3 +363,27 @@ def test_intedge_kind_lands_sentinel_ints(tmp_path):
     ps = pq.read_table(str(tmp_path / "part.parquet")).column("p_size")
     pvals = set(v for v in ps.to_pylist() if v is not None)
     assert 2**31 - 1 in pvals and -(2**31) in pvals, "int32 width extremes must land"
+
+
+def test_weighted_samplers_exclude_nonpositive_weights_even_with_spare_capacity(spark):
+    """intedge x mixed interaction finding (r11): a weight <= 0 row is
+    NOT IN THE POPULATION — it must not pad the sample when fewer than
+    k eligible rows exist. Before the fix, ares_key's -inf fallback
+    only guaranteed exclusion while the sample was FULL; a 2-doc
+    stratum happily admitted a -2^62-weight doc."""
+    from htmlentityextraction_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_stratum,
+    )
+
+    rows = [
+        (1, "a", 100), (2, "a", -(2**62)), (3, "a", 0),
+        (4, "b", 50), (5, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = sorted(
+        r.doc_id for r in weighted_sample_per_stratum(df, "doc_id", "w", "lang", 20).collect()
+    )
+    assert got == [1, 4], got  # strata have spare capacity; ineligible rows stay out
+    got_g = sorted(r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect())
+    assert got_g == [1, 4], got_g

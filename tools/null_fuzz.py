@@ -594,6 +594,24 @@ def fuzz_table(
             ).cast(arr.type)
             t = t.set_column(idx, col, pc.if_else(mask, repl, arr.combine_chunks()))
             counts[col] = int(pc.sum(mask).as_py() or 0)
+        # r11: the integer value axes join the interleave too
+        for col in INTEDGE_INJECT.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            if not pa.types.is_integer(arr.type):
+                continue
+            pool = INTEDGE_POOL32 if arr.type.bit_width <= 32 else INTEDGE_POOL64
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:mixed".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            repl = pa.array(
+                [pool[i % len(pool)] for i in range(len(t))], type=arr.type
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[col] = int(pc.sum(mask).as_py() or 0)
         for col in INJECT.get(table, []):
             if col not in t.column_names:
                 continue
