@@ -150,6 +150,10 @@ JSON_POOL = [
     '{"price": "NaN"}',
     '{"a": {"b": [1, 2, 3]}}',
     '{"price": 123.45, "ok": true}',
+    # r11: unicode INSIDE valid JSON strings — escapes, astral emoji,
+    # zero-width, full-width "digits" (a string, never a number)
+    '{"note": "\\u0130stanbul \\u200b ok", "price": 9.5}',
+    '{"tag": "\U0001f99c parrot", "price": "１２３"}',
 ]
 
 # table -> (group-key column, value columns) for the group-level
