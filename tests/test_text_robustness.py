@@ -219,3 +219,49 @@ def test_levenshtein_engine_unit_divergence_documented(spark):
     assert s == 1, "Spark levenshtein must count codepoints"
     d = duckdb.sql("SELECT levenshtein('a' || chr(128028) || 'b', 'ab')").fetchone()[0]
     assert d == 4, "DuckDB levenshtein must count bytes (utf8 length of the char)"
+
+
+def test_string_collation_agreement_on_unicode_pool(spark):
+    """Pin the fact every green textuni sweep rests on: Spark
+    (UTF8_BINARY) and DuckDB (memcmp on UTF-8) sort strings in the
+    SAME order — including astral vs BMP, combining marks, full-width
+    forms, RTL and zero-width characters — so ORDER BY / min / max
+    over poisoned string columns never needed gating. If either
+    engine's default collation changes, this fails before a sweep
+    silently starts probing a different contract."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    pool = list(nf.TEXTUNI_POOL) + ["", "ascii plain", "Ω", "Ω", "z", "\x7f"]
+
+    df = spark.createDataFrame([(s,) for s in pool], "s string")
+    spark_sorted = [r.s for r in df.orderBy("s").collect()]
+    spark_min = df.agg(F.min("s")).first()[0]
+    spark_max = df.agg(F.max("s")).first()[0]
+
+    con = duckdb.connect()
+    duck_sorted = [
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM (SELECT unnest(?) AS s) ORDER BY s", [pool]
+        ).fetchall()
+    ]
+    duck_min, duck_max = con.execute(
+        "SELECT min(s), max(s) FROM (SELECT unnest(?) AS s)", [pool]
+    ).fetchone()
+
+    assert spark_sorted == duck_sorted
+    assert (spark_min, spark_max) == (duck_min, duck_max)
+    # ... and NFC vs NFD remain DISTINCT group keys on both engines
+    # (no implicit normalization anywhere)
+    assert pool[0] != pool[1]  # NFD entry != NFC entry by codepoints
+    n_spark = df.select("s").distinct().count()
+    n_duck = con.execute(
+        "SELECT count(DISTINCT s) FROM (SELECT unnest(?) AS s)", [pool]
+    ).fetchone()[0]
+    assert n_spark == n_duck
