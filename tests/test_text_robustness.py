@@ -265,3 +265,46 @@ def test_string_collation_agreement_on_unicode_pool(spark):
         "SELECT count(DISTINCT s) FROM (SELECT unnest(?) AS s)", [pool]
     ).fetchone()[0]
     assert n_spark == n_duck
+
+
+def test_json_depth_limit_engine_divergence_documented(spark):
+    """Pinned engine fact (r11 directed probe): Spark's JSON functions
+    sit on Jackson, whose default StreamReadConstraints cap nesting at
+    1000 — a deeper payload is treated as CORRUPT (get_json_object /
+    from_json return NULL). DuckDB's yyjson parses it fine. Depth is
+    not expressible as a DuckDB SQL predicate (an open-bracket count
+    over-approximates: wide-but-shallow payloads would be dropped), so
+    this is EXCLUDED from the fuzz pool and pinned here instead — the
+    Final_Sigma precedent. Production boundary: cap payload nesting at
+    ingestion; the serve path's corrupt-message routing already treats
+    Spark-unparseable payloads as logs_corrupt rather than dropping
+    them silently."""
+    from pyspark.sql import functions as F
+
+    deep = '{"a":' * 1500 + "1" + "}" * 1500
+    shallow = '{"a":' * 900 + "1" + "}" * 900
+
+    df = spark.createDataFrame([(deep,), (shallow,)], "js string")
+    got = df.select(F.get_json_object("js", "$.a.a.a").alias("x")).collect()
+    assert got[0].x is None, "Spark must treat >1000-deep JSON as corrupt"
+    assert got[1].x is not None, "<=1000-deep JSON must still parse"
+
+    d = duckdb.sql(
+        "SELECT json_extract(?::JSON, '$.a.a.a') IS NOT NULL", params=[deep]
+    ).fetchone()[0]
+    assert d is True, "DuckDB must parse the same payload (the divergence)"
+
+    # ... and the serve boundary classifies such a payload as corrupt
+    # (routed to logs_corrupt, payload preserved) instead of silently
+    # dropping or crashing — the behavior that makes the engine
+    # divergence operationally safe
+    from htmlentityextraction_spark import schemas
+
+    deep_page = (
+        '{"url": "http://x.com/a", "html": "hi", "price": '
+        + '{"a":' * 1200 + "1" + "}" * 1200 + "}"
+    )
+    ok_page = '{"url": "http://x.com/a", "html": "hi", "price": 9.5}'
+    pages = spark.createDataFrame([(deep_page,), (ok_page,)], "value string")
+    flags = [r.is_corrupt for r in schemas.parse_page_messages(pages).collect()]
+    assert flags == [True, False]
