@@ -308,3 +308,64 @@ def test_json_depth_limit_engine_divergence_documented(spark):
     pages = spark.createDataFrame([(deep_page,), (ok_page,)], "value string")
     flags = [r.is_corrupt for r in schemas.parse_page_messages(pages).collect()]
     assert flags == [True, False]
+
+
+def test_json_dialect_engine_divergence_documented(spark):
+    """Pinned engine facts (r11 directed probe): Spark's get_json_object
+    (Jackson) and DuckDB's json_valid/json_extract (yyjson) accept
+    DIFFERENT non-strict-JSON dialects, in BOTH directions:
+
+      Jackson-only: single-quoted keys/values, raw control chars
+      inside strings. yyjson-only: NaN literals, trailing commas.
+      Number edges: 1e400 -> Jackson re-renders the non-standard
+      string "Infinity" (quoted), yyjson the bare token Infinity;
+      an over-int64 integer keeps its digits under Jackson
+      (BigInteger) but collapses to a double under yyjson.
+
+    No SQL-expressible cross-engine "strict JSON" predicate exists
+    (each engine's validator IS its dialect), so these shapes are
+    EXCLUDED from JSON_POOL — the pool holds only payloads whose
+    accept/reject verdict AGREES across engines — and the dialect gap
+    is pinned here. Production boundary: the ingest contract requires
+    strict RFC-8259 producers; mixed-dialect payloads are
+    engine-defined behavior."""
+    from pyspark.sql import functions as F
+
+    cases = {
+        "nan_literal": ('{"k": NaN}', None, True),
+        "trailing_comma": ('{"k": 1,}', None, True),
+        "single_quotes": ("{'k': 1}", "1", False),
+        "tab_in_string": ('{"k": "a\tb"}', "a\tb", False),
+    }
+    df = spark.createDataFrame(
+        [(n, js) for n, (js, _, _) in cases.items()], "name string, js string"
+    )
+    got = {
+        r.name: r.x
+        for r in df.select("name", F.get_json_object("js", "$.k").alias("x")).collect()
+    }
+    for name, (js, spark_want, duck_valid_want) in cases.items():
+        assert got[name] == spark_want, (name, got[name])
+        dv = duckdb.sql("SELECT json_valid(?)", params=[js]).fetchone()[0]
+        assert dv is duck_valid_want, (name, dv)
+
+    # every JSON_POOL entry must stay in the COMMON dialect: the two
+    # engines agree on its validity (the invariant green sweeps need)
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    pool_df = spark.createDataFrame([(j,) for j in nf.JSON_POOL], "js string")
+    s_ok = [
+        r.ok
+        for r in pool_df.select(
+            F.get_json_object("js", "$").isNotNull().alias("ok")
+        ).collect()
+    ]
+    for js, sok in zip(nf.JSON_POOL, s_ok):
+        dok = duckdb.sql("SELECT json_valid(?)", params=[js]).fetchone()[0]
+        assert bool(sok) == bool(dok), (js, sok, dok)

@@ -141,6 +141,15 @@ TEXT_POOL = [
 
 # events.props is a JSON payload — malformed and edge-shape JSON
 # exercise the corrupt-row path (SURVEY §2 P4) on both engines.
+# POOL INVARIANT (r11, machine-checked by
+# tests/test_text_robustness.py::test_json_dialect_engine_divergence_documented):
+# every entry's accept/reject verdict must AGREE across Jackson
+# (Spark) and yyjson (DuckDB). The engines' non-strict dialects
+# differ in BOTH directions (Jackson-only: single quotes, raw
+# control chars in strings; yyjson-only: NaN literals, trailing
+# commas; number-edge rendering differs too) and no SQL-expressible
+# cross-engine strictness predicate exists — those shapes are pinned
+# as documented divergences, not fuzzed.
 JSON_POOL = [
     "",
     "{",
