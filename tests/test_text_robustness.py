@@ -369,3 +369,27 @@ def test_json_dialect_engine_divergence_documented(spark):
     for js, sok in zip(nf.JSON_POOL, s_ok):
         dok = duckdb.sql("SELECT json_valid(?)", params=[js]).fetchone()[0]
         assert bool(sok) == bool(dok), (js, sok, dok)
+
+
+def test_java_lower_sql_complete_over_fuzz_pools(spark):
+    """java_lower_sql must reproduce Spark's lower() for EVERY string
+    in both fuzz pools — if a future pool entry introduces another
+    full-vs-simple casefold divergence (beyond İ), this fails before
+    a sweep turns red mysteriously."""
+    import importlib.util
+    import os
+
+    from htmlentityextraction_spark.functions.text import java_lower_sql
+
+    spec = importlib.util.spec_from_file_location(
+        "null_fuzz", os.path.join(os.path.dirname(__file__), "..", "tools", "null_fuzz.py")
+    )
+    nf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nf)
+    pool = nf.TEXTUNI_POOL + nf.TEXT_POOL
+    df = spark.createDataFrame([(s,) for s in pool], "s string")
+    slow = [r.v for r in df.select(F.lower("s").alias("v")).collect()]
+    con = duckdb.connect()
+    for s, sv in zip(pool, slow):
+        dv = con.execute(f"SELECT {java_lower_sql('?')}", [s]).fetchone()[0]
+        assert dv == sv, (s, sv, dv)
