@@ -57,6 +57,11 @@ _DRIVER_UNCONFIRMED: tuple[str, ...] = (
     "variant_semistructured_extraction",
     "fuzzy_entity_match",
     "setsim_prefix_join_docs",
+    # later r11 waves: int-axis + interaction findings
+    "quantile_normalize_chars_by_source",
+    "weighted_sample_per_lang",
+    "weighted_doc_sample",
+    "approx_percentile_accuracy",
 )
 
 
