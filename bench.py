@@ -179,7 +179,7 @@ def main() -> None:
         # times stay visible under "cold".
         "basis": "noop-write-median3",
         # r11 calibration anchor: a code-frozen generated workload
-        # (12M-row shuffle+agg+sort, median-of-3) timed in the SAME
+        # (200M-row shuffle+agg+sort, median-of-3) timed in the SAME
         # session before the queries. Compare RATIOS across rounds —
         # box drift moves anchor and queries together, a real
         # regression moves one ratio. Rule: a cross-round per-query

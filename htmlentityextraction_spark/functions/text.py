@@ -106,3 +106,77 @@ def char_ngrams(s: Column, n: int) -> Column:
     return F.when(length - n >= 2, F.transform(idx, lambda i: s.substr(i, F.lit(n)))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+# --- Constructed-feed free-text escaping (one boundary for the class) ---
+#
+# C0 control characters other than \t \n \r are illegal in both
+# constructed-feed dialects this engine templates: raw inside a JSON
+# string they make Jackson treat the payload as corrupt (from_json →
+# NULL row / FAILFAST crash) while DuckDB's yyjson hard-errors the
+# whole query ("unexpected control character"); in XML 1.0 they are
+# illegal even as character entities, and Xerces hard-crashes inside
+# xpath_string on a raw 0x0B. Any real feed builder must strip them
+# before escaping — so every feed template in this repo routes its
+# free-text columns through the helpers below (Spark + DuckDB-SQL
+# twins, textuni-fuzz findings r11; the whois gap closed r12). A grep
+# test (tests/test_text_robustness.py) asserts no duplicated escape
+# chain survives outside this module.
+C0_CONTROLS_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"  # Java + RE2 alike
+
+
+def strip_c0_controls(col: Column) -> Column:
+    """Drop C0 controls (minus tab/LF/CR) from free text, Spark-side."""
+    return F.regexp_replace(col, C0_CONTROLS_RE, "")
+
+
+def strip_c0_controls_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_c0_controls` (RE2, 'g' flag)."""
+    return f"regexp_replace({expr}, '{C0_CONTROLS_RE}', '', 'g')"
+
+
+def json_escape_free_text(col: Column) -> Column:
+    """Escape a free-text column for templating inside a JSON string
+    literal: strip C0 controls, then backslash-escape ``\\ " \\n \\r
+    \\t`` (backslash first — order matters)."""
+    col = strip_c0_controls(col)
+    for needle, repl in (
+        ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+    ):
+        col = F.replace(col, F.lit(needle), F.lit(repl))
+    return col
+
+
+def json_escape_free_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`json_escape_free_text` — the identical
+    strip-then-escape chain spelled in SQL, so a constructed payload
+    hashes equal across engines."""
+    return (
+        "replace(replace(replace(replace(replace("
+        f"{strip_c0_controls_sql(expr)}, "
+        "chr(92), chr(92) || chr(92)), "
+        "'\"', chr(92) || '\"'), "
+        "chr(10), chr(92) || 'n'), "
+        "chr(13), chr(92) || 'r'), "
+        "chr(9), chr(92) || 't')"
+    )
+
+
+def xml_escape_free_text(col: Column) -> Column:
+    """Escape a free-text column for templating inside an XML text
+    node: strip C0 controls, then entity-escape ``& < >`` and ``\\r``
+    (an unescaped CR is eaten by XML line-end normalization)."""
+    col = strip_c0_controls(col)
+    for needle, repl in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ("\r", "&#13;")):
+        col = F.replace(col, F.lit(needle), F.lit(repl))
+    return col
+
+
+def xml_escape_free_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`xml_escape_free_text`."""
+    return (
+        "replace(replace(replace(replace("
+        f"{strip_c0_controls_sql(expr)}, "
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+        "chr(13), '&#13;')"
+    )

@@ -23,13 +23,15 @@ from htmlentityextraction_spark.sources.tables import load_table
 
 @register(
     "bad_domain_analysis",
-    """
+    f"""
     WITH obs AS (
         SELECT l_suppkey AS domain, l_partkey AS prodid,
                l_extendedprice AS pattern_price,
                l_extendedprice * (1 - l_discount) AS model_price,
                l_shipdate
         FROM lineitem
+        WHERE {finite_measure_sql('l_extendedprice')}
+          AND {finite_measure_sql('l_discount')}
     ), seeds AS (
         SELECT domain, count(*) AS num_seeds FROM obs GROUP BY domain
     ), avg_prices AS (
@@ -60,7 +62,14 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts joined with seed totals. Aggregate-of-aggregate join (J4) —
     both sides share the (domain, prodid) shuffle key so AQE reuses
     the exchange."""
-    obs = load_table(spark, sf_dir, "lineitem").select(
+    # Non-finite price/discount observations are corrupt input and are
+    # dropped at ingestion (fold-audit gate, r12): avg(model_price) is
+    # an order-sensitive float fold, and one ±5e307 row summed in
+    # different partial-aggregation orders flips the band filter —
+    # the same class as the r10 autocorrelation finding.
+    obs = load_table(spark, sf_dir, "lineitem").filter(
+        finite_measure("l_extendedprice") & finite_measure("l_discount")
+    ).select(
         F.col("l_suppkey").alias("domain"),
         F.col("l_partkey").alias("prodid"),
         F.col("l_extendedprice").alias("pattern_price"),

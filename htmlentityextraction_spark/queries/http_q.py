@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.text import (
+    json_escape_free_text,
+    json_escape_free_text_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.http import RAW_DELIMITER, whois_contacts
 from htmlentityextraction_spark.sources.tables import load_table
@@ -19,21 +23,14 @@ from htmlentityextraction_spark.sources.tables import load_table
 # payload: registrant always present (name + country + phone);
 # admin contact only for s_suppkey % 3 = 0 (company only);
 # technical never present -> all N/A.
-# Names are free text: JSON-escape backslash/quote/control chars when
-# templating (text-fuzz aligned; identical chain Spark-side) — one
-# quoted supplier name otherwise makes the payload malformed, which
-# from_json nulls but DuckDB's json_extract refuses to parse.
+# Names are free text: the shared json_escape_free_text helpers
+# (functions/text.py) strip C0 controls then JSON-escape when
+# templating (textuni-fuzz aligned; identical chain both engines) —
+# one quoted supplier name otherwise makes the payload malformed
+# (from_json nulls it; DuckDB's yyjson refuses to parse), and one raw
+# VT crashed the DuckDB oracle outright before the r12 class fix.
 
-
-def _esc_sql(col: str) -> str:
-    return (
-        f"replace(replace(replace(replace(replace({col}, "
-        "chr(92), chr(92) || chr(92)), "
-        "'\"', chr(92) || '\"'), "
-        "chr(10), chr(92) || 'n'), "
-        "chr(13), chr(92) || 'r'), "
-        "chr(9), chr(92) || 't')"
-    )
+_esc_sql = json_escape_free_text_sql
 
 
 _PAYLOAD_SQL = f"""
@@ -92,12 +89,7 @@ def whois_contact_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity."""
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
-    def esc(col):
-        for needle, repl in (
-            ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
-        ):
-            col = F.replace(col, F.lit(needle), F.lit(repl))
-        return col
+    esc = json_escape_free_text
 
     payload = F.concat(
         F.lit('{"whois_record": {"registrant_contact": {"full_name": "'),

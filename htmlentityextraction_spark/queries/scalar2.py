@@ -10,6 +10,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.text import (
+    json_escape_free_text,
+    json_escape_free_text_sql,
+    strip_c0_controls_sql,
+    xml_escape_free_text,
+    xml_escape_free_text_sql,
+)
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -86,15 +93,11 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "xml_field_extraction",
-    """
+    f"""
     WITH x AS (
         SELECT p_partkey, p_brand,
                '<item><gtin>G' || p_partkey || '</gtin><brand>' ||
-               replace(replace(replace(replace(
-                   regexp_replace(p_brand,
-                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
-                   '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
-                   chr(13), '&#13;') ||
+               {xml_escape_free_text_sql('p_brand')} ||
                '</brand><price>' || CAST(floor(p_retailprice) AS BIGINT) || '.00</price>' ||
                CASE WHEN p_partkey % 4 = 0
                     THEN '<sale_price>' ||
@@ -112,8 +115,7 @@ def exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- as entities — Xerces hard-crashes on a raw 0x0B — so the
            -- feed template strips them, textuni-fuzz aligned)
            CASE WHEN xml IS NULL THEN NULL
-                ELSE regexp_replace(p_brand,
-                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') END AS brand,
+                ELSE {strip_c0_controls_sql('p_brand')} END AS brand,
            CASE WHEN xml LIKE '%<sale_price>%'
                 THEN regexp_extract(xml, '<sale_price>([^<]*)</sale_price>', 1)
                 ELSE regexp_extract(xml, '<price>([^<]*)</price>', 1) END AS effective_price
@@ -133,19 +135,14 @@ def xml_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sale = F.concat(
         F.floor(F.col("p_retailprice") * 0.9).cast("bigint").cast("string"), F.lit(".00")
     )
-    # XML-escape the brand (free text): raw & or < makes the feed
-    # item unparseable, and an UNescaped \r would be eaten by XML
-    # line-end normalization (text-fuzz aligned; same chain in the
-    # oracle template, so xpath decodes back to the same brand).
-    # C0 controls other than \t\n\r are ILLEGAL in XML 1.0 even as
-    # character entities — a raw 0x0B in free text crashes Xerces
-    # inside xpath_string (textuni-fuzz finding) — so the feed
-    # template STRIPS them first, as any real feed builder must.
-    brand_esc = F.regexp_replace(
-        F.col("p_brand"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""
-    )
-    for needle, repl in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ("\r", "&#13;")):
-        brand_esc = F.replace(brand_esc, F.lit(needle), F.lit(repl))
+    # Brand is free text: the shared xml_escape_free_text boundary
+    # (functions/text.py) strips C0 controls then entity-escapes —
+    # raw & or < makes the feed item unparseable, a raw 0x0B crashes
+    # Xerces inside xpath_string (textuni-fuzz finding), and an
+    # unescaped \r is eaten by XML line-end normalization. The oracle
+    # templates the identical chain, so xpath decodes back to the
+    # same control-stripped brand.
+    brand_esc = xml_escape_free_text(F.col("p_brand"))
     xml = F.concat(
         F.lit("<item><gtin>G"), F.col("p_partkey").cast("string"), F.lit("</gtin><brand>"),
         brand_esc, F.lit("</brand><price>"), price, F.lit("</price>"),
@@ -874,24 +871,17 @@ def revenue_contribution_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "variant_semistructured_extraction",
-    """
+    f"""
     WITH payload AS (
         SELECT p_partkey,
-               '{"id": ' || p_partkey || ', "price": ' ||
+               '{{"id": ' || p_partkey || ', "price": ' ||
                CAST(floor(p_retailprice) AS BIGINT) || '.50' ||
                CASE WHEN p_partkey % 4 <> 0
-                    THEN ', "attrs": {"size": ' || p_partkey % 50 ||
+                    THEN ', "attrs": {{"size": ' || p_partkey % 50 ||
                          ', "brand": "' ||
-                         replace(replace(replace(replace(replace(
-                             regexp_replace(p_brand,
-                                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
-                             chr(92), chr(92) || chr(92)),
-                             '"', chr(92) || '"'),
-                             chr(10), chr(92) || 'n'),
-                             chr(13), chr(92) || 'r'),
-                             chr(9), chr(92) || 't') || '"}'
+                         {json_escape_free_text_sql('p_brand')} || '"}}'
                     ELSE '' END ||
-               ', "tags": ["t0", "t' || p_partkey % 3 || '"]}' AS js
+               ', "tags": ["t0", "t' || p_partkey % 3 || '"]}}' AS js
         FROM part
         WHERE p_retailprice IS NOT NULL AND NOT isnan(p_retailprice) AND p_retailprice > -1e10 AND p_retailprice < 1e10
     )
@@ -917,20 +907,12 @@ def variant_semistructured_extraction(spark: SparkSession, sf_dir: str) -> DataF
     p = load_table(spark, sf_dir, "part").filter(
         finite_measure("p_retailprice")
     )
-    # brand is free text: JSON-escape backslash/quote/control chars
-    # before templating, or one quoted brand makes the whole payload
-    # malformed and parse_json throws (text-fuzz aligned; identical
-    # replace chain in the oracle). C0 controls the chain does NOT
-    # escape (VT/FF/etc.) are raw-illegal inside JSON strings — one
-    # 0x0B made FAILFAST parse_json kill the job (textuni-fuzz
-    # finding) — so the template strips them, like the XML feed.
-    esc = F.regexp_replace(
-        F.col("p_brand"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""
-    )
-    for needle, repl in (
-        ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
-    ):
-        esc = F.replace(esc, F.lit(needle), F.lit(repl))
+    # Brand is free text: the shared json_escape_free_text boundary
+    # (functions/text.py) strips C0 controls then JSON-escapes — one
+    # quoted brand makes the payload malformed (parse_json throws),
+    # and one raw 0x0B made FAILFAST parse_json kill the job
+    # (textuni-fuzz finding). Identical chain in the oracle template.
+    esc = json_escape_free_text(F.col("p_brand"))
     js = F.concat(
         F.lit('{"id": '), F.col("p_partkey").cast("string"),
         F.lit(', "price": '), F.floor("p_retailprice").cast("long").cast("string"),

@@ -114,7 +114,9 @@ def serve_stream(
     # Fail at call time, not inside the first trigger's foreachBatch:
     # a stray string ("8") or non-positive count would otherwise
     # surface as an opaque streaming-query failure.
-    if sink_files is not None and (not isinstance(sink_files, int) or sink_files < 1):
+    if sink_files is not None and (
+        not isinstance(sink_files, int) or isinstance(sink_files, bool) or sink_files < 1
+    ):
         raise ValueError(
             f"sink_files must be None, a positive int, or 'auto'; got {sink_files!r}"
         )

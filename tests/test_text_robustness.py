@@ -393,3 +393,62 @@ def test_java_lower_sql_complete_over_fuzz_pools(spark):
     for s, sv in zip(pool, slow):
         dv = con.execute(f"SELECT {java_lower_sql('?')}", [s]).fetchone()[0]
         assert dv == sv, (s, sv, dv)
+
+
+def test_escape_chains_live_only_in_text_module():
+    """The C0-strip + escape chain for constructed JSON/XML feed
+    templates must have exactly ONE boundary: functions/text.py. The
+    r11 whois divergence (judge seed 4099: a raw VT in s_name crashed
+    the DuckDB oracle while Spark nulled the row) existed because the
+    chain was hand-copied per file and one copy missed the C0 strip.
+    This grep gate fails if a duplicated chain reappears anywhere in
+    the package outside the helper module."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "htmlentityextraction_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        if py.name == "text.py" and py.parent.name == "functions":
+            continue
+        src = py.read_text(encoding="utf-8")
+        # SQL-side copy: the backslash-doubling replace chain
+        if "chr(92) || chr(92)" in src:
+            offenders.append(f"{py}: SQL escape chain (chr(92))")
+        # Spark-side copy: an inline C0-strip regex outside the helper
+        for spelling in ("x00-\\\\x08", "x00-\\x08"):
+            if spelling in src:
+                offenders.append(f"{py}: inline C0-strip regex")
+                break
+    assert offenders == [], offenders
+
+
+def test_json_escape_free_text_strips_c0_both_engines(spark):
+    """Potency pin for the r12 class fix: a raw VT/FF/NUL in free text
+    routed through json_escape_free_text must survive templating on
+    BOTH engines — Spark's from_json parses the payload (no corrupt
+    null-out) and DuckDB's yyjson doesn't crash — and both decode back
+    to the same C0-stripped string."""
+    from htmlentityextraction_spark.functions.text import (
+        json_escape_free_text,
+        json_escape_free_text_sql,
+    )
+
+    poison = 'vertical\x0btab "quoted" \\slash\x00\x1f end'
+    clean = 'verticaltab "quoted" \\slash end'
+
+    df = spark.createDataFrame([(poison,)], "s string")
+    payload = F.concat(F.lit('{"v": "'), json_escape_free_text(F.col("s")), F.lit('"}'))
+    got = (
+        df.select(F.from_json(payload, "v string").alias("j"))
+        .select(F.col("j.v").alias("v"))
+        .collect()[0][0]
+    )
+    assert got == clean
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT ? AS s", [poison])
+    sql_payload = f"'{{\"v\": \"' || {json_escape_free_text_sql('s')} || '\"}}'"
+    duck = con.execute(
+        f"SELECT json_extract_string({sql_payload}, '$.v') FROM t"
+    ).fetchone()[0]
+    assert duck == clean
