@@ -97,6 +97,43 @@ def run_anchor(spark) -> float:
     return runs[1]
 
 
+def run_anchor2(spark, sf_dir: str) -> float:
+    """CODE-FROZEN second anchor (round 12) — do NOT change. Parquet
+    scan + Arrow Pandas-UDF roundtrip + noop sink, median of 3, over
+    the session's lineitem fixture (fixture-dependent by design:
+    compare only at the same sf, which the driver pins to sf0.1).
+
+    Why a second anchor: the r11 driver run exposed the first
+    anchor's blind spot — pure-codegen work barely inflates under box
+    load while shuffle/Python-path queries inflate 2-3x (driver file:
+    dedup_minhash_lsh ratio 14.2 at 1-min loadavg 3.45 vs 5.6 on the
+    fresh pair, byte-identical plans). This anchor exercises the
+    scan + Arrow-transfer + Python-worker path, so Python-shaped
+    queries have a matched denominator and the two anchors bracket
+    the workload mix."""
+    import pandas as pd  # noqa: F401  (worker-side import warm)
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def fn(batches):
+        for pdf in batches:
+            yield type(pdf)({"x": pdf["l_extendedprice"] * 0.5 + pdf["l_quantity"]})
+
+    def once() -> float:
+        t0 = time.time()
+        df = (
+            spark.read.parquet(path)
+            .select("l_extendedprice", "l_quantity")
+            .mapInPandas(fn, "x double")
+        )
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    runs = sorted(once() for _ in range(3))
+    print(f"# anchor2: {runs[1]}s (runs {runs})", file=sys.stderr)
+    return runs[1]
+
+
 def _uptime_sec() -> int:
     try:
         with open("/proc/uptime") as fh:
@@ -108,9 +145,18 @@ def _uptime_sec() -> int:
 def main() -> None:
     # snapshot the environment BEFORE the run generates its own load —
     # an end-of-run loadavg mostly measures the bench itself
+    load1, load5, _ = os.getloadavg()
     env_note = {
-        "loadavg_1m_at_start": round(os.getloadavg()[0], 2),
+        "loadavg_1m_at_start": round(load1, 2),
+        "loadavg_5m_at_start": round(load5, 2),
         "uptime_sec_at_start": _uptime_sec(),
+        # r12 validity gate (BENCHNOTES.md): anchor ratios are cross-
+        # round comparable ONLY when BOTH loadavgs are below 1.0 at
+        # start — the r11 driver file showed a 2.5x ratio excursion
+        # (minhash 14.2 vs fresh 5.6) at loadavg 3.45 with
+        # byte-identical plans, because the pure-codegen anchor
+        # doesn't inflate under load the way shuffle/Python paths do.
+        "ratios_comparable": bool(load1 < 1.0 and load5 < 1.0),
     }
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,9 +204,11 @@ def main() -> None:
             print(f"# {name}: {out[name]}s (runs {t1}/{t2}/{t3}){tag}", file=sys.stderr)
         return out
 
-    # calibration anchor FIRST (after warmup, before any query) — the
-    # in-session yardstick every per-query figure is divided by
+    # calibration anchors FIRST (after warmup, before any query) — the
+    # in-session yardsticks every per-query figure is divided by:
+    # anchor = codegen shuffle+agg shape, anchor2 = scan+Python shape
     anchor_sec = run_anchor(spark)
+    anchor2_sec = run_anchor2(spark, sf_dir)
 
     timings = run_set(names, "")
     extended = run_set([n for n in EXTENDED if n in qs], " (extended)")
@@ -186,6 +234,12 @@ def main() -> None:
         # ratio change >1.5x is a finding; absolute seconds are only
         # comparable within the documented drift band (BENCHNOTES.md).
         "anchor_sec": anchor_sec,
+        # r12 second anchor: parquet scan + Arrow pandas-UDF roundtrip
+        # (run_anchor2) — the matched denominator for Python-path
+        # queries; the two anchors bracket the workload mix. Ratios
+        # (both kinds) are cross-round comparable ONLY when
+        # env.ratios_comparable is true in BOTH rounds' files.
+        "anchor2_sec": anchor2_sec,
         "ratios": {
             n: round(t / anchor_sec, 3) for n, t in timings.items()
         } if anchor_sec > 0 else {},

@@ -387,3 +387,10 @@ def test_weighted_samplers_exclude_nonpositive_weights_even_with_spare_capacity(
     assert got == [1, 4], got  # strata have spare capacity; ineligible rows stay out
     got_g = sorted(r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect())
     assert got_g == [1, 4], got_g
+    # degenerate boundary: an ALL-nonpositive population samples to
+    # ZERO rows (pins that ares_key's -inf branch is dead defense —
+    # the caller-side population filter, not the key, is the boundary)
+    all_bad = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None)], "doc_id long, w long"
+    )
+    assert weighted_sample(all_bad, "doc_id", "w", 10).count() == 0
