@@ -1,0 +1,51 @@
+"""Key/ID column semantics shared between the Spark queries and their
+DuckDB oracles (r12, the keyfuzz axis).
+
+Two engine facts this module is the single boundary for:
+
+- **pmod vs ``%``**: Spark's ``F.pmod`` is always non-negative while
+  both engines' ``%`` operator takes the sign of the dividend
+  (``pmod(-1, 8) = 7`` but ``-1 % 8 = -1``). Every query that shards,
+  buckets, or cohorts by ``F.pmod(key, n)`` must pair its oracle with
+  :func:`pmod_sql`, never a raw ``%`` — a negative sentinel id
+  otherwise lands in a different (or impossible) bucket per engine.
+  ``% n = 0`` equality tests are exempt: a zero remainder has no sign,
+  so raw ``%`` agrees with pmod there.
+- **NULL ids under ASC ordering**: Spark sorts NULLS FIRST on ASC,
+  DuckDB NULLS LAST — a NULL id used as a window ORDER BY tie-break
+  silently shifts every lag/lead/rank/first between engines (the
+  key-axis twin of the r10 datenull class). Negative and dangling ids
+  are NOT a divergence hazard (both engines order ints identically;
+  inner joins drop dangles identically on both) — only NULL is, so
+  :func:`valid_id` gates exactly that. Use it at the ingestion
+  boundary of any observation stream whose id columns feed an ASC
+  ordering, a merge/upsert key, or an identity-sensitive derivation.
+
+Fuzz axis: ``tools/null_fuzz.py --kind keyfuzz`` (NULL/dangling/
+negative FKs + duplicated PKs); engine facts pinned in
+tests/test_key_robustness.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pmod_sql(expr: str, n: int) -> str:
+    """DuckDB twin of Spark's ``F.pmod(expr, n)``: non-negative
+    remainder, NULL-preserving (``((expr % n) + n) % n``)."""
+    return f"(((({expr}) % {n}) + {n}) % {n})"
+
+
+def valid_id(col: str) -> Column:
+    """The key-axis ingestion gate: TRUE for rows whose id is usable
+    as an ordering / identity axis. Only NULL diverges cross-engine
+    (see module docstring), so only NULL is excluded — negative and
+    dangling ids stay in the population."""
+    return F.col(col).isNotNull()
+
+
+def valid_id_sql(expr: str) -> str:
+    """DuckDB twin of :func:`valid_id`."""
+    return f"({expr}) IS NOT NULL"

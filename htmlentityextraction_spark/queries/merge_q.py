@@ -25,21 +25,41 @@ from htmlentityextraction_spark.operators.incremental import (
     OP_UPSERT,
     ParquetMergeTable,
 )
+from htmlentityextraction_spark.functions.keys import pmod_sql, valid_id
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
 
+# keyfuzz ingestion boundary (r12) for the WHOLE merge family: a
+# merge-table key is a PRIMARY KEY. A NULL key is a corrupt row, and a
+# duplicate-key pair in the source (the at-least-once-delivery shape)
+# would write a corrupted table — two rows per key after an upsert —
+# so ingestion resolves both deterministically: drop NULL keys, keep
+# max(price) per key. Every oracle mirrors the identical dedup, and
+# every `% n` bucket comparison with a nonzero remainder uses the
+# pmod twin (Spark F.pmod is non-negative; raw `%` takes the dividend
+# sign on both engines).
+def _orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+
+
 @register(
     "merge_incremental_orders",
     """
-    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
     SELECT k AS o_orderkey,
-           CASE WHEN k % 7 = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 1.05 * 100) / 100
-                WHEN k % 14 = 2 THEN 1.0
-                WHEN k % 7 = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 0.9 * 100) / 100
+           CASE WHEN ((((k) % 7) + 7) % 7) = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 1.05 * 100) / 100
+                WHEN ((((k) % 14) + 14) % 14) = 2 THEN 1.0
+                WHEN ((((k) % 7) + 7) % 7) = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10) THEN floor(p * 0.9 * 100) / 100
                 ELSE p END AS price
-    FROM o WHERE k % 14 <> 9
+    FROM o WHERE ((((k) % 14) + 14) % 14) <> 9
     UNION ALL
     SELECT k + 10000000 AS o_orderkey, 5.0 AS price FROM o WHERE k % 50 = 0
     """,
@@ -58,9 +78,7 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     """The shared two-merge scenario (see merge_incremental_orders)
     — also the CDC fixture: v1 = raw orders, v3 = after both
     merges."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
-    )
+    orders = _orders_source(spark, sf_dir)
     k = F.col("o_orderkey")
     path = tempfile.mkdtemp(prefix="merge_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
@@ -105,19 +123,21 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
 @register(
     "mergetable_pruned_range_read",
     """
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
     SELECT o_orderkey, price FROM (
-        SELECT o_orderkey,
+        SELECT k AS o_orderkey,
                -- the markup applies only to usable prices: a corrupt
                -- (NULL/NaN/out-of-range) price passes through raw on
                -- both engines (Spark floor(inf) clamps, duck keeps inf)
-               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey BETWEEN 8000 AND 16000
+               CASE WHEN k % 5 = 0 AND k BETWEEN 8000 AND 16000
                          AND {fp}
-                    THEN floor(o_totalprice * 1.10 * 100) / 100
-                    ELSE o_totalprice END AS price
-        FROM orders
-        WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey BETWEEN 8000 AND 16000)
+                    THEN floor(p * 1.10 * 100) / 100
+                    ELSE p END AS price
+        FROM o
+        WHERE NOT (((((k) % 10) + 10) % 10) = 7 AND k BETWEEN 8000 AND 16000)
     ) WHERE o_orderkey BETWEEN 10000 AND 14000
-    """.format(fp=finite_measure_sql("o_totalprice")),
+    """.format(fp=finite_measure_sql("p")),
 )
 def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-bucketed merge table (bucket = key div 2000, the Iceberg
@@ -128,9 +148,7 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     never changes results). The manifest-level file skipping a
     Delta/Iceberg reader gets — at 100 TB a narrow range read lists
     a handful of bucket dirs instead of the table."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
-    )
+    orders = _orders_source(spark, sf_dir)
     k = F.col("o_orderkey")
     path = tempfile.mkdtemp(prefix="merge_rng_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(
@@ -154,7 +172,8 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mergetable_cdc_changes",
     """
-    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
     -- p IS NOT NULL on the derived-update branches: a NULL price
     -- maps to a NULL new price, and NULL -> NULL is NOT a change
     -- under CDC's null-safe diff (null-fuzz aligned). The derived
@@ -164,17 +183,17 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k AS o_orderkey, 'update' AS change_type,
            round(p + 1e-9, 6) AS old_price,
            round(floor(p * 1.05 * 100) / 100 + 1e-9, 6) AS new_price
-    FROM o WHERE k % 7 = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
+    FROM o WHERE ((((k) % 7) + 7) % 7) = 1 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
       AND NOT (floor(p * 1.05 * 100) / 100 = p)
     UNION ALL
-    SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE k % 14 = 2
+    SELECT k, 'update', round(p + 1e-9, 6), 1.0 FROM o WHERE ((((k) % 14) + 14) % 14) = 2
     UNION ALL
     SELECT k, 'update', round(p + 1e-9, 6),
            round(floor(p * 0.9 * 100) / 100 + 1e-9, 6)
-    FROM o WHERE k % 7 = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
+    FROM o WHERE ((((k) % 7) + 7) % 7) = 3 AND (p IS NOT NULL AND NOT isnan(p) AND p > -1e10 AND p < 1e10)
       AND NOT (floor(p * 0.9 * 100) / 100 = p)
     UNION ALL
-    SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE k % 14 = 9
+    SELECT k, 'delete', round(p + 1e-9, 6), CAST(NULL AS DOUBLE) FROM o WHERE ((((k) % 14) + 14) % 14) = 9
     UNION ALL
     SELECT k + 10000000, 'insert', CAST(NULL AS DOUBLE), 5.0 FROM o WHERE k % 50 = 0
     """,
@@ -203,18 +222,19 @@ def mergetable_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH final AS (
         SELECT o_orderkey, price FROM (
-            WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+            WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
             SELECT k AS o_orderkey,
-                   CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
-                        WHEN k % 14 = 2 THEN 1.0
-                        WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                   CASE WHEN ((((k) % 7) + 7) % 7) = 1 THEN floor(p * 1.05 * 100) / 100
+                        WHEN ((((k) % 14) + 14) % 14) = 2 THEN 1.0
+                        WHEN ((((k) % 7) + 7) % 7) = 3 THEN floor(p * 0.9 * 100) / 100
                         ELSE p END AS price
-            FROM o WHERE k % 14 <> 9
+            FROM o WHERE ((((k) % 14) + 14) % 14) <> 9
             UNION ALL
             SELECT k + 10000000, 5.0 FROM o WHERE k % 50 = 0
         )
     )
-    SELECT o_orderkey % 100 AS price_group,
+    SELECT ((((o_orderkey) % 100) + 100) % 100) AS price_group,
            count(*) AS n_orders,
            -- NaN contributes no cents (same as NULL) on both engines
            CAST(sum(CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
@@ -322,18 +342,19 @@ def mergetable_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH final AS (
         SELECT o_orderkey, price FROM (
-            WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+            WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
             SELECT k AS o_orderkey,
-                   CASE WHEN k % 7 = 1 THEN floor(p * 1.05 * 100) / 100
-                        WHEN k % 14 = 2 THEN 1.0
-                        WHEN k % 7 = 3 THEN floor(p * 0.9 * 100) / 100
+                   CASE WHEN ((((k) % 7) + 7) % 7) = 1 THEN floor(p * 1.05 * 100) / 100
+                        WHEN ((((k) % 14) + 14) % 14) = 2 THEN 1.0
+                        WHEN ((((k) % 7) + 7) % 7) = 3 THEN floor(p * 0.9 * 100) / 100
                         ELSE p END AS price
-            FROM o WHERE k % 14 <> 9
+            FROM o WHERE ((((k) % 14) + 14) % 14) <> 9
             UNION ALL
             SELECT k + 10000000, 5.0 FROM o WHERE k % 50 = 0
         )
     ), agg AS (
-        SELECT o_orderkey % 100 AS price_group,
+        SELECT ((((o_orderkey) % 100) + 100) % 100) AS price_group,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(sum(CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s,
                CAST(sum((CASE WHEN NOT (price IS NOT NULL AND NOT isnan(price) AND price > -1e10 AND price < 1e10) THEN NULL ELSE CAST(floor(price * 100 + 0.5) AS BIGINT) END)
@@ -407,14 +428,15 @@ def matview_variance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mergetable_history_rows",
     """
-    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey),
     v1 AS (SELECT count(*) AS n FROM o),
     v2 AS (
         -- batch 1 deletes ALL k%7==2 (the k%14==2 half returns only
         -- in batch 2's re-insert)
-        SELECT (SELECT count(*) FROM o WHERE k % 7 <> 2) AS n
+        SELECT (SELECT count(*) FROM o WHERE ((((k) % 7) + 7) % 7) <> 2) AS n
     ), v3 AS (
-        SELECT (SELECT count(*) FROM o WHERE k % 14 <> 9)
+        SELECT (SELECT count(*) FROM o WHERE ((((k) % 14) + 14) % 14) <> 9)
              + (SELECT count(*) FROM o WHERE k % 50 = 0) AS n
     )
     SELECT 1 AS version, CAST((SELECT n FROM v1) AS BIGINT) AS total_rows
@@ -441,12 +463,13 @@ def mergetable_history_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mergetable_schema_evolution",
     """
-    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
     SELECT k AS o_orderkey,
-           CASE WHEN k % 11 = 4 AND {fp}
+           CASE WHEN ((((k) % 11) + 11) % 11) = 4 AND {fp}
                 THEN floor(p * 1.10 * 100) / 100 ELSE p END AS unit_price,
-           CASE WHEN k % 11 = 4 AND {fp}
-                THEN CAST(k % 5 AS INT) ELSE NULL END AS qty
+           CASE WHEN ((((k) % 11) + 11) % 11) = 4 AND {fp}
+                THEN CAST(((((k) % 5) + 5) % 5) AS INT) ELSE NULL END AS qty
     FROM o
     """.format(fp=finite_measure_sql("p")),
 )
@@ -463,20 +486,18 @@ def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     name. Corrupt source measurements are excluded from the update
     batch per the finite-measure ingestion contract (floor(NaN)
     diverges across engines)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
-    )
+    orders = _orders_source(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="evo_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
     tbl.create(orders)
     tbl.rename_column("price", "unit_price")
     k = F.col("o_orderkey")
     updates = (
-        load_table(spark, sf_dir, "orders")
-        .filter((F.pmod(k, F.lit(11)) == 4) & finite_measure("o_totalprice"))
+        _orders_source(spark, sf_dir)
+        .filter((F.pmod(k, F.lit(11)) == 4) & finite_measure("price"))
         .select(
             "o_orderkey",
-            (F.floor(F.col("o_totalprice") * 1.10 * 100) / 100).alias("unit_price"),
+            (F.floor(F.col("price") * 1.10 * 100) / 100).alias("unit_price"),
             F.pmod(k, F.lit(5)).cast("int").alias("qty"),
             F.lit(OP_UPSERT).alias("op"),
         )
@@ -488,13 +509,14 @@ def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mergetable_schema_drop_widen",
     """
-    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    WITH o AS (SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders
+               WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
     SELECT k AS o_orderkey,
-           CASE WHEN k % 13 = 6 AND {fp}
+           CASE WHEN ((((k) % 13) + 13) % 13) = 6 AND {fp}
                 THEN floor(p * 1.05 * 100) / 100 ELSE p END AS price,
-           CASE WHEN k % 13 = 6 AND {fp}
-                THEN 3000000000 + (k % 5) ELSE k % 5 END AS qty,
-           CASE WHEN k % 13 = 6 AND {fp}
+           CASE WHEN ((((k) % 13) + 13) % 13) = 6 AND {fp}
+                THEN 3000000000 + (((((k) % 5) + 5) % 5)) ELSE ((((k) % 5) + 5) % 5) END AS qty,
+           CASE WHEN ((((k) % 13) + 13) % 13) = 6 AND {fp}
                 THEN 'update' ELSE NULL END AS change_type
     FROM o
     """.format(fp=finite_measure_sql("p")),
@@ -516,22 +538,33 @@ def mergetable_schema_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corrupt measurements are excluded from the update batch per the
     finite-measure ingestion contract."""
     k = F.col("o_orderkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.pmod(k, F.lit(5)).cast("int").alias("qty"),
-        F.col("o_orderpriority").alias("tag"),
+    # the dedup boundary keeps max(price); tag resolves to max() too —
+    # deterministic under conflicting duplicates
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("o_totalprice").alias("price"),
+            F.max("o_orderpriority").alias("tag"),
+        )
+        .select(
+            "o_orderkey",
+            "price",
+            F.pmod(k, F.lit(5)).cast("int").alias("qty"),
+            "tag",
+        )
     )
     path = tempfile.mkdtemp(prefix="dw_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
     tbl.create(orders)  # v1
     tbl.drop_column("tag")  # v2: metadata-only
     updates = (
-        load_table(spark, sf_dir, "orders")
-        .filter((F.pmod(k, F.lit(13)) == 6) & finite_measure("o_totalprice"))
+        _orders_source(spark, sf_dir)
+        .filter((F.pmod(k, F.lit(13)) == 6) & finite_measure("price"))
         .select(
             "o_orderkey",
-            (F.floor(F.col("o_totalprice") * 1.05 * 100) / 100).alias("price"),
+            (F.floor(F.col("price") * 1.05 * 100) / 100).alias("price"),
             (F.lit(3_000_000_000) + F.pmod(k, F.lit(5))).cast("long").alias("qty"),
             F.lit(OP_UPSERT).alias("op"),
         )

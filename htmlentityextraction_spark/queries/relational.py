@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators.relational import dedup_keep_latest, top_k
+from htmlentityextraction_spark.functions.keys import pmod_sql
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -529,10 +530,13 @@ def stable_ids_for_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "modulo_group_assignment",
     """
-    SELECT l_orderkey % 8 AS grp, count(*) AS n,
+    SELECT {grp} AS grp, count(*) AS n,
            round(sum(l_quantity) + 1e-9, 2) AS total_qty
     FROM lineitem WHERE {fp} GROUP BY 1
-    """.format(fp=finite_measure_sql("l_quantity")),
+    """.format(
+        fp=finite_measure_sql("l_quantity"),
+        grp=pmod_sql("l_orderkey", 8),
+    ),
 )
 def modulo_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: `index % domainGrp` sharding `utils/Utils.scala:351-353`,

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.keys import pmod_sql, valid_id
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import valid_date_axis
 from htmlentityextraction_spark.registry import register
@@ -941,10 +942,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "did_aa_experiment_check",
     """
     WITH cells AS (
-        SELECT user_id % 2 = 1 AS treated,
+        SELECT {p2} = 1 AS treated,
                ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
                value
         FROM events WHERE event_type = 'purchase'
+          AND user_id IS NOT NULL
           AND value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10
     ), m AS (
         SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
@@ -958,7 +960,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND NOT cp.treated AND cp.post AND NOT cb.treated AND NOT cb.post)
                  + 1e-9, 6) AS did_estimate
     FROM m
-    """,
+    """.format(p2=pmod_sql("user_id", 2)),
 )
 def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences machinery validated as an A/A test:
@@ -973,8 +975,13 @@ def did_aa_experiment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold — a ±5e307 pair in one cell makes Spark's partial-agg and
     # DuckDB's sequential sums cancel differently (r10 fold-shape
     # audit; same class as daily_value_autocorrelation).
+    # valid_id: a NULL user id has no experiment arm — and a NULL
+    # BOOLEAN output cell would canonicalize differently per engine
+    # through pandas (None vs NaN; keyfuzz finding, r12)
     ev = load_table(spark, sf_dir, "events").where(
-        (F.col("event_type") == "purchase") & finite_measure("value")
+        (F.col("event_type") == "purchase")
+        & valid_id("user_id")
+        & finite_measure("value")
     )
     cells = ev.select(
         (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treated"),

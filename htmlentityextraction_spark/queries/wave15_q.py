@@ -11,13 +11,12 @@ release publishes the result. Every query is closed-form SQL on both
 engines; randomness is the repo's cross-engine md5 hash family
 (`operators/dedup.py:240-252`), so oracle hashes are exact.
 
-Cross-engine caveat, documented once for the suite: arm assignment
-(`cuped_adjusted_experiment`, `srm_sample_ratio_mismatch`) uses
-Spark ``F.pmod`` vs the oracle's ``%``, which agree only for
-NON-NEGATIVE ids (DuckDB ``%`` returns negative remainders). The
-testdata ``user_id`` domain is non-negative (same contract wave-14's
-modulo queries rely on); a deployment with signed ids must wrap both
-sides in abs() or align on pmod semantics first.
+Arm assignment (`cuped_adjusted_experiment`,
+`srm_sample_ratio_mismatch`) uses Spark ``F.pmod``; the oracles spell
+the pmod twin via ``functions.keys.pmod_sql`` so signed ids bucket
+identically on both engines, and NULL ids are excluded by the
+``valid_id`` gate (no arm, and a NULL boolean cell canonicalizes
+divergently through pandas) — the r12 keyfuzz class closures.
 """
 
 from __future__ import annotations
@@ -25,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.keys import pmod_sql, valid_id, valid_id_sql
 from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
@@ -78,20 +78,26 @@ def _sql_poisson(u_sql: str) -> str:
     return expr
 
 
+# Spark buckets by pmod; raw % takes the dividend sign on both
+# engines, so the oracle must spell the pmod twin (keyfuzz class)
+_UID_PARITY = pmod_sql("user_id", 2)
+
+
 @register(
     "cuped_adjusted_experiment",
     f"""
     WITH per_user AS (
         SELECT user_id,
-               user_id % 2 = 1 AS treated,
+               {_UID_PARITY} = 1 AS treated,
                avg(CASE WHEN ts <  TIMESTAMP '{_CUT}' THEN value END) AS x,
                avg(CASE WHEN ts >= TIMESTAMP '{_CUT}' THEN value END) AS y
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        FROM events WHERE user_id IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value)
           AND value > -1e10 AND value < 1e10 GROUP BY user_id
     ), both_periods AS (
         SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
     ), pooled AS (
-        SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mx
+        SELECT covar_pop(x, y) / NULLIF(var_pop(x), 0) AS theta, avg(x) AS mx
         FROM both_periods
     ), adj AS (
         SELECT b.treated, b.y,
@@ -103,7 +109,7 @@ def _sql_poisson(u_sql: str) -> str:
            round(avg(y_cuped) + 1e-9, 6) AS mean_cuped,
            round(var_pop(y) + 1e-9, 3) AS var_raw,
            round(var_pop(y_cuped) + 1e-9, 3) AS var_cuped,
-           round((1.0 - var_pop(y_cuped) / var_pop(y)) * 100.0 + 1e-9, 2)
+           round((1.0 - var_pop(y_cuped) / NULLIF(var_pop(y), 0)) * 100.0 + 1e-9, 2)
                AS var_reduction_pct
     FROM adj GROUP BY treated
     """,
@@ -122,7 +128,12 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-finite metric values are excluded on both engines (duck
     # var_pop over NaN/1e308 raises out-of-range; Spark avg would
     # propagate NaN into theta)
-    ev = load_table(spark, sf_dir, "events").filter(finite_measure("value"))
+    # valid_id: a NULL user id has no experiment arm (and a NULL
+    # boolean `treated` cell canonicalizes divergently via pandas —
+    # same keyfuzz class as did_aa_experiment_check)
+    ev = load_table(spark, sf_dir, "events").filter(
+        valid_id("user_id") & finite_measure("value")
+    )
     cut = F.lit(_CUT).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
         F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
@@ -131,8 +142,12 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = per_user.where(F.col("x").isNotNull() & F.col("y").isNotNull()).select(
         (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treated"), "x", "y"
     )
+    # try_divide: a degenerate population (one distinct x — e.g. all
+    # purchases collapsed onto one sentinel user by id poison) has
+    # var_pop 0; ANSI `/` would kill the job where the oracle's
+    # NULLIF quietly yields NULL (keyfuzz crash finding, r12)
     pooled = both.agg(
-        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")).alias("theta"),
         F.avg("x").alias("mx"),
     )
     adj = both.crossJoin(F.broadcast(pooled)).select(
@@ -147,7 +162,8 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("y") + F.lit(1e-9), 3).alias("var_raw"),
         F.round(F.var_pop("y_cuped") + F.lit(1e-9), 3).alias("var_cuped"),
         F.round(
-            (F.lit(1.0) - F.var_pop("y_cuped") / F.var_pop("y")) * 100.0 + F.lit(1e-9),
+            (F.lit(1.0) - F.try_divide(F.var_pop("y_cuped"), F.var_pop("y"))) * 100.0
+            + F.lit(1e-9),
             2,
         ).alias("var_reduction_pct"),
     )
@@ -155,9 +171,12 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srm_sample_ratio_mismatch",
-    """
+    f"""
     WITH users AS (
-        SELECT DISTINCT user_id FROM events
+        -- a NULL id is not a randomization unit (valid_id gate); the
+        -- 90_10 split needs the pmod twin: -1 % 10 = -1 < 9 would
+        -- assign negative ids to A here while Spark's pmod says B
+        SELECT DISTINCT user_id FROM events WHERE {valid_id_sql('user_id')}
     ), assigned AS (
         SELECT s.split_name, s.p_a,
                CAST(sum(CASE WHEN s.in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -166,7 +185,8 @@ def cuped_adjusted_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT '50_50' AS split_name, 0.5 AS p_a, user_id % 2 = 0 AS in_a
             FROM users
             UNION ALL
-            SELECT '90_10' AS split_name, 0.9 AS p_a, user_id % 10 < 9 AS in_a
+            SELECT '90_10' AS split_name, 0.9 AS p_a,
+                   {pmod_sql('user_id', 10)} < 9 AS in_a
             FROM users
         ) s GROUP BY s.split_name, s.p_a
     )
@@ -189,7 +209,12 @@ def srm_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same scan via a 2-way literal fan-out, then a 2-group
     agg. At 100 TB the distinct is the only real cost and it is the
     minimal one."""
-    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    users = (
+        load_table(spark, sf_dir, "events")
+        .filter(valid_id("user_id"))
+        .select("user_id")
+        .distinct()
+    )
     splits = users.select(
         F.explode(
             F.array(

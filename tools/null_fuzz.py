@@ -668,9 +668,11 @@ def fuzz_table(
             counts[col] = int(pc.sum(mask).as_py() or 0)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
-    if kind == "keyfuzz":
+    if kind in ("keyfuzz", "keyfk", "keydup"):
+        # keyfk/keydup: single-hazard sub-kinds for finding triage —
+        # same placement code, FK poison only / PK duplication only.
         # FK poison: NULL / dangling / negative ids at row rate.
-        for col in KEYFUZZ_FK.get(table, []):
+        for col in KEYFUZZ_FK.get(table, []) if kind != "keydup" else []:
             if col not in t.column_names:
                 continue
             idx = t.column_names.index(col)
@@ -688,7 +690,7 @@ def fuzz_table(
         # PK duplication: append rate/2 of rows again — even slots
         # byte-identical (pure fan-out), odd slots with one mutated
         # attribute (conflicting versions of the same id).
-        if table in KEYFUZZ_PK:
+        if table in KEYFUZZ_PK and kind != "keyfk":
             pk_col, conflict_col = KEYFUZZ_PK[table]
             rng = np.random.default_rng(
                 zlib.crc32(f"{seed}:{table}:{pk_col}:keydup".encode())
@@ -954,7 +956,7 @@ def main() -> None:
             "null", "nan", "nullgroup", "nangroup", "extremegroup",
             "nullcat", "nancat", "text", "empty", "extreme", "mixed", "time",
             "infpair", "vecpoison", "datenull", "textuni", "intedge",
-            "keyfuzz", "matrix",
+            "keyfuzz", "keyfk", "keydup", "matrix",
         ],
         default="null",
     )
