@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.keys import pmod_sql, valid_id, valid_id_sql
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import (
     epoch_seconds,
@@ -27,7 +28,7 @@ from htmlentityextraction_spark.sources.tables import load_table
                    PARTITION BY l_partkey, l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS delta
         FROM lineitem
-        WHERE {fp} AND {vt}
+        WHERE {fp} AND {vt} AND {k1} AND {k2}
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
     ranked AS (
         SELECT prodid, store_id, price, delta,
@@ -45,7 +46,9 @@ from htmlentityextraction_spark.sources.tables import load_table
            round(max(CASE WHEN rn_dec = 1 THEN delta END) + 1e-9, 6) AS max_dec_delta
     FROM ranked GROUP BY prodid
     """.format(fp=finite_measure_sql("l_extendedprice"),
-               vt=valid_date_axis_sql("l_shipdate")),
+               vt=valid_date_axis_sql("l_shipdate"),
+               k1=valid_id_sql("l_orderkey"),
+               k2=valid_id_sql("l_linenumber")),
 )
 def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV7 extremes (`analytics/ProdMetricsV7.scala:116-151`):
@@ -58,6 +61,8 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store_id"),
@@ -94,7 +99,7 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(l_extendedprice) OVER w AS prev_price,
                l_extendedprice - lag(l_extendedprice) OVER w AS delta
         FROM lineitem
-        WHERE {fp} AND {vt}
+        WHERE {fp} AND {vt} AND {k1} AND {k2}
         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), valid AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
@@ -118,7 +123,9 @@ def prod_metrics_delta_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(price + 1e-9, 6) AS price_to
     FROM ranked WHERE rn_dec <= 2
     """.format(fp=finite_measure_sql("l_extendedprice"),
-               vt=valid_date_axis_sql("l_shipdate")),
+               vt=valid_date_axis_sql("l_shipdate"),
+               k1=valid_id_sql("l_orderkey"),
+               k2=valid_id_sql("l_linenumber")),
 )
 def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProdMetricsV6 top-2 variant (`analytics/ProdMetricsV6.scala:
@@ -133,7 +140,12 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(finite_measure("l_extendedprice") & valid_date_axis("l_shipdate"))
+        .filter(
+            finite_measure("l_extendedprice")
+            & valid_date_axis("l_shipdate")
+            & valid_id("l_orderkey")
+            & valid_id("l_linenumber")
+        )
         .select(
             F.col("l_partkey").alias("prodid"),
             F.col("l_suppkey").alias("store_id"),
@@ -171,8 +183,8 @@ def prod_metrics_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_store_price_matrix",
     """
     WITH latest AS (
-        SELECT l_partkey AS prodid, l_suppkey % 4 AS store_grp, l_extendedprice AS price,
-               row_number() OVER (PARTITION BY l_partkey, l_suppkey % 4
+        SELECT l_partkey AS prodid, ((((l_suppkey) % 4) + 4) % 4) AS store_grp, l_extendedprice AS price,
+               row_number() OVER (PARTITION BY l_partkey, ((((l_suppkey) % 4) + 4) % 4)
                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         FROM lineitem
     )

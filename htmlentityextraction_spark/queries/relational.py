@@ -461,7 +461,13 @@ def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_parts_per_order",
     """
     SELECT l_orderkey,
-           array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts
+           -- FILTER + coalesce: a NULL member is not a member —
+           -- Spark's collect_set drops NULLs while duck's list()
+           -- keeps them, and duck renders an empty/NULL list as NULL
+           -- where Spark's concat_ws gives '' (keyfuzz finding, r12)
+           coalesce(array_to_string(
+               list_sort(list(DISTINCT l_partkey)
+                         FILTER (WHERE l_partkey IS NOT NULL)), ','), '') AS parts
     FROM lineitem GROUP BY l_orderkey
     """,
 )

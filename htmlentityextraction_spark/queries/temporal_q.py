@@ -16,6 +16,7 @@ from htmlentityextraction_spark.functions.temporal import (
     valid_date_axis,
     valid_date_axis_sql,
 )
+from htmlentityextraction_spark.functions.keys import valid_id, valid_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -160,7 +161,7 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice AS price,
                floor(epoch(l_shipdate)) AS ts,
                lag(l_extendedprice) OVER w AS prev_price
-        FROM lineitem WHERE {vt}
+        FROM lineitem WHERE {vt} AND {k1} AND {k2}
         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), changes AS (
@@ -173,7 +174,9 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(valid_from) OVER (PARTITION BY prodid, store
                                   ORDER BY valid_from) IS NULL AS is_current
     FROM changes
-    """.format(vt=valid_date_axis_sql("l_shipdate")),
+    """.format(vt=valid_date_axis_sql("l_shipdate"),
+               k1=valid_id_sql("l_orderkey"),
+               k2=valid_id_sql("l_linenumber")),
 )
 def scd2_price_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) construction from a change
@@ -185,8 +188,12 @@ def scd2_price_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     two window passes sharing one (prodid, store) partitioning, no
     self-joins."""
     w = Window.partitionBy("prodid", "store").orderBy("__ts", "__ok", "__ln")
+    # valid_id on the ASC tie-break ids (keyfuzz r12, same class
+    # as windows._obs: a NULL id shifts the change log between engines)
     obs = load_table(spark, sf_dir, "lineitem").filter(
         valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),

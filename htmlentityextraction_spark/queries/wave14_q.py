@@ -890,7 +890,10 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS frequency,
                CAST(sum((CASE WHEN NOT (value IS NOT NULL AND NOT isnan(value) AND value > -1e10 AND value < 1e10) THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)) AS BIGINT) AS monetary_cents
         FROM events CROSS JOIN mx
-        WHERE event_type = 'purchase'
+        -- valid_id: RFM is per-customer; a NULL id is not a customer,
+        -- and as an ntile tie-break it orders NULLS FIRST in Spark vs
+        -- NULLS LAST in duck (keyfuzz finding, r12)
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
         GROUP BY user_id, mx.horizon
     )
     SELECT user_id, recency_days, frequency, monetary_cents,
@@ -912,7 +915,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date"))
     mx = ev.agg(F.max(day).alias("horizon"))
     base = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where((F.col("event_type") == "purchase") & valid_id("user_id"))
         .crossJoin(F.broadcast(mx))
         .groupBy("user_id", "horizon")
         .agg(

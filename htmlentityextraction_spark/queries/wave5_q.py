@@ -39,6 +39,7 @@ from htmlentityextraction_spark.operators.timeseries import gap_fill_forward
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import valid_date_axis
 from htmlentityextraction_spark.functions.text import WS_CLASS
+from htmlentityextraction_spark.functions.keys import valid_id, valid_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -158,18 +159,22 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "golden_user_record",
     """
     WITH ranked AS (
+        -- valid_id: survivorship is per-identity; a NULL id has no
+        -- golden record (and the aggs-to-ranked join would drop the
+        -- NULL group here while Spark's single groupBy keeps it —
+        -- keyfuzz finding, r12)
         SELECT user_id, event_type,
                row_number() OVER (
                    PARTITION BY user_id
                    ORDER BY (event_type IS NOT NULL) DESC, ts DESC,
                             event_id DESC) AS rn
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     aggs AS (
         SELECT user_id,
                round(max(value) + 1e-9, 6) AS max_value,
                CAST(count(*) AS BIGINT) AS n_events,
                epoch_us(min(ts)) AS first_us
-        FROM events GROUP BY user_id)
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
     SELECT a.user_id, r.event_type AS last_event_type,
            a.max_value, a.n_events, a.first_us
     FROM aggs a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
@@ -182,7 +187,7 @@ def golden_user_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/survivorship.py`): ``max_by`` over a
     (not-null, ts, tiebreak) struct replaces the oracle's
     window-plus-join. One shuffle for any number of field rules."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(valid_id("user_id"))
     out = golden_record(
         ev,
         "user_id",
@@ -283,8 +288,13 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "basket_brand_lift",
     """
     WITH f AS (
+        -- valid_id: a NULL basket id is not a basket — Spark's
+        -- distinct-count of baskets counts a NULL row where duck's
+        -- count(DISTINCT) skips it, and the pair self-join drops
+        -- NULL keys asymmetrically (keyfuzz finding, r12)
         SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_orderkey IS NOT NULL),
     c AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY i),
     nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM f),
     pr AS (
@@ -311,7 +321,11 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversize-basket guard armed (`operators/basket.py` — the same
     loud-failure pattern as dedup's ``max_block_rows``), so the
     quadratic per-basket blowup is structurally impossible."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(valid_id("l_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     facts = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")

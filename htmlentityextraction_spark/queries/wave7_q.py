@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -205,10 +206,13 @@ def sax_symbolization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fpgrowth_brand_itemsets",
     """
     WITH b AS (
-        -- NULL brand is not an item (Spark's collect_set drops NULLs)
+        -- NULL brand is not an item (Spark's collect_set drops
+        -- NULLs); NULL basket id is not a transaction (it would
+        -- count toward FP-Growth's support denominator on the Spark
+        -- side only — keyfuzz finding, r12)
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand IS NOT NULL
+        WHERE p_brand IS NOT NULL AND l_orderkey IS NOT NULL
     ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
     s1 AS (
         SELECT p_brand AS items, CAST(count(*) AS BIGINT) AS freq FROM b GROUP BY 1
@@ -235,7 +239,11 @@ def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the general itemset miner."""
     from pyspark.ml.fpm import FPGrowth
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(valid_id("l_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(part, li["l_partkey"] == part["p_partkey"])

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.keys import valid_id, valid_id_sql
 from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.functions.temporal import (
     valid_date_axis,
@@ -30,9 +31,17 @@ def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS FIRST on ASC, DuckDB NULLS LAST, so one NULL-dated row
     # shifts every lag in its group — and an out-of-window date is a
     # corrupt producer clock (functions.temporal.valid_event_time).
+    # The ID axis gets the same boundary (r12 keyfuzz finding): k1/k2
+    # are the deterministic tie-breaks inside every ASC window
+    # ordering, and a NULL id diverges exactly like a NULL date
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST among same-timestamp
+    # ties). Negative/dangling ids order identically on both engines
+    # and stay in the population (functions.keys.valid_id).
     return load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     ).select(
         F.col("l_partkey").alias("prod"),
         F.col("l_suppkey").alias("store"),
@@ -49,8 +58,12 @@ _OBS_SQL = """
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
       AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
-      AND {vt}
-""".format(vt=valid_date_axis_sql("l_shipdate"))
+      AND {vt} AND {k1} AND {k2}
+""".format(
+    vt=valid_date_axis_sql("l_shipdate"),
+    k1=valid_id_sql("l_orderkey"),
+    k2=valid_id_sql("l_linenumber"),
+)
 
 
 # --- A2: per-observation delta vs previous (lag) ---
@@ -247,8 +260,12 @@ def ntile_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rolling_median
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
-      AND {vt}
-    """.format(vt=valid_date_axis_sql("l_shipdate")),
+      AND {vt} AND {k1} AND {k2}
+    """.format(
+        vt=valid_date_axis_sql("l_shipdate"),
+        k1=valid_id_sql("l_orderkey"),
+        k2=valid_id_sql("l_linenumber"),
+    ),
 )
 def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 5-observation median per price series — the robust
@@ -262,9 +279,13 @@ def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-4, Window.currentRow)
     )
+    # valid_id on the ASC tie-break ids — same boundary as _obs
+    # (keyfuzz r12: NULL ids shift the rolling frame between engines)
     return load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     ).select(
         F.col("l_partkey").alias("prodid"),
         F.col("l_suppkey").alias("store"),
