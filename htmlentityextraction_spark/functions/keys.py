@@ -49,3 +49,44 @@ def valid_id(col: str) -> Column:
 def valid_id_sql(expr: str) -> str:
     """DuckDB twin of :func:`valid_id`."""
     return f"({expr}) IS NOT NULL"
+
+
+def keep_one_per_id(df, id_col: str):
+    """Deterministic identity dedup for a dimension/corpus frame whose
+    ``id_col`` is a primary key: drop NULL ids, then keep exactly one
+    row per id — the winner under DESC NULLS LAST ordering of every
+    other column (a total order, so the same row wins on any engine
+    and no attributes are mixed across conflicting duplicates).
+
+    The r12 keyfuzz duplicate-PK shape: at-least-once delivery lands
+    the same doc/supplier twice, half the time with a conflicting
+    attribute. Identity-sensitive consumers (dedup pipelines, shard
+    assignment, per-id joins, payload derivations) must resolve that
+    BEFORE their own logic or the two engines resolve it differently.
+    Mirror with :func:`keep_one_per_id_sql`."""
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c != id_col]
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.desc_nulls_last(c) for c in others]
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_one_per_id_sql(table: str, id_col: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`keep_one_per_id` — pass the table's FULL
+    column list in schema order. Binary string collation agreement
+    between the engines is a pinned contract
+    (tests/test_text_robustness.py), so the DESC winners match."""
+    others = ", ".join(f"{c} DESC NULLS LAST" for c in cols if c != id_col)
+    sel = ", ".join(cols)
+    return (
+        f"SELECT {sel} FROM (SELECT {sel}, row_number() OVER "
+        f"(PARTITION BY {id_col} ORDER BY {others}) AS __rn FROM {table} "
+        f"WHERE {id_col} IS NOT NULL) WHERE __rn = 1"
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
 from htmlentityextraction_spark.functions.temporal import (
     valid_date_axis,
@@ -306,7 +307,12 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_entity_match",
     """
-    WITH clean AS (
+    WITH roster AS (
+        -- keyfuzz r12: the supplier roster is an identity table —
+        -- duplicated key rows resolve at keep_one_per_id before
+        -- matching (a dup row would emit duplicate match pairs)
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (SELECT s_suppkey, s_name, s_nationkey, s_acctbal, row_number() OVER (PARTITION BY s_suppkey ORDER BY s_name DESC NULLS LAST, s_nationkey DESC NULLS LAST, s_acctbal DESC NULLS LAST) AS __rn FROM supplier WHERE s_suppkey IS NOT NULL) WHERE __rn = 1
+    ), clean AS (
         -- printable-ASCII normalization BEFORE lower: DuckDB's
         -- levenshtein counts BYTES while Spark's counts codepoints
         -- (one astral char = 4 vs 1 edits — pinned engine fact,
@@ -315,14 +321,14 @@ def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- locale-special casefolds before lower() sees them. No-op on
         -- the clean fixture (names are ASCII).
         SELECT s_suppkey AS clean_id,
-               lower(regexp_replace(s_name, '[^ -~]', '', 'g')) AS cname FROM supplier
+               lower(regexp_replace(s_name, '[^ -~]', '', 'g')) AS cname FROM roster
     ), dirty AS (
         SELECT s_suppkey + 10000 AS dirty_id,
                CASE WHEN s_suppkey % 2 = 1
                     THEN lower(regexp_replace(substring(s_name, 1, 3) || substring(s_name, 5),
                                '[^ -~]', '', 'g'))
                     ELSE lower(regexp_replace(s_name, '[^ -~]', '', 'g')) END AS dname
-        FROM supplier
+        FROM roster
     )
     SELECT d.dirty_id, c.clean_id,
            CAST(levenshtein(d.dname, c.cname) AS BIGINT) AS dist
@@ -344,7 +350,7 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edit distance is only engine-portable over single-byte keys.
     # No-op on the clean fixture.
     ascii_only = lambda c: F.regexp_replace(c, "[^ -~]", "")  # noqa: E731
-    sup = load_table(spark, sf_dir, "supplier")
+    sup = keep_one_per_id(load_table(spark, sf_dir, "supplier"), "s_suppkey")
     clean = sup.select(
         F.col("s_suppkey").alias("clean_id"),
         F.lower(ascii_only(F.col("s_name"))).alias("cname"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import decontam as dc
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -96,8 +97,15 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "segment_dedup_keep_first",
     f"""
-    WITH toks AS (
-        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    WITH d AS (
+        -- keyfuzz r12: doc_id is the corpus identity — a duplicated
+        -- row (possibly with conflicting text) would tie on the
+        -- (doc_id, pos) keep-first ordering and resolve differently
+        -- per engine; keep_one_per_id settles it first
+        {keep_one_per_id_sql("documents", "doc_id",
+                             ["doc_id", "text", "lang", "source", "n_chars"])}
+    ), toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM d
     ), segs AS (
         SELECT doc_id,
                unnest(list_transform(
@@ -127,7 +135,9 @@ def segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's reassembled text is hash-gated, proving segmentation,
     the first-occurrence rank, and the positional reassembly all
     agree with the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = keep_one_per_id(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "text")
     return dc.segment_dedup_keep_first(docs, seg_len=15)
 
 

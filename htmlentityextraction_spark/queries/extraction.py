@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import extraction as ex
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -26,8 +27,15 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL o_totalprice would template a NULL page — no page, no
     candidates — so they are dropped here and in every page oracle
     (null-fuzz hardened)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        finite_measure("o_totalprice")
+    # keyfuzz r12: o_orderkey IS the url — an identity — so the page
+    # fixture dedupes duplicate source rows deterministically (drop
+    # NULL keys, keep max price; same boundary as the merge family)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+        .filter(finite_measure("o_totalprice"))
     )
     k = F.col("o_orderkey").cast("string")
     # floor→bigint→string is deterministic across Spark and DuckDB
@@ -50,7 +58,9 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o_orderkey AS VARCHAR) AS k,
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                o_orderkey % 3 AS bucket
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
+        FROM (SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     SELECT url,
            p2 AS candidate,
@@ -80,7 +90,9 @@ def price_candidate_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS p2,
                CAST(floor(o_totalprice) AS DOUBLE) + 0.99 AS truth_price,
                o_orderkey % 3 AS bucket, o_orderkey % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
+        FROM (SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     SELECT url, p2 AS candidate,
            CAST(flip = 0 AS BOOLEAN) AS label,
@@ -99,7 +111,12 @@ def candidate_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ex.extract_candidates(pages, snippet_size=150)
     truth_price = F.floor("o_totalprice").cast("double") + F.lit(0.99)
     flip = F.pmod("o_orderkey", F.lit(2))
-    truth = load_table(spark, sf_dir, "orders").select(
+    truth = (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    ).select(
         F.col("o_orderkey").cast("string").alias("url"),
         F.when(flip == 0, truth_price).otherwise(truth_price + 1.0).alias("price"),
         F.when(flip == 0, truth_price).otherwise(truth_price + 1.0).alias("updated_price"),

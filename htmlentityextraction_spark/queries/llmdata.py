@@ -24,6 +24,7 @@ from htmlentityextraction_spark.operators import dedup as dd
 from htmlentityextraction_spark.operators import similarity as sim
 from htmlentityextraction_spark.functions.text import WS_CHARS, java_lower_sql
 from htmlentityextraction_spark.operators import textanalysis as ta
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -268,7 +269,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(c.cluster_id, m.vec_id) AS cluster_id,
                coalesce(d.n_chars, -1) AS quality
         FROM e m
-        JOIN documents d ON d.doc_id = m.vec_id
+        -- keyfuzz r12: doc identity resolves before the quality join
+        JOIN (SELECT doc_id, text, lang, source, n_chars FROM (SELECT doc_id, text, lang, source, n_chars, row_number() OVER (PARTITION BY doc_id ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST, source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn FROM documents WHERE doc_id IS NOT NULL) WHERE __rn = 1) d ON d.doc_id = m.vec_id
         LEFT JOIN comp c ON c.vec_id = m.vec_id
     )
     SELECT vec_id, cluster_id,
@@ -309,7 +311,9 @@ def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select("id_a", "id_b")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = keep_one_per_id(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "n_chars")
     items = emb.select("vec_id").join(
         docs.withColumnRenamed("doc_id", "vec_id"), "vec_id"
     ).select(
@@ -493,7 +497,8 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(c.cluster_id, m.vec_id) AS cluster_id,
                coalesce(d.n_chars, -1) AS quality
         FROM e m
-        JOIN documents d ON d.doc_id = m.vec_id
+        -- keyfuzz r12: doc identity resolves before the quality join
+        JOIN (SELECT doc_id, text, lang, source, n_chars FROM (SELECT doc_id, text, lang, source, n_chars, row_number() OVER (PARTITION BY doc_id ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST, source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn FROM documents WHERE doc_id IS NOT NULL) WHERE __rn = 1) d ON d.doc_id = m.vec_id
         LEFT JOIN comp c ON c.vec_id = m.vec_id
     ), ranked AS (
         SELECT vec_id,
@@ -540,7 +545,9 @@ def semantic_dedup_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     from htmlentityextraction_spark.operators import components as cc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = keep_one_per_id(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "n_chars")
     items = (
         sim.valid_vectors(emb, "embedding")
         .select("vec_id")

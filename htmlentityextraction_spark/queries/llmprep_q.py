@@ -15,6 +15,7 @@ from htmlentityextraction_spark.operators.similarity import (
     VALID_VEC_SQL,
     valid_vectors,
 )
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -180,9 +181,15 @@ def cap_docs_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sequence_packing_bins",
     f"""
-    WITH t AS (
+    WITH d AS (
+        -- keyfuzz r12: the doc_id-ordered running sum ties on a
+        -- duplicated id and packs differently per engine — resolve
+        -- identity first (keep_one_per_id boundary)
+        {keep_one_per_id_sql("documents", "doc_id",
+                             ["doc_id", "text", "lang", "source", "n_chars"])}
+    ), t AS (
         SELECT source AS grp, doc_id AS id, len({_TOKS})::BIGINT AS n_tok
-        FROM documents
+        FROM d
     ), c AS (
         SELECT grp, id, n_tok,
                CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY id
@@ -202,5 +209,5 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     order laid head-to-tail, each attributed to the bin holding its
     first token. The dense-batching step after chunking — one window
     shuffle per source, bin id by exact integer division."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = keep_one_per_id(load_table(spark, sf_dir, "documents"), "doc_id")
     return lp.pack_sequences(docs, budget=512)

@@ -18,6 +18,7 @@ from htmlentityextraction_spark.functions.text import get_domain
 from htmlentityextraction_spark.operators import extraction as ex
 from htmlentityextraction_spark.operators import models as md
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -83,8 +84,18 @@ def _labeled_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all → zero candidates (the allFalseCandids path). NULL
     o_totalprice orders template a NULL page — dropped on both
     engines (null-fuzz hardened)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        finite_measure("o_totalprice")
+    # keyfuzz r12: the page corpus is keyed by o_orderkey (it IS the
+    # url), so the key is an identity — duplicate source rows (the
+    # at-least-once delivery shape) would mint two pages with the
+    # same url and CONFLICTING truth prices, poisoning the label join
+    # on both engines differently. Same boundary as the merge family:
+    # drop NULL keys, keep max(o_totalprice) per key; oracle mirrors.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+        .filter(finite_measure("o_totalprice"))
     )
     k = F.col("o_orderkey")
     ks = k.cast("string")
@@ -121,7 +132,9 @@ _ORACLE_BASE = """
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
+        FROM (SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     ), pages AS (SELECT * FROM o WHERE bucket <> 1)
 """
 

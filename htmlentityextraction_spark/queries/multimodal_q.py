@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.operators import multimodal as mm
 from htmlentityextraction_spark.registry import register
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.sources.tables import load_table
 
 # media_type per doc: doc_id % 3 → image/audio/video. hx is the hex
@@ -28,13 +29,20 @@ _META_SQL = """
            CASE WHEN (doc_id % 3) = 2 THEN CAST(doc_id % 8 + 2 AS INTEGER)
                 ELSE 1 END AS n_frames,
            hex(encode(text)) AS hx
-    FROM documents
+    FROM ({docs})
     WHERE text IS NOT NULL
-"""
+""".format(docs=keep_one_per_id_sql(
+    "documents", "doc_id", ["doc_id", "text", "lang", "source", "n_chars"]
+))
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mm.attach_media(load_table(spark, sf_dir, "documents"))
+    # keyfuzz r12: doc_id is the media identity — duplicate corpus
+    # rows (half with conflicting text, i.e. different payload bytes)
+    # resolve at ONE deterministic boundary before payloads attach
+    return mm.attach_media(
+        keep_one_per_id(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 @register(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.queries.ml import _registry_rows
 from htmlentityextraction_spark.functions.pricing import finite_measure
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import serve
@@ -26,8 +27,14 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket==1 pages the batch ML queries exclude. NULL o_totalprice
     orders template no page message (same contract as the batch page
     fixtures — null-fuzz aligned)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        finite_measure("o_totalprice")
+    # keyfuzz r12: the url is keyed by o_orderkey — dedupe duplicate
+    # source rows deterministically (same boundary as the ML corpus)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(valid_id("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+        .filter(finite_measure("o_totalprice"))
     )
     k = F.col("o_orderkey")
     ks = k.cast("string")
@@ -63,7 +70,9 @@ def _page_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
                'd' || (o_orderkey % 8) || '.example.com' AS domain,
                CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || '.99' AS DOUBLE) AS p2,
                (o_orderkey // 16) % 3 AS bucket, (o_orderkey // 8) % 2 AS flip
-        FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
+        FROM (SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) AND o_totalprice > -1e10 AND o_totalprice < 1e10
     )
     , m AS (
         SELECT url, domain,

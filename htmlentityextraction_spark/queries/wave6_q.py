@@ -27,6 +27,7 @@ from htmlentityextraction_spark.operators.zorder import (
 )
 from htmlentityextraction_spark.queries.llmdata import _FT
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.keys import keep_one_per_id, keep_one_per_id_sql
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -262,22 +263,27 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_diff_reconciliation",
     """
-    WITH r AS (
+    WITH base AS (
+        -- keyfuzz r12: a diff tool's contract is PK-unique inputs —
+        -- duplicated key rows resolve at the keep_one_per_id
+        -- boundary before the checksum/diff (both engines)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_custkey DESC NULLS LAST, o_orderstatus DESC NULLS LAST, o_totalprice DESC NULLS LAST, o_orderdate DESC NULLS LAST, o_orderpriority DESC NULLS LAST) AS __rn FROM orders WHERE o_orderkey IS NOT NULL) WHERE __rn = 1
+    ), r AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey % 89 = 3 THEN o_totalprice + 1.0
                     ELSE o_totalprice END AS o_totalprice,
                o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 97 <> 0
+        FROM base WHERE o_orderkey % 97 <> 0
         UNION ALL
         SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 83 = 5
+        FROM base WHERE o_orderkey % 83 = 5
     )
     SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
            CASE WHEN l.o_orderkey IS NULL THEN 'added'
                 WHEN r.o_orderkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS change_type
-    FROM orders l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+    FROM base l FULL JOIN r ON l.o_orderkey = r.o_orderkey
     WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
        OR l.o_custkey <> r.o_custkey OR l.o_orderstatus <> r.o_orderstatus
        OR l.o_totalprice <> r.o_totalprice OR l.o_orderdate <> r.o_orderdate
@@ -293,7 +299,7 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase reads a sliver of the table instead of shuffling all of it.
     The oracle is the direct full-join diff; hash equality proves the
     checksum routing loses nothing."""
-    left = load_table(spark, sf_dir, "orders")
+    left = keep_one_per_id(load_table(spark, sf_dir, "orders"), "o_orderkey")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
     left = left.select(*cols)

@@ -264,7 +264,11 @@ def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT doc_id, g.s AS shard,
                md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.s AS VARCHAR)) AS h
-        FROM documents CROSS JOIN generate_series(0, 7) g(s)
+        -- shard assignment is per-IDENTITY: distinct non-null ids
+        -- (keyfuzz r12 — a duplicated doc row must not emit two
+        -- assignment rows)
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+        CROSS JOIN generate_series(0, 7) g(s)
     ), rk AS (
         SELECT doc_id, shard,
                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
@@ -282,7 +286,12 @@ def rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-struct array max per row, no shuffle at all; md5 makes the
     choice portable across engines, so the oracle replays it
     byte-for-byte."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(valid_id("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
     choices = F.array(
         *[
             F.struct(
