@@ -101,6 +101,17 @@ def asof_join(
             - F.unix_micros(m[right_ts].cast("timestamp_ltz"))
         )
         m = F.when(gap <= int(tolerance_seconds) * 1_000_000, F.col("__m"))
+    # JOIN-equality NULL semantics (keyfuzz r12): a window PARTITION BY
+    # groups NULL keys together, so a NULL-key left row would match a
+    # NULL-key right row — but an as-of join is a JOIN, and NULL never
+    # equals NULL in one. Null the payload for NULL-key left rows
+    # (rows are kept — left-outer semantics, matching merge_asof and
+    # DuckDB ASOF JOIN).
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    m = F.when(~null_key, m)
     return matched.select(
         *lcols,
         m[right_ts].alias(f"{prefix}{right_ts}"),

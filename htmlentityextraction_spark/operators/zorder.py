@@ -31,9 +31,15 @@ from pyspark.sql import functions as F
 def scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map ``col`` in [lo, hi] onto the integer grid [0, 2^bits):
     rank-preserving, engine-portable arithmetic (exact integer
-    multiply, one IEEE double divide, floor)."""
+    multiply, one IEEE double divide, floor). Out-of-range values
+    CLAMP to the boundary cells (the zone-map convention — a stray
+    sentinel below ``lo`` otherwise yields a negative cell whose
+    bit-interleave is garbage Spark-side and a hard error in engines
+    that refuse to shift negatives; keyfuzz finding, r12). NULLs stay
+    NULL (no cell)."""
     n = 1 << bits
-    return F.floor((col - lo) * n / (hi - lo + 1)).cast("long")
+    raw = F.floor((col - lo) * n / (hi - lo + 1)).cast("long")
+    return F.least(F.lit(n - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
 
 
 def zvalue(a: Column, b: Column, bits: int) -> Column:

@@ -395,7 +395,14 @@ def bfs_order_part_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlentityextraction_spark.operators.components import bounded_bfs_bipartite
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")).distinct()
+    # an edge with a NULL endpoint is not an edge: the iterative
+    # frontier would carry NULL into the visited set while the
+    # oracle's IN-subqueries drop it (keyfuzz r12)
+    edges = (
+        li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
     seed = load_table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
     out = bounded_bfs_bipartite(edges, int(seed), rounds=3)
     return out.select(

@@ -149,10 +149,13 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / CAST(n AS DOUBLE) AS sigma
         FROM m
     )
+    -- NULLIF: a zero-variance group (one row / constant price) has
+    -- no outliers — z is undefined -> NULL, filtered here on both
+    -- engines (0/0 is duck NaN vs Spark-ANSI crash; matrix-fuzz r12)
     SELECT b.l_orderkey, b.l_linenumber, b.flag, b.price,
-           round((CAST(b.y AS DOUBLE) - s.mu) / s.sigma + 1e-9, 6) AS z
+           round((CAST(b.y AS DOUBLE) - s.mu) / NULLIF(s.sigma, 0) + 1e-9, 6) AS z
     FROM b JOIN stats s ON b.flag = s.flag
-    WHERE abs((CAST(b.y AS DOUBLE) - s.mu) / s.sigma) > 1.5
+    WHERE abs((CAST(b.y AS DOUBLE) - s.mu) / NULLIF(s.sigma, 0)) > 1.5
     """.format(fp=finite_measure_sql("l_extendedprice")),
 )
 def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +195,7 @@ def price_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sigma"
         ),
     )
-    z = (F.col("y").cast("double") - F.col("mu")) / F.col("sigma")
+    z = F.try_divide(F.col("y").cast("double") - F.col("mu"), F.col("sigma"))
     return (
         b.join(F.broadcast(stats), "flag")
         .filter(F.abs(z) > 1.5)

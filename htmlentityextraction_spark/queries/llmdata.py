@@ -896,8 +896,16 @@ def quality_percentile_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "select_corpus_to_token_budget",
+    # keyfuzz r12: the budget selection's running sum ties on a
+    # duplicated doc_id and cuts differently per engine — identity
+    # resolves first (keep_one_per_id boundary), mirrored Spark-side
     f"""
-    WITH q AS ({_QUALITY_DOC_SQL}),
+    WITH q AS ({_QUALITY_DOC_SQL.replace(
+        "FROM documents",
+        "FROM (" + keep_one_per_id_sql(
+            "documents", "doc_id",
+            ["doc_id", "text", "lang", "source", "n_chars"]) + ")",
+    )}),
     ranked AS (
         SELECT doc_id, lang, quality, n_tok,
                CAST(sum(n_tok) OVER (PARTITION BY lang
@@ -917,7 +925,7 @@ def select_corpus_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame
     exact integer arithmetic."""
     from htmlentityextraction_spark.functions.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = keep_one_per_id(load_table(spark, sf_dir, "documents"), "doc_id")
     q = docs.select(
         "doc_id",
         "lang",

@@ -308,9 +308,12 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY flag
     )
     SELECT flag, n AS n_rows,
+           -- NULLIF: a degenerate group (one row, or constant x/y)
+           -- has zero variance — 0/0 is duck NaN vs Spark-ANSI crash
+           -- (matrix-fuzz finding, r12); correlation is undefined -> NULL
            round(CAST(n*sxy - sx*sy AS DOUBLE)
-                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 1e-9, 6) AS corr_qty_price,
+                 / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0) + 1e-9, 6) AS corr_qty_price,
            round(CAST(n*sxy - sx*sy AS DOUBLE)
                  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 + 1e-9, 6)
                AS covar_pop_qty_usd,
@@ -351,7 +354,7 @@ def corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "flag",
         F.col("n").alias("n_rows"),
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)) + 1e-9, 6).alias("corr_qty_price"),
+        F.round(F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)) + 1e-9, 6).alias("corr_qty_price"),
         F.round(num / nd / nd / F.lit(100.0) + 1e-9, 6).alias("covar_pop_qty_usd"),
         F.round(F.sqrt(dx) / nd + 1e-9, 6).alias("stddev_pop_qty"),
     )
@@ -631,15 +634,18 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
         FROM b GROUP BY flag
     )
+    -- NULLIF: a degenerate group (one row / constant x) has zero
+    -- x-variance — the fit is undefined -> NULL on both engines
+    -- (0/0 is duck NaN vs Spark-ANSI crash; matrix-fuzz r12)
     SELECT flag, n AS n_rows,
-           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0
+           round(CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0) / 100.0
                  + 1e-9, 6) AS slope_usd_per_unit,
            round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-                  - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                  - CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0)
                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 + 1e-9, 6)
                AS intercept_usd,
            round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-                 / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                 / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE), 0)
                  + 1e-9, 6) AS r2
     FROM m
     """,
@@ -671,14 +677,14 @@ def ols_trend_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     nd = F.col("n").cast("double")
-    slope = num / dx
+    slope = F.try_divide(num, dx)
     intercept = F.col("sy").cast("double") / nd - slope * (F.col("sx").cast("double") / nd)
     return m.select(
         "flag",
         F.col("n").alias("n_rows"),
         F.round(slope / F.lit(100.0) + 1e-9, 6).alias("slope_usd_per_unit"),
         F.round(intercept / F.lit(100.0) + 1e-9, 6).alias("intercept_usd"),
-        F.round(num * num / (dx * dy) + 1e-9, 6).alias("r2"),
+        F.round(F.try_divide(num * num, dx * dy) + 1e-9, 6).alias("r2"),
     )
 
 

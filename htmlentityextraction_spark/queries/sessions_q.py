@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from htmlentityextraction_spark.operators import skew
 from htmlentityextraction_spark.functions.pricing import finite_measure
 from htmlentityextraction_spark.functions.temporal import valid_event_time
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import pipeline as sp
@@ -89,7 +90,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sessionize_stateful",
     f"""
-    WITH full_sessions AS ({_SESS_SQL}),
+    WITH all_sessions AS ({_SESS_SQL}),
+    -- valid_id: session state is keyed by user — a NULL id has no
+    -- state key (the oracle's self-join already dropped NULL users;
+    -- the stateful operator's groupBy kept them — keyfuzz r12)
+    full_sessions AS (SELECT * FROM all_sessions WHERE user_id IS NOT NULL),
     last AS (SELECT user_id, max(session_seq) AS mseq FROM full_sessions GROUP BY user_id)
     SELECT f.user_id AS user_id, f.session_seq AS session_seq, f.n_events AS n_events,
            CAST(to_timestamp(floor(epoch(f.session_start))) AS TIMESTAMP) AS session_start,
@@ -106,7 +111,9 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the last session per user. Session numbering here is
     0-based from the stream; the batch oracle's sum-of-breaks is
     1-based — aligned by +1."""
-    stream = sp.read_events_stream(spark, sf_dir).filter(valid_event_time("ts"))
+    stream = sp.read_events_stream(spark, sf_dir).filter(
+        valid_event_time("ts") & valid_id("user_id")
+    )
     out = sp.run_to_memory(spark, sp.sessionize_stream(stream, gap_minutes=30))
     return out.withColumn("session_seq", F.col("session_seq") + 1)
 

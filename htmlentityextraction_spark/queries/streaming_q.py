@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htmlentityextraction_spark.functions.pricing import finite_measure, finite_measure_sql
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 from htmlentityextraction_spark.streaming import pipeline as sp
@@ -261,7 +262,9 @@ def stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
                     ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
                AS sum_cents,
            epoch_us(max(ts)) AS last_us
-    FROM events GROUP BY user_id
+    -- valid_id: the merge-table key is an identity — a NULL user id
+    -- has no upsert target (keyfuzz r12, same contract as merge_q)
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
 )
 def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +292,9 @@ def stream_merge_upsert_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.create(
         spark.createDataFrame([], "user_id long, n_events long, sum_cents long, last_us long")
     )
-    stream = sp.read_events_stream(spark, sf_dir, events_dir=topic, max_files_per_trigger=1)
+    stream = sp.read_events_stream(
+        spark, sf_dir, events_dir=topic, max_files_per_trigger=1
+    ).filter(valid_id("user_id"))
     sp.stream_merge_into(stream, tbl, key="user_id").await_done()
     return tbl.read()
 

@@ -25,6 +25,7 @@ from htmlentityextraction_spark.functions.temporal import (
     valid_date_axis,
     valid_date_axis_sql,
 )
+from htmlentityextraction_spark.functions.keys import valid_id
 from htmlentityextraction_spark.registry import register
 from htmlentityextraction_spark.sources.tables import load_table
 
@@ -245,9 +246,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS yyyymm,
                (CASE WHEN {fp}
                 THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
+        -- c_nationkey IS NOT NULL: a customer without a nation has
+        -- no (nation, month) cell — and a NULL merge key would split
+        -- base/delta into two unmergeable rows (keyfuzz r12). BIGINT
+        -- cast BEFORE the multiply: a dangling int32 sentinel nation
+        -- key overflows duck's INT32 multiply otherwise.
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE {vt})
-    SELECT CAST(nk * 1000000 + yyyymm AS BIGINT) AS view_key,
+        WHERE {vt} AND c.c_nationkey IS NOT NULL)
+    SELECT CAST(CAST(nk AS BIGINT) * 1000000 + yyyymm AS BIGINT) AS view_key,
            CAST(nk AS BIGINT) AS c_nationkey, yyyymm,
            count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM j GROUP BY 1, 2, 3
@@ -273,7 +279,11 @@ def matview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(valid_id("c_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
 
     def view_rows(o: DataFrame) -> DataFrame:
         j = o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])

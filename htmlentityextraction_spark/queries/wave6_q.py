@@ -83,9 +83,11 @@ _ZORDER_ORACLE = f"""
                max(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)) AS dhi
         FROM orders
     ), g AS (
-        SELECT CAST(floor(o_custkey * 256 / (mx + 1)) AS BIGINT) AS a,
-               CAST(floor((date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) - dlo)
-                          * 256 / (dhi - dlo + 1)) AS BIGINT) AS b
+        -- least/greatest clamp mirrors operators.zorder.scale_to_bits
+        SELECT least(255, greatest(0, CAST(floor(o_custkey * 256 / (mx + 1)) AS BIGINT))) AS a,
+               least(255, greatest(0,
+                   CAST(floor((date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) - dlo)
+                              * 256 / (dhi - dlo + 1)) AS BIGINT))) AS b
         FROM orders CROSS JOIN s
     ), z AS (
         SELECT a, b, {_z_sql('a', 'b', 8)} AS zv FROM g
