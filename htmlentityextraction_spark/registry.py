@@ -37,31 +37,74 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-11: no new queries, but these changed SEMANTICS this round
-    # (fold-shape finite_measure gates; textuni class fixes: java-lower
-    # oracles, explicit whitespace classes, control-char stripping in
-    # the XML/JSON feed templates, ASCII-normalized fuzzy keys) —
-    # front-loaded so the driver re-verifies the changed behavior.
-    # The r10 entry (semantic_dedup_scale_pipeline) got its full-green
-    # driver verdict in CORRECTNESS_r10.json row 1 and rotates out.
-    "daily_value_autocorrelation",
+    # round-12: no new queries, but these changed SEMANTICS this
+    # round (the keyfuzz classes: C0-strip escape-helper boundary,
+    # pmod oracle twins, valid_id gates on ordering/identity axes,
+    # merge-key and corpus-identity dedup via keep_one_per_id,
+    # try_divide/NULLIF on degenerate-group divisions, the asof
+    # NULL-key join semantics, and the zorder clamp) — front-loaded
+    # so the driver re-verifies the changed behavior. The r11 list
+    # got full-green verdicts in CORRECTNESS_r11.json rows 1-17 and
+    # rotates out.
+    "whois_contact_extraction",
+    "bad_domain_analysis",
+    "modulo_group_assignment",
     "did_aa_experiment_check",
-    "gap_fill_user_purchase_value",
-    "text_quality_profile",
-    "lm_unigram_doc_scores",
-    "lm_bigram_doc_scores",
-    "sorted_neighborhood_doc_pairs",
-    "pmi_collocations",
-    "bm25_doc_ranking",
+    "cuped_adjusted_experiment",
+    "srm_sample_ratio_mismatch",
+    "merge_incremental_orders",
+    "mergetable_cdc_changes",
+    "mergetable_pruned_range_read",
+    "incremental_rollup_maintenance",
+    "matview_variance_incremental",
+    "mergetable_history_rows",
+    "mergetable_schema_evolution",
+    "mergetable_schema_drop_widen",
+    "matview_join_incremental",
+    "lag_delta_per_observation",
+    "last_change_walkback",
+    "rolling_median_price",
+    "collect_sorted_parts_per_order",
+    "prod_metrics_delta_extremes",
+    "prod_metrics_top2_extremes",
+    "pivot_store_price_matrix",
+    "scd2_price_dimension",
+    "golden_user_record",
+    "rfm_customer_segments",
+    "basket_brand_lift",
+    "fpgrowth_brand_itemsets",
+    "model_registry_stats",
+    "model_score_pick_price",
+    "model_submodel_curve",
+    "model_url_level_eval",
+    "candidate_labeling",
+    "price_candidate_extraction",
+    "stream_serve_pipeline",
+    "stream_sessionize_stateful",
+    "stream_merge_upsert_per_user",
+    "multimodal_metadata_profile",
+    "multimodal_byte_features",
+    "multimodal_resize_images",
+    "multimodal_sample_frames",
+    "rendezvous_shard_assignment",
+    "segment_dedup_keep_first",
+    "sequence_packing_bins",
+    "table_diff_reconciliation",
+    "semantic_dedup_keep_best",
+    "semantic_dedup_scale_pipeline",
+    "fuzzy_entity_match",
+    "asof_last_view_before_purchase",
+    "asof_next_error_within_tolerance",
+    "zorder_pruning_report",
+    "mergetable_zorder_read",
+    "bfs_order_part_neighborhood",
+    "corr_covar_qty_price",
+    "ols_trend_qty_price",
+    "price_zscore_outliers",
+    "select_corpus_to_token_budget",
     "xml_field_extraction",
     "variant_semistructured_extraction",
-    "fuzzy_entity_match",
-    "setsim_prefix_join_docs",
-    # later r11 waves: int-axis + interaction findings
-    "quantile_normalize_chars_by_source",
-    "weighted_sample_per_lang",
-    "weighted_doc_sample",
-    "approx_percentile_accuracy",
+    "exact_price_percentiles",
 )
 
 

@@ -850,6 +850,25 @@ def fuzz_table(
         # price CAN share one observation. Interactions between
         # per-axis fixes (e.g. NULL-key ordering x extreme-value
         # exclusion in the same window) only surface here.
+        # r12: the referential-integrity axes join the interleave —
+        # FK poison at half rate, so a NULL fk and a poisoned value
+        # CAN share one row, and PK duplicates are appended LAST
+        # (below) so duplicated rows carry poisoned attributes too.
+        for col in KEYFUZZ_FK.get(table, []):
+            if col not in t.column_names:
+                continue
+            idx = t.column_names.index(col)
+            arr = t.column(idx)
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{col}:mixed-key".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate / 2)
+            repl = pa.array(
+                [KEYFUZZ_FK_POOL[i % len(KEYFUZZ_FK_POOL)] for i in range(len(t))],
+                type=arr.type,
+            )
+            t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
+            counts[f"{col}:fk"] = int(pc.sum(mask).as_py() or 0)
         for col in ("l_shipdate", "o_orderdate"):
             if col not in t.column_names:
                 continue
@@ -911,6 +930,32 @@ def fuzz_table(
                 repl = pa.nulls(len(t), type=arr.type)
             t = t.set_column(idx, col, pc.if_else(mask, repl, arr))
             counts[col] = int(pc.sum(mask).as_py() or 0)
+        # r12: PK duplicates appended AFTER all value poison, so the
+        # duplicated rows carry poisoned attributes too (half
+        # byte-identical, half with the keydup conflict mutation)
+        if table in KEYFUZZ_PK:
+            pk_col, conflict_col = KEYFUZZ_PK[table]
+            rng = np.random.default_rng(
+                zlib.crc32(f"{seed}:{table}:{pk_col}:mixed-dup".encode())
+            )
+            dmask = rng.random(len(t)) < rate / 4
+            dup = t.filter(pa.array(dmask)).combine_chunks()
+            if len(dup):
+                cidx = dup.column_names.index(conflict_col)
+                carr = dup.column(cidx)
+                odd = pa.array(np.arange(len(dup)) % 2 == 1)
+                if pa.types.is_floating(carr.type):
+                    mutated = pc.add(carr, pa.scalar(1.0, type=carr.type))
+                else:
+                    mutated = pc.binary_join_element_wise(
+                        pc.cast(carr, pa.string()), " ~v2", "",
+                        null_handling="replace", null_replacement="~v2",
+                    ).cast(carr.type)
+                dup = dup.set_column(
+                    cidx, conflict_col, pc.if_else(odd, mutated, carr)
+                )
+                t = pa.concat_tables([t, dup]).combine_chunks()
+                counts[f"{pk_col}:dup"] = len(dup)
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return counts
     for col in INJECT.get(table, []):
