@@ -366,13 +366,15 @@ def delta_day_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_sort(list({{'ts': floor(epoch(l_shipdate)), 'ok': l_orderkey,
                                    'ln': l_linenumber, 'p': l_extendedprice}})),
                    s -> s.p) AS ps
-        FROM lineitem WHERE {fp} AND {vt} GROUP BY 1, 2
+        FROM lineitem WHERE {fp} AND {vt} AND {k1} AND {k2} GROUP BY 1, 2
     )
     SELECT prodid, store, len(ps)::BIGINT AS n_obs,
            round(list_reduce(ps, (acc, x) -> acc * 0.5 + x * 0.5) + 1e-9, 6) AS ema
     FROM g
     """.format(fp=finite_measure_sql("l_extendedprice"),
-               vt=valid_date_axis_sql("l_shipdate")),
+               vt=valid_date_axis_sql("l_shipdate"),
+               k1=valid_id_sql("l_orderkey"),
+               k2=valid_id_sql("l_linenumber")),
 )
 def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average (alpha=0.5) of each (product,
@@ -394,9 +396,13 @@ def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed 2^52 (ulp ≥ 0.5). A fresh-seed-317 extreme fuzz landed
     2^53+1 in one series and the two folds split by half an ulp at
     3.4e15; no real price reaches the 1e10 domain bound."""
+    # valid_id on the sort-struct tie-breaks (keyfuzz r12): same
+    # class as cusum_price_shift_per_product
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     )
     g = (
         li.groupBy(

@@ -847,6 +847,9 @@ def linear_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
           AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
           AND l_shipdate >= TIMESTAMP '1990-01-01' AND l_shipdate < TIMESTAMP '2100-01-01'
+          -- valid_id on the sort-struct tie-breaks (keyfuzz r12):
+          -- same class as cusum_price_shift_per_product
+          AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
         GROUP BY 1),
     e AS (SELECT prodid, len(ps) AS n, ps,
                  unnest(generate_series(1, len(ps))) AS i
@@ -880,6 +883,8 @@ def max_drawdown_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(
@@ -1053,6 +1058,10 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
           AND l_extendedprice > -1e10 AND l_extendedprice < 1e10
           AND l_shipdate >= TIMESTAMP '1990-01-01' AND l_shipdate < TIMESTAMP '2100-01-01'
+          -- valid_id on the sort-struct tie-breaks: a NULL id field
+          -- orders differently inside the two engines' struct sorts,
+          -- shifting the CUSUM fold order (keyfuzz r12, seed 5009)
+          AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
         GROUP BY 1),
     m AS (
         SELECT prodid, ps, len(ps) AS n,
@@ -1082,9 +1091,14 @@ def cusum_price_shift_per_product(spark: SparkSession, sf_dir: str) -> DataFrame
     to make s_0 = 0 explicit on both sides."""
     from htmlentityextraction_spark.functions.temporal import epoch_seconds
 
+    # valid_id on the sort-struct tie-breaks (keyfuzz r12, seed 5009):
+    # a NULL id field orders differently inside the two engines'
+    # struct sorts, shifting the CUSUM fold order
     li = load_table(spark, sf_dir, "lineitem").filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
+        & valid_id("l_orderkey")
+        & valid_id("l_linenumber")
     )
     g = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
         F.transform(
