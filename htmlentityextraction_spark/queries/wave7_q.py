@@ -282,10 +282,10 @@ def rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the shard with the max md5(doc_id:shard) — the consistent
     assignment where removing one of 8 shards remaps ONLY that
     shard's documents (tested in tests/test_wave7.py), unlike modulo
-    sharding which reshuffles almost everything. Pure columnar: an
-    8-struct array max per row, no shuffle at all; md5 makes the
-    choice portable across engines, so the oracle replays it
-    byte-for-byte."""
+    sharding which reshuffles almost everything. The choice is a pure
+    per-row 8-struct array max; the only shuffle is the identity
+    dedup (DISTINCT doc_id, keyfuzz r12). md5 makes the choice
+    portable across engines, so the oracle replays it byte-for-byte."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(valid_id("doc_id"))
