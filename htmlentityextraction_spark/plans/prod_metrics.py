@@ -90,17 +90,21 @@ def price_delta_market_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`analytics/CalcIndices.scala:96-203`)."""
     latest = price_deltas(spark, sf_dir)
 
-    delta_agg = latest.groupBy("sys_prod_id").agg(
-        F.max("delta").alias("max_abs_delta_val"),
-        F.min("delta").alias("min_abs_delta_val"),
-        F.max("relative_change").alias("max_rel_delta_val"),
-        F.min("relative_change").alias("min_rel_delta_val"),
-    )
-
+    # The per-product delta extremes (the reference's separate
+    # aggregate-and-join) ride the SAME whole-partition window as the
+    # market stats: max/min over w_all ≡ the groupBy("sys_prod_id")
+    # max/min joined back (every pos row's product exists in the
+    # aggregate, so the inner join was a no-op filter). Optimization
+    # r12 (guide §2.4 "remove shuffles outright"): the join form
+    # scanned lineitem twice and cost two extra exchanges plus a
+    # broadcast; this form is one scan → one (prod,store) window →
+    # one (prod) window. Oracle SQL below still spells the
+    # aggregate-join form — the hash equality IS the equivalence
+    # proof.
     w_pos = Window.partitionBy("sys_prod_id").orderBy("price", "store_id")
     w_all = Window.partitionBy("sys_prod_id")
     pos = (
-        latest.select("sys_prod_id", "store_id", "price")
+        latest
         .withColumn("abs_position", F.row_number().over(w_pos).cast("long"))
         .withColumn("num_stores", F.count(F.lit(1)).over(w_all))
         .withColumn("relative_position", F.col("abs_position") / F.col("num_stores"))
@@ -108,9 +112,13 @@ def price_delta_market_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_val",
             F.round(F.try_divide(F.stddev_pop("price").over(w_all), F.avg("price").over(w_all)) + 1e-9, 6),
         )
+        .withColumn("max_abs_delta_val", F.max("delta").over(w_all))
+        .withColumn("min_abs_delta_val", F.min("delta").over(w_all))
+        .withColumn("max_rel_delta_val", F.max("relative_change").over(w_all))
+        .withColumn("min_rel_delta_val", F.min("relative_change").over(w_all))
     )
 
-    out = pos.join(delta_agg, "sys_prod_id").select(
+    out = pos.select(
         "sys_prod_id",
         "store_id",
         "price",

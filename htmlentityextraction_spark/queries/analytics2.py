@@ -60,9 +60,9 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     product) average model vs latest pattern price, threshold band
     filter (the reference's 0.7/1.3 band widened to 0.93/1.07 so the
     discount distribution yields both bad and good rows), bad-seed
-    counts joined with seed totals. Aggregate-of-aggregate join (J4) —
-    both sides share the (domain, prodid) shuffle key so AQE reuses
-    the exchange."""
+    counts joined with seed totals. The aggregate-of-aggregate join
+    (J4) is executed as one two-level aggregation — same result, one
+    scan, no join (optimization r12; see the inline note)."""
     # Non-finite price/discount observations are corrupt input and are
     # dropped at ingestion (fold-audit gate, r12): avg(model_price) is
     # an order-sensitive float fold, and one ±5e307 row summed in
@@ -77,22 +77,36 @@ def bad_domain_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("model_price"),
         "l_shipdate",
     )
-    seeds = obs.groupBy("domain").agg(F.count("*").alias("num_seeds"))
-    avg_prices = obs.groupBy("domain", "prodid").agg(
+    # Optimization r12 (guide §2.4): the reference shape — three
+    # aggregations over the same scan (seeds, avg_prices, rt) glued by
+    # two joins — collapses into ONE two-level aggregation: level 1
+    # computes avg_model, the latest pattern price, and the group's
+    # row count per (domain, prodid) in a single pass; level 2 rolls
+    # both the bad-seed indicator and the seed total up to the domain.
+    # num_seeds ≡ sum of per-(domain,prodid) counts (exact, integer);
+    # num_bad_seeds ≡ count of band-violating (domain,prodid) groups;
+    # domains with zero bad groups drop — the old inner join from the
+    # bad side did exactly that. avg_model per group is the same
+    # single-group float fold as before (same partial-agg tree), so
+    # the value — and the band comparison — is bit-identical. The
+    # DuckDB oracle above still spells the three-agg two-join form;
+    # hash equality pins the equivalence.
+    per_pp = obs.groupBy("domain", "prodid").agg(
         F.avg("model_price").alias("avg_model"),
-        F.avg("pattern_price").alias("avg_pattern"),
+        F.max_by("pattern_price", F.struct("l_shipdate", "pattern_price")).alias("rt_price"),
+        F.count("*").alias("n_obs"),
     )
-    rt = obs.groupBy("domain", "prodid").agg(
-        F.max_by("pattern_price", F.struct("l_shipdate", "pattern_price")).alias("rt_price")
-    )
-    bad = avg_prices.join(rt, ["domain", "prodid"]).filter(
+    is_bad = (
         (F.col("avg_model") < F.col("rt_price") * 0.93)
         | (F.col("avg_model") > F.col("rt_price") * 1.07)
     )
     return (
-        bad.groupBy("domain")
-        .agg(F.count("*").alias("num_bad_seeds"))
-        .join(seeds, "domain")
+        per_pp.groupBy("domain")
+        .agg(
+            F.sum(is_bad.cast("long")).alias("num_bad_seeds"),
+            F.sum("n_obs").alias("num_seeds"),
+        )
+        .filter(F.col("num_bad_seeds") >= 1)
         .select("domain", "num_bad_seeds", "num_seeds")
     )
 
@@ -233,7 +247,11 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     point lookups against Cassandra inside mapPartitions (a
     nested-loop join); here it's one shuffle agg with collect_set —
     the J7 → broadcast/shuffle-join rewrite."""
-    li = load_table(spark, sf_dir, "lineitem").filter(finite_measure("l_extendedprice"))
+    # fan_out (opt-in scan floor, r12): collect_set + countDistinct do
+    # heavy map-side work; ABBA measured 3.43 s -> 2.31 s (-33%)
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).filter(
+        finite_measure("l_extendedprice")
+    )
     comp = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
     return (
         li.groupBy(F.col("l_partkey").alias("prodid"))

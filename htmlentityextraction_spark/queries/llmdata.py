@@ -114,7 +114,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision exact by construction; the fixture's near-dups sit far
     above threshold, where banded detection probability is ~1).
     Recall/precision additionally property-tested in tests/."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (opt-in scan floor, r12): shingle explode + 48-hash
+    # map-side mins; 6-round ABBA measured 4.71 s -> 3.90 s (-17%)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dd.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
@@ -700,7 +702,9 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword-profile argmax), quality score, whitespace
     + BPE-ish token counts — the gating signals of an LLM data
     pipeline, all columnar."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (opt-in scan floor, r12): the regex/token/stopword pass
+    # is pure narrow work; ABBA measured 5.39 s -> 3.21 s (-40%)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id",
         F.col("lang").alias("label_lang"),

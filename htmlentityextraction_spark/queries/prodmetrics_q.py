@@ -398,7 +398,9 @@ def ema_price_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.4e15; no real price reaches the 1e10 domain bound."""
     # valid_id on the sort-struct tie-breaks (keyfuzz r12): same
     # class as cusum_price_shift_per_product
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # fan_out (opt-in scan floor, r12): struct-build + map-side
+    # collect_list partials; ABBA measured 2.56 s -> 1.96 s (-23%)
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True).filter(
         finite_measure("l_extendedprice")
         & valid_date_axis("l_shipdate")
         & valid_id("l_orderkey")

@@ -186,7 +186,9 @@ def setsim_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     theorem, here machine-checked), while candidate generation joins
     only rare-token blocks. Complements MinHash-LSH: same question,
     exact answer."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out (opt-in scan floor, r12): tokenize + shingle + df-count
+    # narrow stages; ABBA measured 5.28 s -> 4.67 s (-12%)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     ft = F.filter(
         F.split(
             F.trim(
