@@ -37,9 +37,13 @@ def score_pages_batch(pages: DataFrame, registry_rows: list) -> DataFrame:
     candidate get the -1 sentinel (allFalseCandids path)."""
     pages = pages.withColumn("domain", get_domain(F.col("url")))
     cand = ex.extract_candidates(pages, html_col="html", url_col="url", snippet_size=150)
-    cand = cand.join(
-        F.broadcast(pages.select("url", "domain")), "url"
-    ).withColumn(
+    # domain is a pure function of url, so derive it on the candidate
+    # rows instead of broadcast-joining the page set back (optimization
+    # r12, guide §2.4/§5): the old join collected every page's
+    # (url, domain) to the driver EVERY micro-batch to build the
+    # broadcast — measured 0.79 s vs 0.45 s per batch here, and a
+    # driver-memory hazard at real batch sizes.
+    cand = cand.withColumn("domain", get_domain(F.col("url"))).withColumn(
         "norm_location",
         F.col("location").cast("double")
         / F.greatest(F.col("page_length"), F.lit(1)).cast("double"),
