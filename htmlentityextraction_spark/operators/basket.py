@@ -37,24 +37,38 @@ def pair_cooccurrence(
     """(item_a, item_b, pair_count, count_a, count_b, n_baskets,
     support, confidence_a_to_b, lift) for unordered pairs
     item_a < item_b appearing in >= min_pair_count baskets."""
-    facts = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    facts = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        # materialize ONCE (optimization r12, guide §2.4): five
+        # consumers (oversize guard, n_baskets, item counts, both
+        # sides of the pair self-join) would each replay the caller's
+        # join + this distinct otherwise — ABBA A/B on
+        # basket_brand_lift: 3.53 s -> 2.53 s (-28%)
+        .localCheckpoint()
+    )
 
     sizes = facts.groupBy("__b").agg(F.count("*").alias("__n"))
-    over = sizes.filter(F.col("__n") > max_basket_items)
     if drop_oversize:
+        over = sizes.filter(F.col("__n") > max_basket_items)
         facts = facts.join(F.broadcast(over.select("__b")), "__b", "left_anti")
+        n_baskets = facts.select("__b").distinct().count()
     else:
-        hot = over.orderBy(F.desc("__n")).limit(1).collect()
-        if hot:
+        # one action yields both the guard verdict and the basket
+        # count (sizes has exactly one row per basket)
+        stats = sizes.agg(
+            F.max("__n").alias("__mx"), F.count(F.lit(1)).alias("__nb")
+        ).first()
+        if stats["__mx"] is not None and stats["__mx"] > max_basket_items:
+            hot = sizes.filter(F.col("__n") > max_basket_items).orderBy(
+                F.desc("__n")
+            ).limit(1).collect()
             raise OversizeBasketError(
                 f"basket {hot[0]['__b']!r} has {hot[0]['__n']} items "
                 f"(max_basket_items={max_basket_items}); pair explosion refused — "
                 "raise the cap or pass drop_oversize=True"
             )
-
-    n_baskets = facts.select("__b").distinct().count()
+        n_baskets = stats["__nb"]
     item_counts = facts.groupBy("__i").agg(F.count("*").alias("__cnt"))
 
     a = facts.select(F.col("__b"), F.col("__i").alias("item_a"))

@@ -300,6 +300,19 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum("value").alias("su"), F.count(F.lit(1)).alias("cu")
     )
+    # Re-establish compute parallelism BEFORE the 200x replicate
+    # fan-out (optimization r12, guide §2.5/§8): AQE coalesces the
+    # pre-agg exchange by its own output size (7500 rows -> 1
+    # partition locally), blind to the generator above it, so the
+    # explode + md5 + weight chain ran on ONE core. Repartitioning on
+    # the SUBSET key user_id forces a real exchange (a same-key
+    # repartition is elided as already-satisfied, then coalesced); it
+    # moves only the user-scale pre-agg — the guide §8 shape: fan out
+    # the small decision table, never the raw events. ABBA A/B:
+    # median 6.63 s -> 4.55 s, B faster in every adjacent pair.
+    per_user = per_user.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     reps = per_user.select(
         "event_type",
         "user_id",
