@@ -391,29 +391,67 @@ def pagerank(
     # materialize the (possibly expensive) edge derivation ONCE — the
     # per-round joins must not replay the caller's edge-building plan
     edges, edges_handle = _checkpoint_round(edges, reliable)
-    src_nodes = edges.select(F.col("src").alias("node"))
-    dst_nodes = edges.select(F.col("dst").alias("node"))
-    verts, _ = _checkpoint_round(src_nodes.union(dst_nodes).distinct(), reliable)
-    n = verts.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
-    # fold the out-degree into the materialized edge list once, so
-    # each round is ONE join + ONE groupBy (the division stays
-    # rank/outdeg, bit-identical to the SQL oracle's recurrence)
-    edges_deg = edges.join(outdeg, "src")
-    # the dangling SET is static; detect it once so graphs without
-    # sinks (e.g. symmetrized edge lists) skip the correction entirely
-    dangling_nodes = verts.join(
-        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    # ONE node-scale aggregation yields vertices, out-degrees AND
+    # the dangling set (optimization r12, guide §2.3/§2.4): the
+    # old shape paid a union+distinct shuffle for verts, a second
+    # groupBy shuffle for outdeg, and an anti-join action for the
+    # dangling probe — three passes over the edge cut where one
+    # suffices. Each edge contributes (src, 1) and (dst, 0);
+    # sum = out-degree, 0 = dangling (appears as dst only).
+    side = F.explode(
+        F.array(
+            F.struct(
+                F.col("src").alias("node"), F.lit(1).cast("long").alias("__d")
+            ),
+            F.struct(
+                F.col("dst").alias("node"), F.lit(0).cast("long").alias("__d")
+            ),
+        )
     )
-    has_dangling = bool(dangling_nodes.limit(1).count())
+    nodes, _ = _checkpoint_round(
+        edges.select(side.alias("s"))
+        .select("s.node", "s.__d")
+        .groupBy("node")
+        .agg(F.sum("__d").alias("__outdeg")),
+        reliable,
+    )
+    n = nodes.count()
+    # node-scale probe over the materialized cut — no extra pass
+    # over the edges
+    has_dangling = bool(nodes.filter(F.col("__outdeg") == 0).limit(1).count())
+    verts = nodes.select("node")
+    # the driver now knows |V| EXACTLY (not an estimate): when the
+    # node-scale side provably fits the session's broadcast
+    # threshold, hint it — the static planner otherwise picks a
+    # sort-merge join (checkpoint cuts erase statistics:
+    # LogicalRDD reports UnknownPartitioning/default size) and
+    # exchanges the EDGE-scale side once at build plus every
+    # round (guide §3.1). 64 B/row is deliberately conservative.
+    # At cluster scale with billions of nodes this is False and
+    # the shape is unchanged.
+    try:
+        _thr = int(
+            edges.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:
+        _thr = 10 * 1024 * 1024
+    bcast_nodes = _thr > 0 and n * 64 <= _thr
+    edges_deg = edges.join(
+        F.broadcast(nodes.select(F.col("node").alias("src"), "__outdeg"))
+        if bcast_nodes
+        else nodes.select(F.col("node").alias("src"), "__outdeg"),
+        "src",
+    )
     if has_dangling:
         # static pseudo-edges: each dangling node "sends" its whole
-        # rank (outdeg 1) to a NULL sentinel dst, so the dangling-mass
-        # sum rides the SAME join + groupBy as real contributions —
-        # no per-round aggregate over the dangling set
+        # rank (outdeg 1) to a NULL sentinel dst, so the dangling-
+        # mass sum rides the SAME join + groupBy as real
+        # contributions — no per-round aggregate over the dangling set
         dst_type = dict(edges.dtypes)["dst"]
         edges_deg = edges_deg.unionByName(
-            dangling_nodes.select(
+            nodes.filter(F.col("__outdeg") == 0).select(
                 F.col("node").alias("src"),
                 F.lit(None).cast(dst_type).alias("dst"),
                 F.lit(1).cast("long").alias("__outdeg"),
@@ -426,10 +464,14 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_round = None  # round N-1's checkpoint storage, freed at round N
     for _ in range(iterations):
-        # no broadcast hint: (node, rank) is node-scale and can be
-        # arbitrarily large — AQE broadcasts it when it is small
+        # broadcast hint only when the DRIVER-COUNTED |V| provably
+        # fits the threshold (bcast_nodes): (node, rank) is node-scale
+        # and can be arbitrarily large, and the checkpointed lineage
+        # erases size statistics, so the static planner would
+        # otherwise exchange + sort the edge-scale side every round
+        rside = ranks.withColumnRenamed("node", "src")
         contribs = edges_deg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            F.broadcast(rside) if bcast_nodes else rside, "src"
         ).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("__outdeg")).alias("__c"),
@@ -445,8 +487,9 @@ def pagerank(
         )
         _free_round(prev_round)
         prev_round = this_round
+        inc = incoming.filter(F.col("node").isNotNull())
         new_ranks = verts.join(
-            incoming.filter(F.col("node").isNotNull()), "node", "left"
+            F.broadcast(inc) if bcast_nodes else inc, "node", "left"
         )
         if has_dangling:
             # distribute the dangling scalar: broadcast the 1-row

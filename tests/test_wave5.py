@@ -215,13 +215,16 @@ def test_pagerank_dangling_exact_recurrence(spark):
 
 
 def test_pagerank_one_materialization_per_round(spark):
-    # Scale contract: the per-round cost is ONE materialization (the
-    # incoming aggregate's checkpoint); on dangling graphs the only
-    # extra Spark job is the 1-row broadcast of the NULL-key filter
-    # over that already-checkpointed aggregate — never a separate
-    # aggregate over the dangling set, and never growing with the
-    # iteration count. Measured with AQE off (AQE legitimately splits
-    # a query into per-stage jobs, which is not what this asserts).
+    # Scale contract: the per-round cost is ONE edge-scale
+    # materialization (the incoming aggregate's checkpoint) plus
+    # node-scale broadcast builds — never a second aggregate or pass
+    # over the edge set, and never growing with the iteration count.
+    # On these tiny graphs the driver-counted |V| provably fits the
+    # broadcast threshold, so each round also runs the rank-side and
+    # incoming broadcast-build jobs (and, on dangling graphs, the
+    # 1-row dangling-scalar broadcast): 3 extra O(|V|) jobs max.
+    # Measured with AQE off (AQE legitimately splits a query into
+    # per-stage jobs, which is not what this asserts).
     sc = spark.sparkContext
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -239,7 +242,7 @@ def test_pagerank_one_materialization_per_round(spark):
             [(1, 2), (2, 3), (1, 3)], "src long, dst long"
         )
         cycle = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
-        for edges, per_round_max in ((dangling, 2), (cycle, 1)):
+        for edges, per_round_max in ((dangling, 4), (cycle, 3)):
             jobs_for(edges, 2)  # warm: absorbs one-time session jobs
             base = jobs_for(edges, 2)
             more = jobs_for(edges, 6)
