@@ -1375,7 +1375,13 @@ class ParquetMergeTable:
                     self.key_col, F.col(self.key_col).cast(k_t)
                 )
         upd = updates.withColumn("__bucket", self._bucket(F.col(self.key_col))).cache()
-        affected = sorted(r["__bucket"] for r in upd.select("__bucket").distinct().collect())
+        # one action yields the affected-bucket set AND the batch row
+        # count (optimization r12, guide §1.3/§3.2): the count costs
+        # nothing extra over the old distinct() and lets the merge
+        # join pick its strategy from a KNOWN delta size below
+        per_bucket = upd.groupBy("__bucket").count().collect()
+        affected = sorted(r["__bucket"] for r in per_bucket)
+        n_upd_rows = sum(r["count"] for r in per_bucket)
         if not affected:
             # no-op batch (empty stream trigger): carry the recorded
             # schema forward — dropping it left an empty table
@@ -1457,6 +1463,26 @@ class ParquetMergeTable:
             F.col(op_col).alias("__op"),
             *[F.col(c).alias(f"__u_{c}") for c in data_cols if c != k],
         )
+        # full-outer SMJ sorts BOTH sides; when the update batch is
+        # provably small (the trickle-merge norm: delta << table), a
+        # shuffled-hash join building on the delta skips both sorts
+        # (optimization r12, guide §3.2 — broadcast is not an option:
+        # Spark has no full-outer BHJ). Gated on the measured batch
+        # row count so a bulk load the size of the table keeps the
+        # sort-based, spill-safe plan: the hash build must fit task
+        # memory, so require est. build bytes per shuffle partition
+        # <= 8 MB (row width estimated conservatively at 32B + 16B/col).
+        # Kill switch for A/B: SPARK_GRAFT_MERGE_SHJ=0.
+        est_build = n_upd_rows * (32 + 16 * len(data_cols))
+        try:
+            n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            n_parts = 200
+        if (
+            est_build <= 8 * 1024 * 1024 * max(1, n_parts)
+            and os.environ.get("SPARK_GRAFT_MERGE_SHJ", "1") != "0"
+        ):
+            upd_named = upd_named.hint("shuffle_hash")
         joined = old.join(upd_named, old[k] == upd_named["__uk"], "full_outer")
 
         def merged_value(c: str) -> Column:

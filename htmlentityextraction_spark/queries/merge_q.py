@@ -78,7 +78,15 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
     """The shared two-merge scenario (see merge_incremental_orders)
     — also the CDC fixture: v1 = raw orders, v3 = after both
     merges."""
+    # the deduped orders spine feeds FIVE lineages here (create and
+    # both merges' four batch derivations), each otherwise replaying
+    # the scan + groupBy shuffle; persist it for the build and release
+    # it before returning — the table itself is files, so nothing
+    # cached outlives the query (optimization r12, guide §2.2/§5.2).
+    # Kill switch for A/B: SPARK_GRAFT_MERGE_SPINE=0.
     orders = _orders_source(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_MERGE_SPINE", "1") != "0":
+        orders = orders.persist()
     k = F.col("o_orderkey")
     path = tempfile.mkdtemp(prefix="merge_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
@@ -117,6 +125,7 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ParquetMergeTable:
         F.lit(OP_UPSERT).alias("op"),
     )
     tbl.merge(reinsert.unionByName(discount).unionByName(brand_new))
+    orders.unpersist()  # both merges have materialized; table is files
     return tbl
 
 
@@ -148,7 +157,8 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     never changes results). The manifest-level file skipping a
     Delta/Iceberg reader gets — at 100 TB a narrow range read lists
     a handful of bucket dirs instead of the table."""
-    orders = _orders_source(spark, sf_dir)
+    # spine persisted across create + merge batch (see _merged_orders_table)
+    orders = _orders_source(spark, sf_dir).persist()
     k = F.col("o_orderkey")
     path = tempfile.mkdtemp(prefix="merge_rng_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(
@@ -166,6 +176,7 @@ def mergetable_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl.merge(batch)
+    orders.unpersist()
     return tbl.read_where("o_orderkey", 10000, 14000)
 
 
@@ -486,14 +497,15 @@ def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     name. Corrupt source measurements are excluded from the update
     batch per the finite-measure ingestion contract (floor(NaN)
     diverges across engines)."""
-    orders = _orders_source(spark, sf_dir)
+    # spine persisted across create + update batch (see _merged_orders_table)
+    orders = _orders_source(spark, sf_dir).persist()
     path = tempfile.mkdtemp(prefix="evo_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
     tbl.create(orders)
     tbl.rename_column("price", "unit_price")
     k = F.col("o_orderkey")
     updates = (
-        _orders_source(spark, sf_dir)
+        orders
         .filter((F.pmod(k, F.lit(11)) == 4) & finite_measure("price"))
         .select(
             "o_orderkey",
@@ -503,6 +515,7 @@ def mergetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl.merge(updates)
+    orders.unpersist()
     return tbl.read().select("o_orderkey", "unit_price", "qty")
 
 
@@ -554,13 +567,17 @@ def mergetable_schema_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(k, F.lit(5)).cast("int").alias("qty"),
             "tag",
         )
+        # spine persisted across create + update batch; the update
+        # derivation below reuses it (same dedup boundary, so
+        # (o_orderkey, price) is identical to _orders_source)
+        .persist()
     )
     path = tempfile.mkdtemp(prefix="dw_tbl_", dir=os.environ.get("TMPDIR", "/tmp"))
     tbl = ParquetMergeTable(spark, path, key_col="o_orderkey", num_buckets=16)
     tbl.create(orders)  # v1
     tbl.drop_column("tag")  # v2: metadata-only
     updates = (
-        _orders_source(spark, sf_dir)
+        orders.select("o_orderkey", "price")
         .filter((F.pmod(k, F.lit(13)) == 6) & finite_measure("price"))
         .select(
             "o_orderkey",
@@ -570,6 +587,7 @@ def mergetable_schema_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl.merge(updates)  # v3: widens qty int -> bigint
+    orders.unpersist()
     changes = tbl.table_changes(1, 3).select("o_orderkey", "change_type")
     return (
         tbl.read()

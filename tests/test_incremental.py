@@ -614,3 +614,46 @@ def test_read_where_in_heterogeneous_values_and_empty_paths(spark, tmp_path):
     out = zb.read_where_in("k", [1, 2])
     assert out.count() == 0
     assert out.schema.simpleString() == "struct<k:bigint,v:double>"
+
+
+def test_merge_join_strategy_gate_and_equivalence(spark, tmp_path, monkeypatch):
+    """Optimization r12 (guide §3.2): a provably small update batch
+    merges via a shuffled-hash join built on the delta (skipping both
+    full-outer SMJ sorts); the kill switch restores sort-merge. Both
+    arms must produce byte-identical snapshots — upsert, delete,
+    insert, and combine semantics included."""
+    from htmlentityextraction_spark.operators import incremental as inc
+
+    plans: list[str] = []
+    orig = inc.ParquetMergeTable._write_buckets
+
+    def capturing(self, df, version):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, df, version)
+
+    monkeypatch.setattr(inc.ParquetMergeTable, "_write_buckets", capturing)
+
+    def run(arm: str):
+        monkeypatch.setenv("SPARK_GRAFT_MERGE_SHJ", arm)
+        tbl = _mk_table(
+            spark, tmp_path / f"arm{arm}", [(i, float(i)) for i in range(40)]
+        )
+        updates = spark.createDataFrame(
+            [(3, 33.0, "upsert"), (5, None, "delete"), (100, 1.5, "upsert"),
+             (7, 2.0, "upsert")],
+            "o_orderkey long, price double, op string",
+        )
+        plans.clear()
+        tbl.merge(updates, combine={"price": "sum"})
+        merge_plan = plans[-1]
+        return {r.o_orderkey: r.price for r in tbl.read().collect()}, merge_plan
+
+    got_smj, plan_smj = run("0")
+    got_shj, plan_shj = run("1")
+    assert got_smj == got_shj, "join strategy must not change merge results"
+    assert got_shj[7] == 9.0 and got_shj[3] == 36.0  # combine sum applied
+    assert 5 not in got_shj and got_shj[100] == 1.5
+    # plan contract: the tiny batch takes the hash build; the kill
+    # switch keeps sort-merge (also the shape a table-scale batch gets)
+    assert "ShuffledHashJoin" in plan_shj and "FullOuter" in plan_shj
+    assert "SortMergeJoin" in plan_smj and "ShuffledHashJoin" not in plan_smj
