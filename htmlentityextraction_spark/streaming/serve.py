@@ -138,6 +138,18 @@ def serve_stream(
         if batch.rdd.getNumPartitions() < want_parallelism:
             batch = batch.repartition(want_parallelism)
         parsed = schemas.parse_page_messages(batch, fields=parse_fields)
+        # the corrupt side output reads raw_payload only for corrupt
+        # rows, yet the cache below would otherwise materialize the
+        # FULL json payload (html-dominated — roughly the size of all
+        # parsed columns combined) for every healthy row too; null it
+        # out pre-persist (optimization r12, guide §5.2 — cache only
+        # what is read). Sink outputs are identical: corrupt rows keep
+        # their payload verbatim. Kill switch: SPARK_GRAFT_SERVE_SLIM=0.
+        if os.environ.get("SPARK_GRAFT_SERVE_SLIM", "1") != "0":
+            parsed = parsed.withColumn(
+                "raw_payload",
+                F.when(F.col("is_corrupt"), F.col("raw_payload")),
+            )
         parsed.persist()
         result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
         result.persist()
