@@ -197,3 +197,29 @@ def test_finite_measure_filter_reaches_parquet_scan(spark):
     assert "IsNotNull(o_orderkey)" in plan
     # finite_measure survives above the aggregate
     assert "1.0E10" in plan and "isnan" in plan
+
+
+def test_rt2report_is_single_aggregation_no_distinct_expand(spark, monkeypatch):
+    """Optimization r12 (guide §2.4): n_competitors derives from
+    size(collect_set('S'||suppkey)) instead of a countDistinct
+    aggregate — a mixed distinct/non-distinct agg plans as TWO
+    hash exchanges and four aggregation levels; the set-derived form
+    needs one of each. Both arms must produce identical rows
+    (injective comp string + matching NULL semantics)."""
+    name = "rt2report_competitor_summary"
+
+    def rows(arm: str):
+        monkeypatch.setenv("SPARK_GRAFT_RT2_SETCOUNT", arm)
+        df = entry.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(map(tuple, df.collect())), plan
+
+    got_new, plan_new = rows("1")
+    got_old, plan_old = rows("0")
+    assert got_new == got_old, "set-derived count must equal countDistinct"
+    assert plan_new.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in plan_new
+    # schema parity: n_competitors stays a bigint in both arms
+    monkeypatch.setenv("SPARK_GRAFT_RT2_SETCOUNT", "1")
+    df = entry.queries()[name](spark, SF)
+    assert dict(df.dtypes)["n_competitors"] == "bigint"
