@@ -37,65 +37,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # query added from round 6 onward goes here until its first driver
 # verdict lands.
 _DRIVER_UNCONFIRMED: tuple[str, ...] = (
-    # round-12: no new queries, but these changed SEMANTICS this
-    # round (the keyfuzz classes: C0-strip escape-helper boundary,
-    # pmod oracle twins, valid_id gates on ordering/identity axes,
-    # merge-key and corpus-identity dedup via keep_one_per_id,
-    # try_divide/NULLIF on degenerate-group divisions, the asof
-    # NULL-key join semantics, and the zorder clamp) — front-loaded
-    # so the driver re-verifies the changed behavior. The r11 list
-    # got full-green verdicts in CORRECTNESS_r11.json rows 1-17 and
-    # rotates out.
-    "whois_contact_extraction",
-    "bad_domain_analysis",
-    "modulo_group_assignment",
-    "did_aa_experiment_check",
-    "cuped_adjusted_experiment",
-    "srm_sample_ratio_mismatch",
-    "merge_incremental_orders",
-    "mergetable_cdc_changes",
-    "mergetable_pruned_range_read",
-    "incremental_rollup_maintenance",
-    "matview_variance_incremental",
-    "mergetable_history_rows",
-    "mergetable_schema_evolution",
-    "mergetable_schema_drop_widen",
-    "matview_join_incremental",
-    "lag_delta_per_observation",
-    "last_change_walkback",
-    "rolling_median_price",
-    "collect_sorted_parts_per_order",
-    "prod_metrics_delta_extremes",
-    "prod_metrics_top2_extremes",
-    "pivot_store_price_matrix",
-    "scd2_price_dimension",
-    "golden_user_record",
-    "rfm_customer_segments",
-    "basket_brand_lift",
-    "fpgrowth_brand_itemsets",
-    "model_registry_stats",
-    "model_score_pick_price",
-    "model_submodel_curve",
-    "model_url_level_eval",
-    "candidate_labeling",
-    "price_candidate_extraction",
-    "stream_serve_pipeline",
-    "stream_sessionize_stateful",
-    "stream_merge_upsert_per_user",
-    "multimodal_metadata_profile",
-    "multimodal_byte_features",
-    "multimodal_resize_images",
-    "multimodal_sample_frames",
-    "rendezvous_shard_assignment",
-    "segment_dedup_keep_first",
-    "sequence_packing_bins",
-    "table_diff_reconciliation",
-    "semantic_dedup_keep_best",
-    "semantic_dedup_scale_pipeline",
-    "fuzzy_entity_match",
-    "asof_last_view_before_purchase",
-    "asof_next_error_within_tolerance",
-    "zorder_pruning_report",
+    # round-13 rotation (VERDICT r12 item 1): the r12 optimizer's
+    # semantics-preserving rewrites landed AFTER the r12 rotation was
+    # frozen, so the driver's oracle has not hashed the rewritten
+    # plans yet — front-load them. Queries whose plans change in THIS
+    # round are prepended here as they change. The 50 names sampled in
+    # CORRECTNESS_r12.json were all full-green and rotate out.
+    "price_delta_market_position",
+    "rt2report_competitor_summary",
+    "pagerank_copurchase_parts",
+    "poisson_bootstrap_ci",
+    "setsim_prefix_join_docs",
+    "ema_price_per_product",
+    "text_quality_profile",
+    "dedup_minhash_lsh",
+    # never yet driver-sampled (r12 list positions 51-59):
     "mergetable_zorder_read",
     "bfs_order_part_neighborhood",
     "corr_covar_qty_price",
