@@ -125,6 +125,49 @@ def test_keep_one_per_id_same_winner_both_engines(spark, tmp_path):
     assert duck == got
 
 
+def test_keep_one_per_id_hazard_winners(spark):
+    """keep_one_per_id's winner on every hazard shape: duplicate ids
+    with conflicting attributes, NULL attribute cells (DESC NULLS
+    LAST — the non-null value wins), NaN doubles (Spark total order:
+    NaN largest), negative ids, ties that resolve on a later column,
+    NULL ids dropped. Pins the exact total order so any physical
+    rewrite of the dedup (e.g. the r13 max(struct) experiment, which
+    tied and was not adopted) must reproduce these winners."""
+    nan = float("nan")
+    rows = [
+        (1, "alpha", None, 10.0),
+        (1, "alpha", "en", 10.0),      # later-column tie-break: "en" > NULL
+        (2, None, "xx", 5.0),
+        (2, "beta", "xx", 5.0),        # first-column: "beta" > NULL
+        (3, "gamma", "de", nan),
+        (3, "gamma", "de", 99.0),      # NaN > any double in Spark's order
+        (-4, "neg", "id", 1.0),        # negative ids are valid
+        (None, "ghost", "xx", 1.0),    # NULL id drops
+        (5, "solo", None, None),       # singleton id passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string, score double")
+    got = sorted(
+        (tuple(r) for r in keep_one_per_id(df, "doc_id").collect()),
+        key=lambda t: t[0],
+    )
+
+    def canon(rows_):
+        return [
+            tuple("NaN" if isinstance(v, float) and v != v else v for v in t)
+            for t in rows_
+        ]
+
+    assert canon(got) == canon(
+        [
+            (-4, "neg", "id", 1.0),
+            (1, "alpha", "en", 10.0),
+            (2, "beta", "xx", 5.0),
+            (3, "gamma", "de", nan),
+            (5, "solo", None, None),
+        ]
+    )
+
+
 def test_keyfuzz_negative_keys_survive_valid_id(spark):
     """valid_id excludes ONLY NULL: negative and dangling ids are
     valid data (both engines order and join them identically) — the
