@@ -239,6 +239,11 @@ def minhash_lsh_pairs(
         .groupBy("doc")
         .agg(F.collect_set("__h").alias("shingles"))
     )
+    # NOT cached although both verify joins (sh_a and sh_b) consume
+    # it: r13 ABBA measured a tie (1.74 vs 1.70 s) — every verify join
+    # already plans as a BroadcastHashJoin and the shingle build's
+    # exchange is deduplicated by AQE ReusedExchange at runtime, so a
+    # cache buys nothing (OPTIMIZATION_r13.md).
     verified = cand.join(
         shingle_tbl.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
     ).join(

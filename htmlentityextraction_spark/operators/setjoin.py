@@ -67,7 +67,11 @@ def prefix_jaccard_pairs(
         # materialize ONCE: four downstream branches (frequencies,
         # sizes, ranking, verify arrays) would each replay the
         # caller's tokenization plan otherwise — the same
-        # lineage-cutting pagerank() does per round
+        # lineage-cutting pagerank() does per round. r13 re-measured
+        # the bare form (relying on AQE ReusedExchange across the
+        # branches): 43% WORSE (ABBA 4.26 vs 6.10 s) — runtime
+        # exchange reuse does not cover the four post-exchange
+        # replays here, so the checkpoint stays (OPTIMIZATION_r13.md).
         .localCheckpoint()
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -120,6 +120,12 @@ def stream_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="serve_src_")
     out = tempfile.mkdtemp(prefix="serve_out_")
+    # NOT repartitioned to defaultParallelism before the write: moving
+    # the batch_fn parallelism guard's shuffle upstream (source files
+    # >= cores, the documented 100 TB posture) was ABBA-measured in
+    # r13 and tied-to-worse (3.79 vs 4.04 s) — 32 file commits on the
+    # fixture write cost what the single in-batch repartition costs
+    # (OPTIMIZATION_r13.md).
     _page_messages(spark, sf_dir).write.mode("overwrite").parquet(src)
     raw = spark.readStream.schema("value string").parquet(src)
     serve.serve_stream(spark, raw, registry, out).await_done()

@@ -154,6 +154,12 @@ def serve_stream(
         result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
         result.persist()
         try:
+            # NOT gated on emptiness: probing the cache first and
+            # skipping the all-healthy batch's empty corrupt write was
+            # ABBA-measured in r13 and TIED (4.32 vs 4.43 s) — the
+            # isEmpty probe is itself a full cached-scan job, exactly
+            # the cost of the empty append it would save
+            # (OPTIMIZATION_r13.md).
             parsed.filter(F.col("is_corrupt")).select(
                 "raw_payload", F.lit("corruptMessage").alias("status")
             ).write.mode("append").parquet(os.path.join(out_dir, "logs_corrupt"))
