@@ -71,7 +71,15 @@ def prefix_jaccard_pairs(
         # the bare form (relying on AQE ReusedExchange across the
         # branches): 43% WORSE (ABBA 4.26 vs 6.10 s) — runtime
         # exchange reuse does not cover the four post-exchange
-        # replays here, so the checkpoint stays (OPTIMIZATION_r13.md).
+        # replays here, so the checkpoint stays. A persist() arm
+        # (VERDICT r12 item 5 — keep stats AND materialize) is
+        # structurally unavailable: this frame is consumed after the
+        # caller returns, so a persist still held at return is
+        # plan-keyed and the next bench invocation would re-hit it
+        # (cross-run caching), while unpersisting before return
+        # degenerates to the measured-worse bare form. localCheckpoint
+        # is the only per-run-safe eager materialization here
+        # (OPTIMIZATION_r13.md).
         .localCheckpoint()
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -439,6 +439,13 @@ def cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate so pytest can assert the probabilistic 2N/w accuracy
     bound on the fixed fixtures."""
     W, D = CMS_W, CMS_D
+    # li feeds three subtrees (counters / exact-top / total) and is NOT
+    # materialized: a localCheckpoint costs more than the pruned
+    # one-column scans it saves (r12 negative result), and the persist()
+    # retry suggested by VERDICT r12 item 5 is structurally unavailable —
+    # the frame is consumed after this function returns, so a persist
+    # held at return is plan-keyed cross-run caching, and one released
+    # before return is a no-op (OPTIMIZATION_r13.md).
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
 
     def bucket(i: int):

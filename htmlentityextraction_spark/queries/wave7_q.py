@@ -255,9 +255,19 @@ def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # uncached input replays the join+groupBy on every one of those
         # passes AND again when freqItemsets is consumed (profiled:
         # consuming freqItemsets cost the same ~3 s as fit itself).
-        # ABBA A/B with the itemset cut below: 6.71 s -> 5.05 s (-25%)
+        # ABBA A/B with the itemset cut below: 6.71 s -> 5.05 s (-25%).
+        # localCheckpoint, NOT persist(MEMORY_AND_DISK): a persist
+        # released before return is legal here (fit() is an in-call
+        # action) and was ABBA-measured in r13 — tie-to-worse (median
+        # 4.44 vs 3.87 s over 8 balanced rounds; warm tails tied), the
+        # persist arm's first pass pays compute+store at once
+        # (OPTIMIZATION_r13.md).
         .localCheckpoint()
     )
+    # setNumPartitions(min(cores, |brand vocabulary|)) was also
+    # ABBA-measured in r13: tie (3.77 vs 3.59 s) — AQE has already
+    # coalesced the basket frame below the cap, so the PFP group
+    # count is unchanged locally; default kept (OPTIMIZATION_r13.md).
     model = FPGrowth(itemsCol="items", minSupport=0.025, minConfidence=0.5).fit(baskets)
     # the mined itemsets are vocabulary-scale (dozens of rows at any
     # sf): cut the mining lineage so downstream consumption reads the
