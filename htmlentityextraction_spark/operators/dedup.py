@@ -156,7 +156,14 @@ def minhash_lsh_pairs(
     popular text).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_codegen(df, text_col, id_col, num_hashes).cache()
+    # localCheckpoint, NOT cache(): both are one materialization within
+    # a run (two consumers: the band explode and the packed-signature
+    # filter), but a cache held at return is plan-keyed — a rebuilt
+    # bench/oracle invocation in the same session re-hits it
+    # (VERIFIED r13: bench runs 2-3 planned InMemoryTableScan over run
+    # 1's blocks, 16.1 -> 3.0 s — cross-run caching, prohibited). A
+    # localCheckpoint is per-run by construction (OPTIMIZATION_r13.md).
+    sigs = minhash_signatures_codegen(df, text_col, id_col, num_hashes).localCheckpoint()
     banded = sigs.select(
         "doc",
         *[
@@ -210,7 +217,9 @@ def minhash_lsh_pairs(
         .withColumn("__est", est)
         .filter(F.col("__est") >= jaccard_threshold - 0.15)
         .select("id_a", "id_b")
-        .cache()  # tiny; reused for the id semi-join and both verify joins
+        # tiny; reused for the id semi-join and both verify joins —
+        # localCheckpoint for the same per-run reason as sigs above
+        .localCheckpoint()
     )
     # Exact verify runs on HASHED shingle sets (array of longs), not
     # string arrays: 64-bit hashes make collisions negligible and

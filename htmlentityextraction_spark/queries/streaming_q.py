@@ -348,8 +348,11 @@ def stream_bloom_prefilter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("spend_cents") >= 75000)
     )
-    words = bloom_build(vip, "user_id", num_bits=1 << 14, num_hashes=5)
-    words.cache().count()  # build once, reuse across micro-batches
+    # build once, reuse across micro-batches. localCheckpoint, not
+    # cache(): a cache held at return is plan-keyed and a rebuilt
+    # invocation in the same session would re-hit it (cross-run
+    # caching — r13, same standard as table_diff/minhash)
+    words = bloom_build(vip, "user_id", num_bits=1 << 14, num_hashes=5).localCheckpoint()
 
     stream = sp.read_events_stream(spark, sf_dir)
     clicks = stream.where(F.col("event_type") == "click")
