@@ -93,6 +93,13 @@ _WIDENINGS = frozenset(
     }
 )
 
+# max estimated hash-build bytes per shuffle partition for the merge
+# join's shuffled-hash gate: a delta estimated under this per-partition
+# budget hash-builds (skips both full-outer SMJ sorts); anything bigger
+# keeps the spill-safe sort-merge plan. Module-level so tests can
+# patch it to 0 to force the sort-merge arm deterministically.
+_SHJ_BUILD_BYTES_PER_PART = 8 * 1024 * 1024
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer published a snapshot between staging and commit;
@@ -1471,17 +1478,16 @@ class ParquetMergeTable:
         # row count so a bulk load the size of the table keeps the
         # sort-based, spill-safe plan: the hash build must fit task
         # memory, so require est. build bytes per shuffle partition
-        # <= 8 MB (row width estimated conservatively at 32B + 16B/col).
-        # Kill switch for A/B: SPARK_GRAFT_MERGE_SHJ=0.
+        # <= _SHJ_BUILD_BYTES_PER_PART (row width estimated
+        # conservatively at 32B + 16B/col). The r12 A/B kill switch
+        # (SPARK_GRAFT_MERGE_SHJ) was pruned in r13 after adjudication;
+        # tests force the sort-merge arm by patching the constant.
         est_build = n_upd_rows * (32 + 16 * len(data_cols))
         try:
             n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
         except ValueError:
             n_parts = 200
-        if (
-            est_build <= 8 * 1024 * 1024 * max(1, n_parts)
-            and os.environ.get("SPARK_GRAFT_MERGE_SHJ", "1") != "0"
-        ):
+        if est_build <= _SHJ_BUILD_BYTES_PER_PART * max(1, n_parts):
             upd_named = upd_named.hint("shuffle_hash")
         joined = old.join(upd_named, old[k] == upd_named["__uk"], "full_outer")
 

@@ -9,8 +9,6 @@ l_shipdate = observation time.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -255,41 +253,34 @@ def rt2report_competitor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         finite_measure("l_extendedprice")
     )
     comp = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-    if os.environ.get("SPARK_GRAFT_RT2_SETCOUNT", "1") != "0":
-        # r12: derive n_competitors from the competitor set itself
-        # instead of a countDistinct aggregate. A distinct agg mixed
-        # with non-distinct aggs plans as TWO shuffles (partial agg on
-        # (partkey, suppkey) -> exchange -> merge -> partial distinct
-        # count -> exchange on partkey -> final); 'S'||suppkey is
-        # injective in suppkey and both forms ignore NULLs, so
-        # size(collect_set) is the same number for one exchange and
-        # one aggregation level (guide §2.4).
-        comps = F.array_sort(F.collect_set(comp))
-        return (
-            li.groupBy(F.col("l_partkey").alias("prodid"))
-            .agg(
-                comps.alias("__comps"),
-                F.round(F.min("l_extendedprice") + 1e-9, 6).alias("min_price"),
-                F.round(F.max("l_extendedprice") + 1e-9, 6).alias("max_price"),
-                F.round(F.avg("l_extendedprice") + 1e-9, 6).alias("avg_price"),
-            )
-            .select(
-                "prodid",
-                F.size("__comps").cast("long").alias("n_competitors"),
-                "min_price",
-                "max_price",
-                "avg_price",
-                F.array_join("__comps", ",").alias("competitors"),
-            )
-        )
+    # r12: derive n_competitors from the competitor set itself
+    # instead of a countDistinct aggregate. A distinct agg mixed
+    # with non-distinct aggs plans as TWO shuffles (partial agg on
+    # (partkey, suppkey) -> exchange -> merge -> partial distinct
+    # count -> exchange on partkey -> final); 'S'||suppkey is
+    # injective in suppkey and both forms ignore NULLs, so
+    # size(collect_set) is the same number for one exchange and
+    # one aggregation level (guide §2.4). The countDistinct legacy
+    # arm (kill switch SPARK_GRAFT_RT2_SETCOUNT) was pruned in r13
+    # after adjudication; the equivalence proof lives in
+    # tests/test_plan_contracts.py, which rebuilds the legacy
+    # aggregation inline.
+    comps = F.array_sort(F.collect_set(comp))
     return (
         li.groupBy(F.col("l_partkey").alias("prodid"))
         .agg(
-            F.countDistinct("l_suppkey").alias("n_competitors"),
+            comps.alias("__comps"),
             F.round(F.min("l_extendedprice") + 1e-9, 6).alias("min_price"),
             F.round(F.max("l_extendedprice") + 1e-9, 6).alias("max_price"),
             F.round(F.avg("l_extendedprice") + 1e-9, 6).alias("avg_price"),
-            F.array_join(F.array_sort(F.collect_set(comp)), ",").alias("competitors"),
+        )
+        .select(
+            "prodid",
+            F.size("__comps").cast("long").alias("n_competitors"),
+            "min_price",
+            "max_price",
+            "avg_price",
+            F.array_join("__comps", ",").alias("competitors"),
         )
     )
 

@@ -144,12 +144,12 @@ def serve_stream(
         # parsed columns combined) for every healthy row too; null it
         # out pre-persist (optimization r12, guide §5.2 — cache only
         # what is read). Sink outputs are identical: corrupt rows keep
-        # their payload verbatim. Kill switch: SPARK_GRAFT_SERVE_SLIM=0.
-        if os.environ.get("SPARK_GRAFT_SERVE_SLIM", "1") != "0":
-            parsed = parsed.withColumn(
-                "raw_payload",
-                F.when(F.col("is_corrupt"), F.col("raw_payload")),
-            )
+        # their payload verbatim. (The r12 A/B kill switch
+        # SPARK_GRAFT_SERVE_SLIM was pruned in r13 after adjudication.)
+        parsed = parsed.withColumn(
+            "raw_payload",
+            F.when(F.col("is_corrupt"), F.col("raw_payload")),
+        )
         parsed.persist()
         result = score_pages_batch(parsed.filter(~F.col("is_corrupt")), registry_rows)
         result.persist()

@@ -619,9 +619,10 @@ def test_read_where_in_heterogeneous_values_and_empty_paths(spark, tmp_path):
 def test_merge_join_strategy_gate_and_equivalence(spark, tmp_path, monkeypatch):
     """Optimization r12 (guide §3.2): a provably small update batch
     merges via a shuffled-hash join built on the delta (skipping both
-    full-outer SMJ sorts); the kill switch restores sort-merge. Both
-    arms must produce byte-identical snapshots — upsert, delete,
-    insert, and combine semantics included."""
+    full-outer SMJ sorts); patching the build-size gate to 0 restores
+    sort-merge (the shape a table-scale batch gets). Both arms must
+    produce byte-identical snapshots — upsert, delete, insert, and
+    combine semantics included."""
     from htmlentityextraction_spark.operators import incremental as inc
 
     plans: list[str] = []
@@ -634,7 +635,11 @@ def test_merge_join_strategy_gate_and_equivalence(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(inc.ParquetMergeTable, "_write_buckets", capturing)
 
     def run(arm: str):
-        monkeypatch.setenv("SPARK_GRAFT_MERGE_SHJ", arm)
+        # arm "0" = force sort-merge by shrinking the hash-build budget
+        # to nothing; arm "1" = the production gate
+        monkeypatch.setattr(
+            inc, "_SHJ_BUILD_BYTES_PER_PART", 0 if arm == "0" else 8 * 1024 * 1024
+        )
         tbl = _mk_table(
             spark, tmp_path / f"arm{arm}", [(i, float(i)) for i in range(40)]
         )

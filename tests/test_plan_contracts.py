@@ -199,27 +199,42 @@ def test_finite_measure_filter_reaches_parquet_scan(spark):
     assert "1.0E10" in plan and "isnan" in plan
 
 
-def test_rt2report_is_single_aggregation_no_distinct_expand(spark, monkeypatch):
+def test_rt2report_is_single_aggregation_no_distinct_expand(spark):
     """Optimization r12 (guide §2.4): n_competitors derives from
     size(collect_set('S'||suppkey)) instead of a countDistinct
     aggregate — a mixed distinct/non-distinct agg plans as TWO
     hash exchanges and four aggregation levels; the set-derived form
-    needs one of each. Both arms must produce identical rows
-    (injective comp string + matching NULL semantics)."""
+    needs one of each. The legacy countDistinct aggregation (the r12
+    kill-switch arm, pruned in r13) is rebuilt inline here as the
+    equivalence reference — injective comp string + matching NULL
+    semantics make the two counts provably equal."""
+    from pyspark.sql import functions as F
+
+    from htmlentityextraction_spark.functions.pricing import finite_measure
+    from htmlentityextraction_spark.sources.tables import load_table
+
     name = "rt2report_competitor_summary"
+    df = entry.queries()[name](spark, SF)
+    plan_new = df._jdf.queryExecution().executedPlan().toString()
+    got_new = sorted(map(tuple, df.collect()))
 
-    def rows(arm: str):
-        monkeypatch.setenv("SPARK_GRAFT_RT2_SETCOUNT", arm)
-        df = entry.queries()[name](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return sorted(map(tuple, df.collect())), plan
+    li = load_table(spark, SF, "lineitem").filter(finite_measure("l_extendedprice"))
+    comp = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    legacy = li.groupBy(F.col("l_partkey").alias("prodid")).agg(
+        F.countDistinct("l_suppkey").alias("n_competitors"),
+        F.round(F.min("l_extendedprice") + 1e-9, 6).alias("min_price"),
+        F.round(F.max("l_extendedprice") + 1e-9, 6).alias("max_price"),
+        F.round(F.avg("l_extendedprice") + 1e-9, 6).alias("avg_price"),
+        F.array_join(F.array_sort(F.collect_set(comp)), ",").alias("competitors"),
+    )
+    plan_old = legacy._jdf.queryExecution().executedPlan().toString()
+    got_old = sorted(map(tuple, legacy.collect()))
 
-    got_new, plan_new = rows("1")
-    got_old, plan_old = rows("0")
     assert got_new == got_old, "set-derived count must equal countDistinct"
     assert plan_new.count("Exchange hashpartitioning") == 1
     assert "Expand" not in plan_new
-    # schema parity: n_competitors stays a bigint in both arms
-    monkeypatch.setenv("SPARK_GRAFT_RT2_SETCOUNT", "1")
-    df = entry.queries()[name](spark, SF)
+    # the contrast that motivates the rewrite: the distinct-agg form
+    # really does plan two hash exchanges (ADVICE r12 — assert it)
+    assert plan_old.count("Exchange hashpartitioning") == 2
+    # schema parity: n_competitors stays a bigint in both forms
     assert dict(df.dtypes)["n_competitors"] == "bigint"

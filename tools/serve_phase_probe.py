@@ -47,34 +47,39 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
     rows = []
-    for i in range(args.runs):
-        t0 = time.time()
-        registry = _registry_rows(spark, sf_dir)
-        t1 = time.time()
-        src = tempfile.mkdtemp(prefix="serve_probe_src_")
-        out = tempfile.mkdtemp(prefix="serve_probe_out_")
-        _page_messages(spark, sf_dir).write.mode("overwrite").parquet(src)
-        t2 = time.time()
-        raw = spark.readStream.schema("value string").parquet(src)
-        serve.serve_stream(spark, raw, registry, out).await_done()
-        t3 = time.time()
-        df = spark.read.parquet(os.path.join(out, "historical"))
-        df.write.format("noop").mode("overwrite").save()
-        t4 = time.time()
-        rec = {
-            "run": i + 1,
-            "registry": round(t1 - t0, 3),
-            "fixture": round(t2 - t1, 3),
-            "stream": round(t3 - t2, 3),
-            "readback": round(t4 - t3, 3),
-            "total": round(t4 - t0, 3),
-        }
-        rows.append(rec)
-        print(f"# {rec}", file=sys.stderr)
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
-    print(json.dumps(rows))
-    spark.stop()
+    try:
+        for i in range(args.runs):
+            t0 = time.time()
+            registry = _registry_rows(spark, sf_dir)
+            t1 = time.time()
+            src = tempfile.mkdtemp(prefix="serve_probe_src_")
+            out = tempfile.mkdtemp(prefix="serve_probe_out_")
+            try:
+                _page_messages(spark, sf_dir).write.mode("overwrite").parquet(src)
+                t2 = time.time()
+                raw = spark.readStream.schema("value string").parquet(src)
+                serve.serve_stream(spark, raw, registry, out).await_done()
+                t3 = time.time()
+                df = spark.read.parquet(os.path.join(out, "historical"))
+                df.write.format("noop").mode("overwrite").save()
+                t4 = time.time()
+            finally:
+                # ADVICE r12: clean up even when a run dies mid-iteration
+                shutil.rmtree(src, ignore_errors=True)
+                shutil.rmtree(out, ignore_errors=True)
+            rec = {
+                "run": i + 1,
+                "registry": round(t1 - t0, 3),
+                "fixture": round(t2 - t1, 3),
+                "stream": round(t3 - t2, 3),
+                "readback": round(t4 - t3, 3),
+                "total": round(t4 - t0, 3),
+            }
+            rows.append(rec)
+            print(f"# {rec}", file=sys.stderr)
+        print(json.dumps(rows))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -3,9 +3,10 @@ within one session (r12 continuation: bench reads serve 9.8-12.4 s
 late-session vs ~4-5 s standalone steady state on the same box).
 
 Protocol: serve 2x baseline -> block of suspect queries (3x each,
-bench order) -> serve 2x -> next block -> serve 2x ... then
-spark.catalog.clearCache() + spark.sparkContext._jvm cleanup probe ->
-serve 2x, to test whether leaked cached intermediates are the cause.
+bench order) -> serve 2x -> next block -> serve 2x ... then a
+spark.catalog.clearCache() probe -> serve 2x, to test whether leaked
+cached intermediates are the cause (ADVICE r12: only the clearCache
+arm is implemented; no JVM-side cleanup is attempted).
 
 Usage: python tools/serve_session_bisect.py [--sf-dir DIR]
 """
