@@ -109,19 +109,36 @@ def prefix_jaccard_pairs(
     ).select("id", "tok", "df", "pos", "sz")
 
     if max_block_rows is not None:
-        hot = (
-            prefix.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_block_rows)
-            .limit(5)
-            .collect()
-        )
-        if hot:
-            names = ", ".join(f"{r['tok']}({r['n']})" for r in hot)
-            raise HotPrefixTokenError(
-                f"prefix tokens exceed max_block_rows={max_block_rows}: {names}; "
-                "raise the threshold, the guard, or pre-drop stopwords"
+        # Conservative screen first (r13, guide §1.2): a token's prefix
+        # block is a subset of its postings, so count_prefix(tok) <=
+        # df(tok) always. When even max(df) clears the cap, no token
+        # CAN block more than max_block_rows rows, and the screen is a
+        # vocabulary-sized reduce over the already-needed dfreq frame —
+        # instead of the exact check's extra job replaying the
+        # dfreq/sizes joins + prefix window over row-scale data. The
+        # exact check (with its precise offender report) still runs
+        # whenever the screen cannot rule a hot block out, so the
+        # error contract is unchanged. Kill switch:
+        # SPARK_GRAFT_SETSIM_GUARD=exact.
+        import os
+
+        mx = None
+        if os.environ.get("SPARK_GRAFT_SETSIM_GUARD", "screen") != "exact":
+            mx = dfreq.agg(F.max("df").alias("mx")).collect()[0]["mx"]
+        if mx is None or mx > max_block_rows:
+            hot = (
+                prefix.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > max_block_rows)
+                .limit(5)
+                .collect()
             )
+            if hot:
+                names = ", ".join(f"{r['tok']}({r['n']})" for r in hot)
+                raise HotPrefixTokenError(
+                    f"prefix tokens exceed max_block_rows={max_block_rows}: {names}; "
+                    "raise the threshold, the guard, or pre-drop stopwords"
+                )
 
     left = prefix.select(
         F.col("id").alias("id_a"), "tok", "df",

@@ -43,6 +43,10 @@ _DRIVER_UNCONFIRMED: tuple[str, ...] = (
     # plans yet — front-load them. Queries whose plans change in THIS
     # round are prepended here as they change. The 50 names sampled in
     # CORRECTNESS_r12.json were all full-green and rotate out.
+    # r13 plan changes (materialization shape):
+    "table_diff_reconciliation",
+    "stream_bloom_prefilter_route",
+    # r12 rewrites (front-loaded at r12 end):
     "price_delta_market_position",
     "rt2report_competitor_summary",
     "pagerank_copurchase_parts",
